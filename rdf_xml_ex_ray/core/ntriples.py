@@ -1,0 +1,103 @@
+"""Minimal N-Triples reader/writer (for W3C goldens and debugging).
+
+Covers the full N-Triples grammar needed by the W3C RDF 1.1 XML suite's
+``.nt`` expected files (reference harness: w3c_test.exs:48-60 reads them via
+RDF.NTriples).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .terms import BNode, IRI, Literal, ParseError
+
+_ESCAPES = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+
+_TERM_RE = re.compile(
+    r"""\s*(?:
+        <(?P<iri>[^>]*)>
+      | _:(?P<bnode>\S+?)(?=\s|$)
+      | "(?P<lit>(?:[^"\\]|\\.)*)"
+          (?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9\-]+))?
+    )""",
+    re.X,
+)
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u":
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U":
+                out.append(chr(int(s[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _parse_term(line: str, pos: int):
+    m = _TERM_RE.match(line, pos)
+    if not m:
+        raise ParseError(f"bad N-Triples term at: {line[pos:]!r}")
+    if m.group("iri") is not None:
+        return IRI(_unescape(m.group("iri"))), m.end()
+    if m.group("bnode") is not None:
+        return BNode(m.group("bnode")), m.end()
+    lex = _unescape(m.group("lit"))
+    return Literal(lex, lang=m.group("lang"), datatype=m.group("dt")), m.end()
+
+
+def parse_ntriples(text: str) -> list[tuple]:
+    triples = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        s, pos = _parse_term(line, 0)
+        p, pos = _parse_term(line, pos)
+        o, pos = _parse_term(line, pos)
+        rest = line[pos:].strip()
+        if rest != ".":
+            raise ParseError(f"trailing content in N-Triples line: {raw!r}")
+        triples.append((s, p, o))
+    return triples
+
+
+def _escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+def term_to_nt(term) -> str:
+    if isinstance(term, Literal):
+        base = f'"{_escape(term.lexical)}"'
+        if term.lang:
+            return f"{base}@{term.lang}"
+        if term.datatype:
+            return f"{base}^^<{term.datatype}>"
+        return base
+    if isinstance(term, BNode):
+        return f"_:{term}"
+    return f"<{term}>"
+
+
+def to_ntriples(triples) -> str:
+    return "".join(f"{term_to_nt(s)} {term_to_nt(p)} {term_to_nt(o)} .\n" for s, p, o in triples)
