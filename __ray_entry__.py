@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module, so nothing
+here (or in rdf_xml_ex_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is a pipeline/operator from SURVEY.md §2 (plus the
+training-data operators); ``oracle_sql()`` carries the DuckDB twin for every
+SQL-expressible one. Column names match exactly on both sides.
 """
 
 from __future__ import annotations
@@ -18,27 +13,57 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts → canonical KG triple store at sf0.001."""
+    from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+
+    return kg_triples_dataset(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rdf_xml_ex_ray.pipelines import kg, similarity, text
+    from rdf_xml_ex_ray.pipelines import dedup
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- knowledge-graph construction (SURVEY.md §2.1-§2.4) ---
+        "kg_triples": kg.kg_triples_dataset,
+        "kg_conv_stats": kg.kg_conv_stats,
+        "kg_pred_counts": kg.kg_pred_counts,
+        "kg_roundtrip": kg.kg_roundtrip_dataset,
+        # --- training-data operators: dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        # --- text analysis ---
+        "doc_stats": text.doc_stats,
+        "doc_fingerprint": text.doc_fingerprint,
+        "lang_id": text.lang_id,
+        # --- multimodal plumbing (deterministic fake decode) ---
+        "mm_media_meta": text.mm_media_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rdf_xml_ex_ray.pipelines import oracle
+    from rdf_xml_ex_ray.pipelines import dedup, similarity, text
+
+    return {
+        "kg_triples": oracle.KG_TRIPLES_SQL,
+        "kg_conv_stats": oracle.KG_CONV_STATS_SQL,
+        "kg_pred_counts": oracle.KG_PRED_COUNTS_SQL,
+        "kg_roundtrip": oracle.KG_TRIPLES_NOBNODE_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
+        "ann_topk": similarity.ANN_TOPK_SQL,
+        "doc_stats": text.DOC_STATS_SQL,
+        "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "mm_media_meta": text.MM_MEDIA_META_SQL,
+        # dedup_minhash / dedup_simhash / lang_id: sketch/heuristic operators,
+        # not SQL-expressible → driver rows-only check; pinned by pytest.
+    }

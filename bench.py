@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+`bench.py --scaling` runs the headline pipeline in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (the sandbox stand-in for the N vs 4N node cluster
+criterion; results recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rdf_xml_ex_ray.pipelines import dedup, kg, similarity, text
+
+    # warm the OS page cache so we measure compute + shuffle, not first read
+    import pyarrow.parquet as pq
+
+    for t in ("events", "documents", "embeddings"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+    timings: dict[str, float] = {}
+    n_triples = 0
+
+    t0 = time.perf_counter()
+    n_triples = kg.kg_triples_dataset(SF_DIR, num_buckets=max(16, NUM_CPUS * 2)).count()
+    timings["kg_triples"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup.dedup_exact(SF_DIR).count()
+    timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup.dedup_minhash(SF_DIR)
+    timings["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    similarity.ann_topk(SF_DIR).count()
+    timings["ann_topk"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    text.doc_stats(SF_DIR).count()
+    timings["doc_stats"] = round(time.perf_counter() - t0, 3)
+
+    headline = timings["kg_triples"]
+    result = {
+        "metric": "kg_construct end-to-end (events→transcripts→RDF/XML→triples→canonical store)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_triples": int(n_triples),
+        "triples_per_sec": round(n_triples / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tp_lo, tp_hi = lo["triples_per_sec"], hi["triples_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "throughput scaling efficiency (num_cpus 8 → 32, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "triples_per_sec_8": tp_lo,
+        "triples_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,271 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data pipeline staples, each expressed Ray-Data-first:
+
+* exact        — content hash → hash-partitioned groupby → keep first
+* minhash LSH  — shingles → minhash sig → banded buckets → candidate pairs
+                 → exact-Jaccard verify (classic MinHash/LSH, Broder '97)
+* simhash      — 64-bit Charikar simhash per doc + band bucket
+* embedding    — label-blocked cosine near-dup pairs (numpy per group)
+
+Exact + embedding have DuckDB oracle twins; the sketch-based ones are
+pinned by pytest instead (not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------- exact
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: hash → groupby(hash) → min doc_id per content."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = pa.array([_md5_hex(t) for t in batch["text"].to_pylist()])
+        return pa.table({"text_hash": hashes, "doc_id": batch["doc_id"]})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    agg = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "text_hash": batch["text_hash"],
+                "keep_doc_id": pc.cast(batch["keep_doc_id"], pa.int64()),
+                "n_dups": pc.cast(batch["n_dups"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- minhash LSH
+
+N_PERM = 64
+N_BANDS = 8  # 8 bands × 8 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _shingles(text: str, k: int = SHINGLE_K) -> set[int]:
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = set()
+    for g in grams:
+        out.add(struct.unpack("<Q", hashlib.md5(g.encode()).digest()[:8])[0] & _MERSENNE)
+    return out
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = _shingles(text)
+    if not sh:
+        return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
+    vals = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p for each permutation, vectorized over shingles
+    prods = (vals[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MERSENNE
+    return prods.min(axis=1)
+
+
+class MinhashBands:
+    """Actor-pool stage: doc → (band_id, band_hash, doc_id) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = minhash_signature(text)
+            for b in range(N_BANDS):
+                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                h = hashlib.md5(band.tobytes()).hexdigest()[:16]
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+            }
+        )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(group["doc_id"].unique())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")})
+
+
+def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    Verification broadcasts the shingle sets of *candidate* docs only (the
+    candidate set is tiny relative to the corpus by construction)."""
+    import ray
+    import ray.data as rd
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    bands = ds.map_batches(MinhashBands, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = pairs.map_batches(dedup_pairs, batch_format="pyarrow")
+
+    candidate_rows = pairs.take_all()  # candidate pair set is small by design
+    if not candidate_rows:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    cand = pd.DataFrame(candidate_rows).drop_duplicates(["doc_a", "doc_b"])
+    needed = set(cand["doc_a"]) | set(cand["doc_b"])
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
+    texts = {
+        d: t
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if d in needed
+    }
+    sh = {d: _shingles(t) for d, t in texts.items()}
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(zip(cand["doc_a"], cand["doc_b"])):
+        sa, sb = sh.get(a, set()), sh.get(b, set())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 4))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(text: str) -> int:
+    v = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
+        bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
+        v += np.where(bits == 1, 1, -1)
+    out = np.packbits((v > 0).astype(np.uint8))
+    return struct.unpack("<Q", out.tobytes())[0]
+
+
+def dedup_simhash(sf_dir: str):
+    """Per-doc 64-bit simhash + 16-bit band bucket (near-dup blocking key)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def compute(batch: pa.Table) -> pa.Table:
+        hashes = [simhash64(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array([f"{h:016x}" for h in hashes], pa.string()),
+                "bucket16": pa.array([h >> 48 for h in hashes], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(compute, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- embedding
+
+EMBED_COS_THRESHOLD = 0.3
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {EMBED_COS_THRESHOLD}
+"""
+
+
+def _embed_group_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = group["vec_id"].to_numpy()
+    mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= EMBED_COS_THRESHOLD
+    a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame(
+        {
+            "vec_a": pd.Series(lo, dtype="int64"),
+            "vec_b": pd.Series(hi, dtype="int64"),
+            "cos_sim": np.round(sims[iu][mask], 4),
+        }
+    )
+
+
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
+    bucketing: at scale the blocking key is a coarse quantizer cell)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding", "label"]
+    )
+    return ds.groupby("label").map_groups(_embed_group_pairs, batch_format="pandas")

@@ -1,0 +1,218 @@
+"""Text-analysis + multimodal-plumbing operators over ``documents``.
+
+* doc_stats       — counts/ratios (SQL twin, integer-exact + rounded ratio)
+* doc_fingerprint — md5 content fingerprint (SQL twin)
+* lang_id         — stopword-profile language guess (heuristic, pytest-pinned)
+* mm_media_meta   — multimodal decode plumbing: opaque binary payload through
+                    an actor-pool "decoder" whose output is a clearly-marked
+                    DETERMINISTIC FAKE (no image/audio libs in this
+                    container); schema/batching/actor wiring is real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- doc_stats
+
+_WORD_RE = r"[A-Za-z]+"
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+_STOPWORDS = "the|a|an|and|or|of|to|in|is|it"
+
+DOC_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{_WORD_RE}')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(lower(text), '\\b({_STOPWORDS})\\b')) AS BIGINT) AS n_stopwords,
+       round(len(regexp_extract_all(lower(text), '\\b({_STOPWORDS})\\b'))
+             / greatest(len(regexp_extract_all(text, '{_WORD_RE}')), 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+_word_pat = re.compile(_WORD_RE)
+_punct_pat = re.compile(_PUNCT_RE)
+_stop_pat = re.compile(rf"\b(?:{_STOPWORDS})\b")
+
+
+class DocStats:
+    """Actor-pool stage; patterns compiled once per actor (__init__)."""
+
+    def __init__(self):
+        self.word = _word_pat
+        self.punct = _punct_pat
+        self.stop = _stop_pat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_words = np.fromiter((len(self.word.findall(t)) for t in texts), np.int64, len(texts))
+        n_punct = np.fromiter((len(self.punct.findall(t)) for t in texts), np.int64, len(texts))
+        n_stop = np.fromiter(
+            (len(self.stop.findall(t.lower())) for t in texts), np.int64, len(texts)
+        )
+        ratio = np.round(n_stop / np.maximum(n_words, 1), 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_punct": pa.array(n_punct),
+                "n_stopwords": pa.array(n_stop),
+                "stopword_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+
+def doc_stats(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(DocStats, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------- fingerprint
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint,
+       left(md5(text), 16) AS fp16
+FROM documents
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(digests, pa.string()),
+                "fp16": pa.array([d[:16] for d in digests], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- lang_id
+
+# tiny stopword profiles per language; heuristic n-gram/stopword scoring
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "für"},
+    "es": {"el", "la", "los", "de", "que", "y", "en", "un", "es", "por"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
+}
+
+
+class LangId:
+    """Actor-pool stage: stopword-overlap language guess; profiles built once
+    per actor. Scores are deterministic; ties resolve alphabetically."""
+
+    def __init__(self):
+        self.profiles = sorted(_LANG_PROFILES.items())
+
+    def guess(self, text: str) -> tuple[str, float]:
+        words = set(text.lower().split())
+        best_lang, best = "und", 0.0
+        for lang, prof in self.profiles:
+            score = len(words & prof) / len(prof)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang, round(best, 4)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pairs = [self.guess(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array([p[0] for p in pairs], pa.string()),
+                "lang_score": pa.array([p[1] for p in pairs], pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------- multimodal
+
+MM_MEDIA_META_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
+       CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height,
+       CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+class MediaDecoder:
+    """Actor-pool media 'decode' stage over opaque binary payloads.
+
+    The real thing would call PIL/ffmpeg here (loaded once per actor); those
+    libs aren't in this container, so decode is a DETERMINISTIC FAKE of the
+    payload length — the schema (binary in, typed metadata out), small batch
+    size, and actor-pool signature are the production-shaped parts.
+    """
+
+    REAL_DECODE = False  # flip when a real decoder lib is available
+
+    def __init__(self):
+        if self.REAL_DECODE:  # pragma: no cover
+            raise NotImplementedError("no image/audio decoder libs in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        n = [len(p) for p in payloads]
+        mtype = ["image" if d % 3 == 0 else "audio" if d % 3 == 1 else "video" for d in doc_ids]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_type": pa.array(mtype, pa.string()),
+                "n_bytes": pa.array(n, pa.int64()),
+                "width": pa.array([64 + x % 512 for x in n], pa.int64()),
+                "height": pa.array([64 + (x * 7) % 512 for x in n], pa.int64()),
+                "n_frames": pa.array([1 + x % 30 for x in n], pa.int64()),
+            }
+        )
+
+
+def mm_media_meta(sf_dir: str):
+    """documents.text treated as an opaque binary payload column → decode
+    metadata via a small-batch actor pool (binary rows stay in Arrow)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pc.cast(batch["text"], pa.large_binary()),
+            }
+        )
+
+    payloads = ds.map_batches(to_binary, batch_format="pyarrow")
+    return payloads.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=512,  # binary payloads: keep batches small
+        concurrency=(1, 4),
+    )

@@ -1,0 +1,73 @@
+"""Ray stage: triple canonicalization — the wide step of the pipeline.
+
+Hash-partition on subject (stable crc32 bucket — NOT Python ``hash``, which
+is salted per process), then per-bucket exact dedup + (subj, pred, obj) sort.
+A duplicate triple always shares its subject, hence its bucket, so per-bucket
+dedup is globally exact. Determinism comes from data only: same input →
+same buckets → same sorted partitions, regardless of task order/retries.
+
+Skew note (north_star): hot *subjects* concentrate a bucket. Rendered
+transcripts have uniformly distributed subjects (conv/turn/bnode IRIs —
+hot entities like roles appear only as objects), so the default is
+unsalted; ``num_buckets`` scales the shuffle fan-out, and a per-batch
+pre-dedup (set-semantics restore) shrinks the exchange before it happens.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.model import TRIPLE_COLUMNS
+
+SORT_KEYS = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+
+
+def add_subj_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    subj = batch["subj"].to_pylist()
+    buckets = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % num_buckets for s in subj),
+        dtype=np.int32,
+        count=len(subj),
+    )
+    return batch.append_column("subj_bucket", pa.array(buckets, pa.int32()))
+
+
+def prededup_batch(batch: pa.Table) -> pa.Table:
+    """Cheap in-batch set-semantics restore before the shuffle (combiner)."""
+    df = batch.to_pandas()
+    return pa.Table.from_pandas(
+        df.drop_duplicates(subset=SORT_KEYS), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def dedup_sort_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket global dedup + deterministic (subj, pred, obj) sort."""
+    out = group.drop_duplicates(subset=SORT_KEYS).sort_values(SORT_KEYS, kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+def canonicalize(ds, num_buckets: int = 64, with_lineage: bool = True):
+    """Dataset of triple rows (+ conv_id lineage) → canonical store layout."""
+    ds = ds.map_batches(
+        lambda b: prededup_batch(add_subj_bucket(b, num_buckets)),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("subj_bucket").map_groups(dedup_sort_group, batch_format="pandas")
+
+
+def bucket_metrics(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition lineage/metrics record (north_rule: per-partition
+    lineage + metrics)."""
+    return pd.DataFrame(
+        {
+            "subj_bucket": [int(group["subj_bucket"].iloc[0])],
+            "n_triples": [len(group)],
+            "n_subjects": [group["subj"].nunique()],
+            "n_convs": [group["conv_id"].nunique() if "conv_id" in group else 0],
+        }
+    )
