@@ -24,8 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_xml_ex_ray.pipelines import kg, similarity, text
-    from rdf_xml_ex_ray.pipelines import dedup
+    from rdf_xml_ex_ray.pipelines import dedup, kg, similarity, streaming, text
 
     return {
         # --- knowledge-graph construction (SURVEY.md §2.1-§2.4) ---
@@ -46,12 +45,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
+        # --- streaming-shaped (partitioned ordered log) ---
+        "events_sessionize": streaming.events_sessionize,
+        "events_window": streaming.events_window,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_xml_ex_ray.pipelines import oracle
-    from rdf_xml_ex_ray.pipelines import dedup, similarity, text
+    from rdf_xml_ex_ray.pipelines import dedup, oracle, similarity, streaming, text
 
     return {
         "kg_triples": oracle.KG_TRIPLES_SQL,
@@ -64,6 +65,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
+        "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
+        "events_window": streaming.EVENTS_WINDOW_SQL,
         # dedup_minhash / dedup_simhash / lang_id: sketch/heuristic operators,
         # not SQL-expressible → driver rows-only check; pinned by pytest.
     }

@@ -89,9 +89,26 @@ class ElemCtx:
     (element_node.ex:5-28) — namespace/base/lang inheritance + attribute
     classification."""
 
-    __slots__ = ("qname", "uri", "rdf", "prop_attrs", "base", "ns", "lang", "li_counter", "xml")
+    __slots__ = (
+        "qname",
+        "uri",
+        "rdf",
+        "prop_attrs",
+        "base",
+        "ns",
+        "lang",
+        "li_counter",
+        "xml",
+        "_memo",
+    )
 
-    def __init__(self, xml_el: XmlElement, parent: "ElemCtx | None", doc_base: str | None):
+    def __init__(
+        self,
+        xml_el: XmlElement,
+        parent: "ElemCtx | None",
+        doc_base: str | None,
+        memo: dict | None = None,
+    ):
         self.xml = xml_el
         self.qname = xml_el.qname
         self.li_counter = 1
@@ -99,9 +116,16 @@ class ElemCtx:
             ns = parent.ns
             base = parent.base
             lang = parent.lang
+            memo = parent._memo if memo is None else memo
         else:
             ns = {}
             base = doc_base
+        # per-document memo: (id(ns_dict), name) → resolved classification.
+        # ns dicts are kept alive in memo["ns"] so id() stays unambiguous.
+        if memo is None:
+            memo = {"ns": [], "el": {}, "at": {}}
+        self._memo = memo
+        if parent is None:
             lang = None
 
         # Pass 1: xml:lang / xml:base / xmlns declarations (element_node.ex:94-111)
@@ -131,60 +155,82 @@ class ElemCtx:
         self.lang = lang
 
         # Element name → IRI
-        self.uri = IRI(self._qname_uri(xml_el.qname))
+        self.uri = self._qname_uri(xml_el.qname)
 
         # Pass 2: classify remaining attributes (element_node.ex:115-192)
         rdf: dict[str, object] = {}
         prop_attrs: dict[str, str] = {}
+        at_memo = self._memo["at"]
+        ns_id = id(self.ns)
         for name, value in plain_attrs:
-            prefix, local = split_qname(name)
-            if prefix == "xml" or (prefix is None and name.startswith("xml")):
-                continue  # unrecognized xml-namespace attributes are ignored
-            ns_uri = self.ns.get(prefix)
-            if ns_uri is None:
-                if prefix is None:
-                    continue  # unqualified attr without default ns → ignored
-                continue  # undeclarable prefix → ignored (reference parity)
-            uri = ns_uri + local
-            if ns_uri == RDF_NS:
-                key = self._classify_rdf_attr(local, value)
-                if key is None:
-                    # other rdf-namespace names (type, value, _1, …) are
-                    # ordinary property attributes
-                    prop_attrs[uri] = value
-                    continue
-                rdf[key] = self._rdf_attr_value(key, value)
-            else:
-                prop_attrs[uri] = value
+            klass = at_memo.get((ns_id, name))
+            if klass is None:
+                klass = self._classify_attr_name(name)
+                at_memo[(ns_id, name)] = klass
+                self._keepalive_ns()
+            kind, payload = klass
+            if kind == "ignore":
+                continue
+            if kind == "prop":
+                prop_attrs[payload] = value
+            elif kind == "rdf":
+                rdf[payload] = self._rdf_attr_value(payload, value)
+            else:  # "error": forbidden/old-term attribute name
+                raise ParseError(payload)
         self.rdf = rdf
         self.prop_attrs = prop_attrs
 
-    def _qname_uri(self, qname: str) -> str:
-        prefix, local = split_qname(qname)
+    def _keepalive_ns(self):
+        ka = self._memo["ns"]
+        if not ka or ka[-1] is not self.ns:
+            ka.append(self.ns)
+
+    def _classify_attr_name(self, name: str) -> tuple[str, str | None]:
+        prefix, local = split_qname(name)
+        if prefix == "xml" or (prefix is None and name.startswith("xml")):
+            return ("ignore", None)  # unrecognized xml-namespace attrs ignored
         ns_uri = self.ns.get(prefix)
         if ns_uri is None:
-            raise ParseError(f"can't resolve name {qname} to URI reference")
-        return ns_uri + local
+            # unqualified without default ns, or undeclarable prefix →
+            # ignored (reference parity, element_node.ex:188-191)
+            return ("ignore", None)
+        uri = ns_uri + local
+        if ns_uri == RDF_NS:
+            if local in ("li", "RDF", "Description"):
+                return ("error", f"rdf:{local} is not allowed as an attribute")
+            if local in OLD_TERMS:
+                return ("error", f"rdf:{local} not supported in RDF/XML 1.1")
+            key = self._classify_rdf_attr(local)
+            if key is not None:
+                return ("rdf", key)
+        return ("prop", uri)
 
-    @staticmethod
-    def _classify_rdf_attr(local: str, value: str) -> str | None:
-        if local == "ID":
-            return "id"
-        if local == "nodeID":
-            return "node_id"
-        if local == "about":
-            return "about"
-        if local == "resource":
-            return "resource"
-        if local == "datatype":
-            return "datatype"
-        if local == "parseType":
-            return "parse_type"
-        if local in ("li", "RDF", "Description"):
-            raise ParseError(f"rdf:{local} is not allowed as an attribute")
-        if local in OLD_TERMS:
-            raise ParseError(f"rdf:{local} not supported in RDF/XML 1.1")
-        return None
+    def _qname_uri(self, qname: str) -> IRI:
+        el_memo = self._memo["el"]
+        key = (id(self.ns), qname)
+        uri = el_memo.get(key)
+        if uri is None:
+            prefix, local = split_qname(qname)
+            ns_uri = self.ns.get(prefix)
+            if ns_uri is None:
+                raise ParseError(f"can't resolve name {qname} to URI reference")
+            uri = IRI(ns_uri + local)
+            el_memo[key] = uri
+            self._keepalive_ns()
+        return uri
+
+    _RDF_ATTR_KEYS = {
+        "ID": "id",
+        "nodeID": "node_id",
+        "about": "about",
+        "resource": "resource",
+        "datatype": "datatype",
+        "parseType": "parse_type",
+    }
+
+    @classmethod
+    def _classify_rdf_attr(cls, local: str) -> str | None:
+        return cls._RDF_ATTR_KEYS.get(local)
 
     def _rdf_attr_value(self, key: str, value: str):
         if key == "id":

@@ -104,10 +104,17 @@ def minhash_signature(text: str) -> np.ndarray:
 
 
 class MinhashBands:
-    """Actor-pool stage: doc → (band_id, band_hash, doc_id) rows."""
+    """Actor-pool stage: doc → (band_id, band_hash, pair_bucket, doc_id)
+    rows. ``pair_bucket`` (crc32 of the band hash) is the shuffle key — a
+    fixed-cardinality partition of the band space, so the downstream groupby
+    has O(buckets) groups however many docs there are."""
+
+    NUM_PAIR_BUCKETS = 64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
+        import zlib
+
+        doc_ids, band_ids, band_hashes, buckets = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sig = minhash_signature(text)
             for b in range(N_BANDS):
@@ -116,22 +123,31 @@ class MinhashBands:
                 doc_ids.append(doc_id)
                 band_ids.append(b)
                 band_hashes.append(h)
+                buckets.append(zlib.crc32(h.encode()) % self.NUM_PAIR_BUCKETS)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
+                "pair_bucket": pa.array(buckets, pa.int32()),
             }
         )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].unique())
+    """Candidate pairs for every (band_id, band_hash) bucket in one hash
+    partition; only buckets with ≥2 docs contribute (the rare case, so the
+    inner loop touches almost nothing)."""
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    sizes = group.groupby(["band_id", "band_hash"], sort=False)["doc_id"]
+    for _, ids_s in sizes:
+        if len(ids_s) < 2:
+            continue
+        ids = sorted(ids_s.unique())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
     return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")})
 
 
@@ -146,9 +162,7 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     docs_path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     bands = ds.map_batches(MinhashBands, batch_format="pyarrow", concurrency=(1, 4))
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    pairs = bands.groupby("pair_bucket").map_groups(_bucket_pairs, batch_format="pandas")
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()

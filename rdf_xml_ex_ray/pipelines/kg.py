@@ -3,18 +3,20 @@
 Topology (SURVEY.md §3.4, all streaming — no mid-pipeline materialization):
 
     read_parquet(events, pruned columns)
-    → map_batches(derive_turns_batch, pyarrow)          # vectorized derive
-    → groupby(conv_id).map_groups(assemble_and_render)  # in-group turn sort
-    → map_batches(ParseDocs, pyarrow, actor pool)       # striped parser
-    → filter rejects
+    → map_batches(derive_turns_batch, pyarrow)            # vectorized derive
+    → groupby(conv_bucket).map_groups(assemble+render)    # conv co-location
+    → map_batches(parse_and_filter, pyarrow tasks)        # striped parser
     → map_batches(EntityLinker, actor pool, broadcast registry)
-    → canonicalize: bucket → per-bucket dedup + sort    # the one real shuffle
-    → write_parquet(partition_cols=["subj_bucket"])     # resumable store
+    → canonicalize: subj bucket → per-bucket dedup + sort # 2nd shuffle
+    → write_parquet(partition_cols=["subj_bucket"])       # resumable store
 
-Scale notes: the only all-to-all exchanges are the conv_id groupby (inherent
-to conversation assembly; groups are tiny) and the subject-hash bucket
-groupby (pre-deduped per batch first). The linker registry is broadcast via
-``ray.put`` once, read per actor in ``__init__``.
+Scale notes: the only all-to-all exchanges are the two bucket groupbys, and
+both are keyed on a fixed-cardinality hash bucket (not the raw key) so Ray's
+per-group dispatch overhead is O(buckets) regardless of how many
+conversations/subjects exist; whole conversations still co-locate because
+bucket is a pure function of conv_id. Per-batch pre-dedup shrinks the second
+exchange before it happens. The linker registry is broadcast via ``ray.put``
+once, read per actor in ``__init__``.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import pyarrow.compute as pc
 from ..stages.canonicalize import add_subj_bucket, bucket_metrics, canonicalize, prededup_batch
 from ..stages.linker import EntityLinker, build_role_registry
 from ..stages.parse import ParseDocs
-from ..stages.render import assemble_and_render
+from ..stages.render import assemble_and_render_bucket
 from ..transcripts.derive import EVENT_COLUMNS, derive_turns_batch
 
 TRIPLE_OUT_COLUMNS = [
@@ -41,56 +43,178 @@ TRIPLE_OUT_COLUMNS = [
 ]
 
 
-def read_transcript_turns(sf_dir: str):
-    """events.parquet → un-indexed transcript turn rows (column-pruned read)."""
+def read_transcript_turns(sf_dir: str, num_blocks: int | None = None):
+    """events.parquet → un-indexed transcript turn rows (column-pruned read).
+
+    ``num_blocks`` pins the block count at the source: every downstream sort
+    exchange moves O(map_blocks × reduce_blocks) objects, so blocks should
+    track the CPU count, not Ray's tiny-block auto-split of a small file.
+    """
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=EVENT_COLUMNS)
+    kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=EVENT_COLUMNS, **kwargs
+    )
     return ds.map_batches(derive_turns_batch, batch_format="pyarrow")
 
 
-def render_documents(turns_ds):
-    return turns_ds.groupby("conv_id").map_groups(assemble_and_render, batch_format="pandas")
+def render_documents(turns_ds, num_conv_buckets: int = 64):
+    """Conversation assembly: ONE shuffle keyed on a conversation bucket
+    (crc32(conv_id) % B) — co-locates whole conversations while keeping the
+    group count at B, so Ray's per-group dispatch overhead stays fixed as
+    the number of conversations grows."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def add_conv_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].to_pylist()
+        buckets = np.fromiter(
+            (zlib.crc32(c.encode()) % num_conv_buckets for c in ids),
+            dtype=np.int32,
+            count=len(ids),
+        )
+        return batch.append_column("conv_bucket", pa.array(buckets, pa.int32()))
+
+    bucketed = turns_ds.map_batches(add_conv_bucket, batch_format="pyarrow")
+    return bucketed.groupby("conv_bucket").map_groups(
+        assemble_and_render_bucket, batch_format="pandas"
+    )
 
 
-def parse_documents(docs_ds, concurrency: int | tuple = (1, 8)):
-    parsed = docs_ds.map_batches(
-        ParseDocs,
+def parse_documents(docs_ds):
+    # the parser is pure (no per-actor state) → stateless tasks, which are
+    # elastic and skip actor-pool startup latency; the stateful-stage pattern
+    # lives in EntityLinker (broadcast registry → actor pool)
+    parser = ParseDocs()
+
+    def parse_and_filter(t):
+        out = parser(t)
+        return out.filter(pc.is_null(out["error"])).drop_columns(["error"])
+
+    return docs_ds.map_batches(
+        parse_and_filter,
         batch_format="pyarrow",
         batch_size=256,  # documents are wide rows (whole conversations)
-        concurrency=concurrency,
-    )
-    return parsed.map_batches(
-        lambda t: t.filter(pc.is_null(t["error"])).drop_columns(["error"]),
-        batch_format="pyarrow",
     )
 
 
-def link_entities(triples_ds, concurrency: int | tuple = (1, 4), registry_ref=None):
+_PROCESS_LINKER: EntityLinker | None = None
+
+
+def link_entities(triples_ds, registry_ref=None):
+    """Entity linking as a task stage over the broadcast registry.
+
+    The registry ships once via ``ray.put``; each worker process resolves it
+    once (module-level cache) — the guide's broadcast-lookup pattern. Task
+    form (vs an actor pool) lets Ray fuse render→parse→link into one stage
+    at full cluster parallelism: an actor pool here would cap the fused
+    chain at the pool size and pay its autoscale ramp.
+    """
     if registry_ref is None:
         try:
             import ray
 
-            registry_ref = ray.put(build_role_registry())
+            if ray.is_initialized():
+                registry_ref = ray.put(build_role_registry())
         except Exception:  # pragma: no cover - ray always present in practice
             registry_ref = None
-    return triples_ds.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"registry_ref": registry_ref},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def link_batch(batch):
+        global _PROCESS_LINKER
+        if _PROCESS_LINKER is None:
+            _PROCESS_LINKER = EntityLinker(registry_ref)
+        return _PROCESS_LINKER(batch)
+
+    return triples_ds.map_batches(link_batch, batch_format="pyarrow")
 
 
-def kg_triples_dataset(sf_dir: str, num_buckets: int = 16, keep_lineage: bool = False):
-    """The full pipeline as a lazy Dataset of canonical triple rows."""
-    turns = read_transcript_turns(sf_dir)
-    docs = render_documents(turns)
+def replicate_turns(turns_ds, replicas: int):
+    """Emit `replicas` conversation-salted copies of every batch (benchmark
+    scaling aid: conv_id gets a per-replica suffix, so every replica is an
+    independent conversation space and triple counts scale exactly ×K).
+    In-stage replication — one read, one operator — rather than a K-way
+    ``union``, whose K planning branches add fixed per-run stall."""
+    import pyarrow as pa
+
+    if replicas <= 1:
+        return turns_ds
+
+    def salt_k(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("conv_id")
+        copies = []
+        for i in range(replicas):
+            salted = pc.cast(
+                pc.binary_join_element_wise(batch["conv_id"], pa.scalar(f"r{i}"), ""),
+                pa.string(),
+            )
+            copies.append(batch.set_column(idx, "conv_id", salted))
+        return pa.concat_tables(copies)
+
+    return turns_ds.map_batches(salt_k, batch_format="pyarrow")
+
+
+def _default_parallelism() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(4, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover
+        pass
+    return 8
+
+
+def kg_triples_dataset(
+    sf_dir: str,
+    num_buckets: int = 16,
+    keep_lineage: bool = False,
+    replicas: int = 1,
+    parallelism: int | None = None,
+    co_partitioned: bool = True,
+):
+    """The full pipeline as a lazy Dataset of canonical triple rows.
+
+    ``parallelism`` pins the block count entering the shuffle (default:
+    cluster CPU count). Sort exchanges move O(map_blocks × reduce_blocks)
+    objects; letting Ray auto-split a small input into hundreds of tiny
+    blocks makes the exchange latency-bound.
+
+    ``co_partitioned=True`` (default) exploits a flagship invariant: every
+    subject IRI/bnode embeds its conv_id (conv/turn/bnode IRIs are all
+    conversation-scoped) and the parser restores set semantics per document,
+    so after the conversation-bucket shuffle all triples of a subject sit in
+    one partition and cross-partition duplicates are impossible — dedup and
+    the (subj, pred, obj) sort run per partition with NO second exchange.
+    For graphs whose subjects span documents (e.g. the read_rdfxml source),
+    pass ``co_partitioned=False`` for the general subject-hash
+    canonicalization shuffle (stages/canonicalize.py).
+    """
+    if parallelism is None:
+        parallelism = _default_parallelism()
+    turns = replicate_turns(read_transcript_turns(sf_dir, 2 * parallelism), replicas)
+    # 4 conv-buckets per CPU: small tasks pack the pool evenly (one huge
+    # bucket per slot leaves an idle tail behind the slowest straggler)
+    docs = render_documents(turns, num_conv_buckets=4 * parallelism)
     triples = parse_documents(docs)
     linked = link_entities(triples)
-    canon = canonicalize(linked, num_buckets=num_buckets)
-    drop = ["subj_bucket"] if keep_lineage else ["subj_bucket", "conv_id"]
-    return canon.drop_columns(drop)
+    if co_partitioned:
+        import pyarrow as pa
+
+        from ..stages.canonicalize import dedup_sort_group
+
+        def dedup_sort_block(batch: pa.Table) -> pa.Table:
+            out = dedup_sort_group(add_subj_bucket(batch, num_buckets).to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+        canon = linked.map_batches(dedup_sort_block, batch_format="pyarrow", batch_size=None)
+    else:
+        canon = canonicalize(linked, num_buckets=num_buckets)
+    if keep_lineage:
+        return canon
+    return canon.drop_columns(["subj_bucket", "conv_id"])
 
 
 def kg_conv_stats(sf_dir: str):
@@ -167,7 +291,7 @@ def kg_roundtrip_dataset(sf_dir: str, num_buckets: int = 16):
     prefixes = {"rdf": RDF_NS, "ct": CT_NS}
     header = f'{XML_DECL}<rdf:RDF xmlns:ct="{CT_NS}" xmlns:rdf="{RDF_NS}">'
 
-    base = kg_triples_dataset(sf_dir, num_buckets=num_buckets)
+    base = kg_triples_dataset(sf_dir, num_buckets=num_buckets, keep_lineage=True)
     nob = base.map_batches(
         lambda t: t.filter(
             pc.and_(pc.equal(t["subj_kind"], "iri"), pc.not_equal(t["obj_kind"], "bnode"))
@@ -175,20 +299,23 @@ def kg_roundtrip_dataset(sf_dir: str, num_buckets: int = 16):
         batch_format="pyarrow",
     )
 
-    def encode_group(g: pd.DataFrame) -> pd.DataFrame:
-        subj = IRI(g["subj"].iloc[0])
-        triples = [
-            (
-                subj,
-                IRI(r.pred),
-                row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype),
-            )
-            for r in g.itertuples()
-        ]
-        doc = header + encode_description(subj, triples, prefixes=prefixes) + "</rdf:RDF>"
-        return pd.DataFrame({"conv_id": [str(subj)], "doc": [doc]})
+    def encode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one document per subject-hash bucket, one description per subject —
+        # the streaming encoder layout (encoder.ex:94-123), bucket-granular so
+        # the group count stays O(num_buckets)
+        bucket = int(g["subj_bucket"].iloc[0])
+        parts = [header]
+        for subj_val, rows in g.sort_values("subj").groupby("subj", sort=True):
+            subj = IRI(subj_val)
+            triples = [
+                (subj, IRI(r.pred), row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype))
+                for r in rows.itertuples()
+            ]
+            parts.append(encode_description(subj, triples, prefixes=prefixes))
+        parts.append("</rdf:RDF>")
+        return pd.DataFrame({"conv_id": [f"bucket{bucket}"], "doc": ["".join(parts)]})
 
-    docs = nob.groupby("subj").map_groups(encode_group, batch_format="pandas")
+    docs = nob.groupby("subj_bucket").map_groups(encode_bucket, batch_format="pandas")
     reparsed = parse_documents(docs)
     return canonicalize(reparsed, num_buckets=num_buckets).drop_columns(
         ["subj_bucket", "conv_id"]

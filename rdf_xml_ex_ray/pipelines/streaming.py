@@ -1,0 +1,147 @@
+"""Streaming-shaped operators over the ``events`` log.
+
+Ray Data has no event-time windowing; the pattern (ray guide, SURVEY.md
+§2.11) is: treat the input as a partitioned ordered log — partition by key
+with ``groupby``, order by ts *inside* the group, and run the window logic
+over the sorted group. Ordering assumption: (user_id, ts, event_id) is a
+total order per key; no late data (batch table).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+EVENTS_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM e
+)
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+       CAST(count(*) AS BIGINT) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM s GROUP BY user_id, session_num
+"""
+
+
+def _sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """All users of one hash bucket, fully vectorized: one sort, numpy gap
+    detection, one composite groupby — no per-user Python loop."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    ts_us = g["ts"].astype("int64").to_numpy()
+    user_change = np.empty(len(g), dtype=bool)
+    user_change[0] = True
+    user_change[1:] = users[1:] != users[:-1]
+    gap = np.empty(len(g), dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts_us[1:] - ts_us[:-1]) > SESSION_GAP_US
+    new_session = user_change | gap
+    sess_global = np.cumsum(new_session)
+    first_of_user = np.repeat(
+        sess_global[user_change], np.diff(np.append(np.flatnonzero(user_change), len(g)))
+    )
+    session_num = sess_global - first_of_user + 1
+    df = pd.DataFrame({"user_id": users, "session_num": session_num, "ts_us": ts_us})
+    agg = (
+        df.groupby(["user_id", "session_num"], sort=False)
+        .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+        .reset_index()
+    )
+    return agg.astype(
+        {
+            "user_id": "int64",
+            "session_num": "int64",
+            "n_events": "int64",
+            "start_us": "int64",
+            "end_us": "int64",
+        }
+    )
+
+
+def events_sessionize(sf_dir: str, num_buckets: int = 64):
+    """Session windows (30-min inactivity gap) per user. The shuffle key is
+    ``user_id % num_buckets`` — users co-locate, group count stays fixed."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "user_bucket", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    out = bucketed.groupby("user_bucket").map_groups(_sessionize_bucket, batch_format="pandas")
+    return out
+
+
+EVENTS_WINDOW_SQL = """
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY user_id, hour_bucket
+"""
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour windows per user: vectorized in-batch partial
+    aggregation (combiner) → small groupby over partials."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch["ts"], pa.int64()), 3_600_000_000)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour_bucket": pc.cast(hour, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+        agg = t.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return agg.rename_columns(["user_id", "hour_bucket", "n_part", "sum_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["user_id", "hour_bucket"]).aggregate(
+        Sum("n_part", alias_name="n_events"), Sum("sum_part", alias_name="sum_value")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour_bucket": batch["hour_bucket"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "sum_value": pc.round(batch["sum_value"], 4),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -28,13 +28,20 @@ SORT_KEYS = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
 
 
 def add_subj_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    subj = batch["subj"].to_pylist()
-    buckets = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) % num_buckets for s in subj),
+    # subjects repeat heavily (one per triple, ~6-9 triples per subject):
+    # dictionary-encode first so crc32 runs once per distinct subject
+    subj = batch["subj"].combine_chunks()
+    dict_arr = pc.dictionary_encode(subj)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    uniq = dict_arr.dictionary.to_pylist()
+    uniq_buckets = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % num_buckets for s in uniq),
         dtype=np.int32,
-        count=len(subj),
+        count=len(uniq),
     )
-    return batch.append_column("subj_bucket", pa.array(buckets, pa.int32()))
+    buckets = pa.array(uniq_buckets, pa.int32()).take(dict_arr.indices)
+    return batch.append_column("subj_bucket", buckets)
 
 
 def prededup_batch(batch: pa.Table) -> pa.Table:
@@ -51,12 +58,21 @@ def dedup_sort_group(group: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def canonicalize(ds, num_buckets: int = 64, with_lineage: bool = True):
-    """Dataset of triple rows (+ conv_id lineage) → canonical store layout."""
-    ds = ds.map_batches(
-        lambda b: prededup_batch(add_subj_bucket(b, num_buckets)),
-        batch_format="pyarrow",
-    )
+def canonicalize(ds, num_buckets: int = 64, prededup: bool = False):
+    """Dataset of triple rows (+ conv_id lineage) → canonical store layout.
+
+    ``prededup=True`` adds an in-batch combiner before the shuffle — worth it
+    when upstream emits many duplicate triples. The flagship's parser already
+    restores set semantics per document (Graph is a set) and its subjects are
+    conversation-scoped, so cross-batch duplicates are impossible there and
+    the combiner would be pure overhead; the per-bucket dedup below remains
+    the global guarantee either way.
+    """
+    if prededup:
+        fn = lambda b: prededup_batch(add_subj_bucket(b, num_buckets))  # noqa: E731
+    else:
+        fn = lambda b: add_subj_bucket(b, num_buckets)  # noqa: E731
+    ds = ds.map_batches(fn, batch_format="pyarrow")
     return ds.groupby("subj_bucket").map_groups(dedup_sort_group, batch_format="pandas")
 
 

@@ -26,3 +26,31 @@ def assemble_and_render(group: pd.DataFrame) -> pd.DataFrame:
     turns = list(zip(g["role"], g["text"], tools, g["ts_us"]))
     doc = render_conversation(conv_id, turns)
     return pd.DataFrame({"conv_id": [conv_id], "doc": [doc], "n_turns": [len(turns)]})
+
+
+def assemble_and_render_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Many conversations (one conv_bucket) → one doc row per conversation.
+
+    Grouping by a conversation *bucket* instead of conv_id keeps the number
+    of ``map_groups`` invocations at O(num_buckets), not O(num_convs) — Ray's
+    per-group dispatch costs ~10× the actual render work for small groups.
+    One vectorized sort co-orders every conversation in the bucket; the
+    Python loop below only walks group boundaries.
+    """
+    g = group.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+    conv_ids = g["conv_id"].to_numpy()
+    roles = g["role"].to_numpy()
+    texts = g["text"].to_numpy()
+    tools = g["tool"].astype(object).where(g["tool"].notna(), None).to_numpy()
+    ts_us = g["ts_us"].to_numpy()
+    out_ids, out_docs, out_n = [], [], []
+    n = len(g)
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or conv_ids[i] != conv_ids[start]:
+            turns = list(zip(roles[start:i], texts[start:i], tools[start:i], ts_us[start:i]))
+            out_ids.append(conv_ids[start])
+            out_docs.append(render_conversation(conv_ids[start], turns))
+            out_n.append(i - start)
+            start = i
+    return pd.DataFrame({"conv_id": out_ids, "doc": out_docs, "n_turns": out_n})

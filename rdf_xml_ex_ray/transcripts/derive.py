@@ -38,6 +38,18 @@ _TOOL_EVENTS = ("purchase", "error")
 def derive_turns_batch(batch: pa.Table) -> pa.Table:
     """events batch → transcript-turn batch (no turn_idx yet; that needs the
     per-conversation order and is assigned in the conversation group)."""
+    # rebase sliced string columns first: pc.if_else over a *sliced* string
+    # chunk emits arrays with out-of-bounds offsets (pyarrow 16.1 bug; a
+    # table-level combine_chunks does NOT copy a single sliced chunk, but
+    # concat_arrays does)
+    batch = pa.table(
+        {
+            name: pa.concat_arrays(batch[name].chunks)
+            if batch[name].num_chunks > 0
+            else batch[name]
+            for name in batch.column_names
+        }
+    )
     etype = batch["event_type"]
     conv_id = pc.binary_join_element_wise(
         pa.array(["c"] * len(batch)), pc.cast(batch["user_id"], pa.string()), ""
