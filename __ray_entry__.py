@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         # --- text analysis ---
@@ -61,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip": oracle.KG_TRIPLES_NOBNODE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,

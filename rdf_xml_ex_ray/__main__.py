@@ -1,0 +1,78 @@
+"""CLI / ``ray job submit`` entry point.
+
+    ray job submit -- python -m rdf_xml_ex_ray kg \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/kgstore --buckets 64
+
+Owns its Ray session (library code never calls ray.init). The job is
+checkpoint-resumable: rerunning with the same --out skips completed work
+(pipelines/kg.run_kg_job layout: partitioned store + lineage.json +
+_SUCCESS marker).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="rdf_xml_ex_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    kg = sub.add_parser("kg", help="run the transcript→triple-store job")
+    kg.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    kg.add_argument("--out", required=True)
+    kg.add_argument("--buckets", type=int, default=64)
+    kg.add_argument("--num-cpus", type=int, default=None)
+    kg.add_argument("--no-resume", action="store_true")
+
+    decode = sub.add_parser("decode", help="decode .rdf files to a parquet triple store")
+    decode.add_argument("paths", nargs="+")
+    decode.add_argument("--out", required=True)
+    decode.add_argument("--base", default=None)
+    decode.add_argument("--num-cpus", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    import ray
+
+    init_kwargs = dict(
+        address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR"
+    )
+    if args.num_cpus:
+        init_kwargs["num_cpus"] = args.num_cpus
+    if not ray.is_initialized():
+        ray.init(**init_kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "kg":
+            from rdf_xml_ex_ray.pipelines.kg import run_kg_job
+
+            lineage = run_kg_job(
+                args.sf_dir, args.out, num_buckets=args.buckets, resume=not args.no_resume
+            )
+            print(json.dumps({"n_triples": lineage["n_triples"], "partitions": len(lineage["partitions"]), "out": args.out}))
+        elif args.cmd == "decode":
+            import pyarrow.compute as pc
+
+            from rdf_xml_ex_ray.sources.rdfxml import read_rdfxml
+            from rdf_xml_ex_ray.stages.canonicalize import canonicalize
+
+            ds = read_rdfxml(args.paths, base=args.base)
+            triples = ds.map_batches(
+                lambda t: t.filter(pc.is_null(t["error"])).drop_columns(["error"]),
+                batch_format="pyarrow",
+            )
+            canonicalize(triples).write_parquet(args.out, partition_cols=["subj_bucket"])
+            print(json.dumps({"out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

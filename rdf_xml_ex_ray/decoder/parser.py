@@ -57,6 +57,7 @@ from .xmltree import XmlElement, parse_xml
 _FORBIDDEN_NODE_LOCALS = CORE_SYNTAX_TERMS | OLD_TERMS | {"li"}
 _FORBIDDEN_PROPERTY_LOCALS = CORE_SYNTAX_TERMS | OLD_TERMS | {"Description"}
 _PARSE_TYPES = {"Literal": "literal", "Resource": "resource", "Collection": "collection"}
+_RDF_NS_LEN = len(RDF_NS)
 
 
 class BnodeGen:
@@ -92,6 +93,7 @@ class ElemCtx:
     __slots__ = (
         "qname",
         "uri",
+        "_rdf_local",
         "rdf",
         "prop_attrs",
         "base",
@@ -131,7 +133,7 @@ class ElemCtx:
         # Pass 1: xml:lang / xml:base / xmlns declarations (element_node.ex:94-111)
         plain_attrs: list[tuple[str, str]] = []
         own_ns: dict[str | None, str] | None = None
-        for name, value in xml_el.attrs:
+        for name, value in xml_el.attrs if xml_el.attrs else ():
             if name == "xml:lang":
                 lang = value or None
             elif name == "xml:base":
@@ -156,6 +158,8 @@ class ElemCtx:
 
         # Element name → IRI
         self.uri = self._qname_uri(xml_el.qname)
+        u = str.__str__(self.uri)
+        self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
 
         # Pass 2: classify remaining attributes (element_node.ex:115-192)
         rdf: dict[str, object] = {}
@@ -246,8 +250,7 @@ class ElemCtx:
     # --- name category helpers (resolved-namespace based) ---
 
     def rdf_local(self) -> str | None:
-        u = str(self.uri)
-        return u[len(RDF_NS):] if u.startswith(RDF_NS) else None
+        return self._rdf_local
 
     def is_rdf_RDF(self) -> bool:
         return self.rdf_local() == "RDF"
@@ -361,6 +364,7 @@ class _DocParser:
         if ctx.rdf_local() == "li":
             # rdf:li → rdf:_N with the counter of the enclosing node element
             ctx.uri = IRI(f"{RDF_NS}_{li_holder.li_counter}")
+            ctx._rdf_local = f"_{li_holder.li_counter}"
             li_holder.li_counter += 1
         ctx.check_property_element_name()
         rdf = ctx.rdf

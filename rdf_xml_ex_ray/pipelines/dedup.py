@@ -209,6 +209,112 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     )
 
 
+# ------------------------------------------------------------ ngram jaccard
+
+NGRAM_N = 5
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         words[i+3] || ' ' || words[i+4] AS gram
+  FROM w, UNNEST(range(1, len(words) - {NGRAM_N - 2})) AS t(i)
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(isz / (sa.n + sb.n - isz), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+def _word_ngrams(text: str, n: int = NGRAM_N) -> set[str]:
+    words = text.split(" ")
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def dedup_ngram_jaccard(sf_dir: str, num_gram_buckets: int = 64):
+    """Exact word-5-gram Jaccard over candidate pairs (docs sharing ≥1 gram).
+
+    Topology: shingle rows (bucketed by gram hash) → per-bucket pair
+    emission per exact gram → pair-count groupby (= intersection size) →
+    jaccard against broadcast per-doc gram counts. The broadcast side is one
+    int per doc — small at any corpus size; everything heavy (the shingle
+    join) is hash-partitioned.
+    """
+    import zlib
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, grams, buckets = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for gm in _word_ngrams(text):
+                doc_ids.append(doc_id)
+                grams.append(gm)
+                buckets.append(zlib.crc32(gm.encode()) % num_gram_buckets)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "gram_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    # per-doc gram counts → broadcast dict (one int per doc)
+    sizes_rows = grams.groupby("doc_id").aggregate(Count(alias_name="n")).take_all()
+    sizes = {r["doc_id"]: r["n"] for r in sizes_rows}
+    sizes_ref = ray.put(sizes) if ray.is_initialized() else sizes
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a, b = [], []
+        for _, ids_s in group.groupby("gram", sort=False)["doc_id"]:
+            if len(ids_s) < 2:
+                continue
+            ids = sorted(set(ids_s))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame(
+            {"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")}
+        )
+
+    pair_rows = grams.groupby("gram_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    isz = pair_rows.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="isz"))
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        s = ray.get(sizes_ref) if ray.is_initialized() else sizes_ref
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        iszs = batch["isz"].to_pylist()
+        j = [round(i / (s[x] + s[y] - i), 4) for x, y, i in zip(da, db, iszs)]
+        return pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+
+    return isz.map_batches(jaccard, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:

@@ -342,12 +342,7 @@ def run_kg_job(
             return json.load(f)
 
     os.makedirs(out_dir, exist_ok=True)
-    turns = read_transcript_turns(sf_dir)
-    docs = render_documents(turns)
-    triples = parse_documents(docs)
-    linked = link_entities(triples)
-    canon = canonicalize(linked, num_buckets=num_buckets)
-
+    canon = kg_triples_dataset(sf_dir, num_buckets=num_buckets, keep_lineage=True)
     canon.write_parquet(os.path.join(out_dir, "triples"), partition_cols=["subj_bucket"])
 
     import ray.data as rd

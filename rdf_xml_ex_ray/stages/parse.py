@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..core.model import TRIPLE_COLUMNS, term_to_row
+from ..core.model import TRIPLE_COLUMNS
 from ..core.terms import ParseError
 from ..decoder.parser import parse_rdfxml
 
@@ -42,32 +42,60 @@ class ParseDocs:
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.terms import BNode, Literal
+
         docs = batch["doc"].to_pylist()
         ids = batch[self.id_column].to_pylist()
-        cols: dict[str, list] = {name: [] for name in PARSE_OUT_SCHEMA.names}
-
-        def emit(s_kind, s_val, pred, o_kind, o_val, o_lang, o_dt, doc_id, err):
-            cols["subj"].append(s_val)
-            cols["subj_kind"].append(s_kind)
-            cols["pred"].append(pred)
-            cols["obj_kind"].append(o_kind)
-            cols["obj_value"].append(o_val)
-            cols["obj_lang"].append(o_lang)
-            cols["obj_datatype"].append(o_dt)
-            cols["conv_id"].append(doc_id)
-            cols["error"].append(err)
+        subj, subj_kind, pred = [], [], []
+        obj_kind, obj_value, obj_lang, obj_dt = [], [], [], []
+        conv_id, error = [], []
 
         for doc, doc_id in zip(docs, ids):
             try:
                 graph = parse_rdfxml(doc, base=self.base, bnode_prefix=f"{doc_id}!b")
             except ParseError as e:
-                emit(None, None, None, None, None, None, None, doc_id, str(e))
+                subj.append(None)
+                subj_kind.append(None)
+                pred.append(None)
+                obj_kind.append(None)
+                obj_value.append(None)
+                obj_lang.append(None)
+                obj_dt.append(None)
+                conv_id.append(doc_id)
+                error.append(str(e))
                 continue
+            n0 = len(subj)
             for s, p, o in graph:
-                s_kind, s_val, _, _ = term_to_row(s)
-                o_kind, o_val, o_lang, o_dt = term_to_row(o)
-                emit(s_kind, s_val, str(p), o_kind, o_val, o_lang, o_dt, doc_id, None)
-        return pa.table(cols, schema=PARSE_OUT_SCHEMA)
+                subj.append(s)  # IRI/BNode are str subclasses; no copy
+                subj_kind.append("bnode" if type(s) is BNode else "iri")
+                pred.append(p)
+                if type(o) is Literal:
+                    obj_kind.append("literal")
+                    obj_value.append(o.lexical)
+                    obj_lang.append(o.lang)
+                    obj_dt.append(o.datatype)
+                else:
+                    obj_kind.append("bnode" if type(o) is BNode else "iri")
+                    obj_value.append(o)
+                    obj_lang.append(None)
+                    obj_dt.append(None)
+            added = len(subj) - n0
+            conv_id.extend([doc_id] * added)
+            error.extend([None] * added)
+        return pa.table(
+            {
+                "subj": subj,
+                "subj_kind": subj_kind,
+                "pred": pred,
+                "obj_kind": obj_kind,
+                "obj_value": obj_value,
+                "obj_lang": obj_lang,
+                "obj_datatype": obj_dt,
+                "conv_id": conv_id,
+                "error": error,
+            },
+            schema=PARSE_OUT_SCHEMA,
+        )
 
 
 def split_rejects(table: pa.Table) -> tuple[pa.Table, pa.Table]:
