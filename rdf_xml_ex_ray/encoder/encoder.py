@@ -175,9 +175,17 @@ def stream_encode(
     use_rdf_id: bool | Callable = False,
     implicit_base: bool = False,
     xml_declaration: bool = True,
+    producer: Callable | None = None,
 ):
     """Yield RDF/XML line by line: header, one description per line, footer
-    (encoder.ex:94-123)."""
+    (encoder.ex:94-123).
+
+    ``producer`` (encoder.ex:29-47 ``:producer`` option) customizes which
+    descriptions are emitted and in what order: a callable taking the graph
+    and returning an iterable of subjects (or (subject, triples) pairs).
+    Default: subjects sorted (IRIs first) — deterministic, unlike the
+    reference's insertion order.
+    """
     base, prefixes = _resolve_opts(graph, base, prefixes)
     if xml_declaration:
         yield XML_DECL
@@ -188,8 +196,16 @@ def stream_encode(
     by_subject: dict = {}
     for t in graph:
         by_subject.setdefault(t[0], []).append(t)
-    for subject in sorted(by_subject, key=lambda s: (isinstance(s, BNode), str(s))):
-        yield encode_description(subject, by_subject[subject], base, prefixes, use_rdf_id)
+    if producer is not None:
+        for item in producer(graph):
+            if isinstance(item, tuple) and len(item) == 2 and not isinstance(item[1], str):
+                subject, triples = item
+            else:
+                subject, triples = item, by_subject.get(item, [])
+            yield encode_description(subject, triples, base, prefixes, use_rdf_id)
+    else:
+        for subject in sorted(by_subject, key=lambda s: (isinstance(s, BNode), str(s))):
+            yield encode_description(subject, by_subject[subject], base, prefixes, use_rdf_id)
     yield "</rdf:RDF>"
 
 

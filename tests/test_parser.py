@@ -261,3 +261,96 @@ def test_syntax_terms_by_namespace_not_prefix():
         f'<Description about="{EG}s"><eg:p>v</eg:p></Description></RDF>'
     )
     assert set(g.triples()) == {(IRI(EG + "s"), IRI(EG + "p"), Literal("v"))}
+
+
+def test_same_subject_descriptions_merge():
+    # graph set semantics: two rdf:Description blocks for one subject merge,
+    # duplicate triples collapse (reference decoder_test.exs:300-333)
+    got = triples(
+        f'<rdf:Description rdf:about="{EG}s"><eg:p>a</eg:p></rdf:Description>'
+        f'<rdf:Description rdf:about="{EG}s"><eg:q>b</eg:q><eg:p>a</eg:p></rdf:Description>'
+    )
+    assert got == {
+        (IRI(EG + "s"), IRI(EG + "p"), Literal("a")),
+        (IRI(EG + "s"), IRI(EG + "q"), Literal("b")),
+    }
+
+
+def test_xml_lang_empty_resets():
+    got = triples(
+        f'<rdf:Description rdf:about="{EG}s" xml:lang="en">'
+        f'<eg:p>tagged</eg:p><eg:q xml:lang="">plain</eg:q></rdf:Description>'
+    )
+    assert got == {
+        (IRI(EG + "s"), IRI(EG + "p"), Literal("tagged", lang="en")),
+        (IRI(EG + "s"), IRI(EG + "q"), Literal("plain")),
+    }
+
+
+def test_whitespace_only_literal_preserved():
+    got = triples(f'<rdf:Description rdf:about="{EG}s"><eg:p> </eg:p></rdf:Description>')
+    assert got == {(IRI(EG + "s"), IRI(EG + "p"), Literal(" "))}
+
+
+def test_empty_property_with_lang_is_empty_langstring():
+    got = triples(
+        f'<rdf:Description rdf:about="{EG}s" xml:lang="de"><eg:p/></rdf:Description>'
+    )
+    assert got == {(IRI(EG + "s"), IRI(EG + "p"), Literal("", lang="de"))}
+
+
+def test_datatype_on_empty_property_yields_bnode_object():
+    # reference quirk pinned: rdf:datatype with empty content selects the
+    # EmptyPropertyElt branch, whose object is a fresh bnode and whose
+    # datatype goes unused (rules.ex:241-315 + speculative-branch outcome)
+    got = triples(
+        f'<rdf:Description rdf:about="{EG}s">'
+        f'<eg:p rdf:datatype="http://www.w3.org/2001/XMLSchema#int"/></rdf:Description>'
+    )
+    assert got == {(IRI(EG + "s"), IRI(EG + "p"), BNode("b0"))}
+
+
+def test_nested_rdf_rdf_forbidden():
+    with pytest.raises(ParseError):
+        triples("<rdf:RDF/>")
+
+
+def test_property_rdf_id_with_resource_reifies():
+    base = "http://example.org/doc"
+    got = set(
+        parse_rdfxml(
+            doc(
+                f'<rdf:Description rdf:about="{EG}s">'
+                f'<eg:p rdf:ID="r" rdf:resource="{EG}o"/></rdf:Description>'
+            ),
+            base=base,
+        ).triples()
+    )
+    assert (IRI(EG + "s"), IRI(EG + "p"), IRI(EG + "o")) in got
+    assert (IRI(base + "#r"), IRI(RDF_NS + "object"), IRI(EG + "o")) in got
+    assert len(got) == 5
+
+
+def test_collection_bnode_allocation_order():
+    # reference allocation order: member subjects first, then the list head,
+    # then each link cell (rules.ex:367-404)
+    got = triples(
+        f'<rdf:Description rdf:about="{EG}s"><eg:p rdf:parseType="Collection">'
+        f"<eg:T/><eg:T/></eg:p></rdf:Description>"
+    )
+    # members b0, b1; head b2; second cell b3
+    assert (IRI(EG + "s"), IRI(EG + "p"), BNode("b2")) in got
+    assert (BNode("b2"), IRI(RDF_FIRST), BNode("b0")) in got
+    assert (BNode("b2"), IRI(RDF_REST), BNode("b3")) in got
+    assert (BNode("b3"), IRI(RDF_FIRST), BNode("b1")) in got
+    assert (BNode("b3"), IRI(RDF_REST), IRI(RDF_NIL)) in got
+
+
+def test_multiple_objects_per_predicate():
+    got = triples(
+        f'<rdf:Description rdf:about="{EG}s"><eg:p>a</eg:p><eg:p>b</eg:p></rdf:Description>'
+    )
+    assert got == {
+        (IRI(EG + "s"), IRI(EG + "p"), Literal("a")),
+        (IRI(EG + "s"), IRI(EG + "p"), Literal("b")),
+    }
