@@ -435,9 +435,17 @@ class _DocParser:
             raise ParseError(
                 f"only one of rdf:resource, rdf:nodeID, rdf:datatype allowed on {ctx.qname}"
             )
-        only_id = set(rdf) <= {"id"}
-        if not ctx.prop_attrs and only_id:
-            o = Literal("", lang=ctx.lang) if ctx.lang else Literal("")
+        # Empty-literal case. The reference admits only {rdf:ID}
+        # (rules.ex:310-314) and so turns `<p rdf:datatype="…"/>` into a
+        # fresh-bnode object with the datatype silently unused (its own TODO
+        # at rules.ex:244); we follow the spec's literalPropertyElt reading
+        # instead — empty text + rdf:datatype is the empty typed literal —
+        # which also makes such literals encoder-roundtrippable.
+        if not ctx.prop_attrs and set(rdf) <= {"id", "datatype"}:
+            if "datatype" in rdf:
+                o = Literal("", datatype=rdf["datatype"])
+            else:
+                o = Literal("", lang=ctx.lang) if ctx.lang else Literal("")
             statement = (subject, ctx.uri, o)
             self._emit(*statement)
             if "id" in rdf:

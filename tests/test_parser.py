@@ -299,15 +299,18 @@ def test_empty_property_with_lang_is_empty_langstring():
     assert got == {(IRI(EG + "s"), IRI(EG + "p"), Literal("", lang="de"))}
 
 
-def test_datatype_on_empty_property_yields_bnode_object():
-    # reference quirk pinned: rdf:datatype with empty content selects the
-    # EmptyPropertyElt branch, whose object is a fresh bnode and whose
-    # datatype goes unused (rules.ex:241-315 + speculative-branch outcome)
+def test_datatype_on_empty_property_is_empty_typed_literal():
+    # deliberate spec-correct divergence from the reference (which yields a
+    # fresh bnode and drops the datatype, rules.ex:241-315): empty content +
+    # rdf:datatype is the empty typed literal — roundtrippable via the
+    # encoder (found by the hypothesis roundtrip property)
     got = triples(
         f'<rdf:Description rdf:about="{EG}s">'
         f'<eg:p rdf:datatype="http://www.w3.org/2001/XMLSchema#int"/></rdf:Description>'
     )
-    assert got == {(IRI(EG + "s"), IRI(EG + "p"), BNode("b0"))}
+    assert got == {
+        (IRI(EG + "s"), IRI(EG + "p"), Literal("", datatype="http://www.w3.org/2001/XMLSchema#int"))
+    }
 
 
 def test_nested_rdf_rdf_forbidden():
