@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_stats": kg.kg_conv_stats,
         "kg_pred_counts": kg.kg_pred_counts,
         "kg_roundtrip": kg.kg_roundtrip_dataset,
+        "kg_top_entities": kg.kg_top_entities,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -60,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conv_stats": oracle.KG_CONV_STATS_SQL,
         "kg_pred_counts": oracle.KG_PRED_COUNTS_SQL,
         "kg_roundtrip": oracle.KG_TRIPLES_NOBNODE_SQL,
+        "kg_top_entities": oracle.KG_TOP_ENTITIES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,

@@ -275,6 +275,33 @@ def kg_pred_counts(sf_dir: str):
     )
 
 
+def kg_top_entities(sf_dir: str, k: int = 10):
+    """Top-k most-referenced entity IRIs (object position): per-batch partial
+    counts → small groupby → global sort + limit. Deterministic tiebreak on
+    the entity IRI."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = kg_triples_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        iris = batch.filter(pc.equal(batch["obj_kind"], "iri"))
+        agg = iris.group_by("obj_value").aggregate([("obj_value", "count")])
+        return agg.rename_columns(["entity", "n_part"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    top = counts.sort(["n", "entity"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table({"entity": t["entity"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def kg_roundtrip_dataset(sf_dir: str, num_buckets: int = 16):
     """Encode→decode roundtrip over the bnode-free sub-graph: canonical
     triples → per-subject RDF/XML (encoder) → reparse (decoder) →
@@ -328,13 +355,21 @@ def run_kg_job(
     num_buckets: int = 16,
     resume: bool = True,
 ) -> dict:
-    """Materialize the triple store with per-partition lineage + resume.
+    """Materialize the triple store, checkpoint-resumable at each stage
+    boundary (north_rule), with per-partition lineage.
 
-    Layout (resumable, north_rule):
-        out_dir/triples/subj_bucket=N/*.parquet   (the store)
-        out_dir/lineage.json                      (per-partition metrics)
-        out_dir/_SUCCESS                          (job done marker)
+    Layout:
+        out_dir/docs/…              stage 1: rendered conversation documents
+        out_dir/docs/_SUCCESS
+        out_dir/triples/subj_bucket=N/*.parquet   stage 2: canonical store
+        out_dir/lineage.json        per-partition metrics
+        out_dir/_SUCCESS            job done marker
+
+    A rerun after a stage-2 crash skips stage 1 entirely (reads the
+    checkpointed docs); a rerun after success returns the recorded lineage.
     """
+    import ray.data as rd
+
     success = os.path.join(out_dir, "_SUCCESS")
     lineage_path = os.path.join(out_dir, "lineage.json")
     if resume and os.path.exists(success):
@@ -342,7 +377,31 @@ def run_kg_job(
             return json.load(f)
 
     os.makedirs(out_dir, exist_ok=True)
-    canon = kg_triples_dataset(sf_dir, num_buckets=num_buckets, keep_lineage=True)
+
+    # ---- stage 1: derive + assemble + render (shuffle lives here) ----
+    docs_dir = os.path.join(out_dir, "docs")
+    docs_done = os.path.join(docs_dir, "_SUCCESS")
+    if not (resume and os.path.exists(docs_done)):
+        parallelism = _default_parallelism()
+        turns = read_transcript_turns(sf_dir, 2 * parallelism)
+        docs = render_documents(turns, num_conv_buckets=4 * parallelism)
+        docs.write_parquet(docs_dir)
+        with open(docs_done, "w") as f:
+            f.write("ok\n")
+
+    # ---- stage 2: parse + link + canonicalize + store ----
+    docs = rd.read_parquet(docs_dir)
+    triples = parse_documents(docs)
+    linked = link_entities(triples)
+    import pyarrow as pa
+
+    from ..stages.canonicalize import dedup_sort_group
+
+    def dedup_sort_block(batch: pa.Table) -> pa.Table:
+        out = dedup_sort_group(add_subj_bucket(batch, num_buckets).to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    canon = linked.map_batches(dedup_sort_block, batch_format="pyarrow", batch_size=None)
     canon.write_parquet(os.path.join(out_dir, "triples"), partition_cols=["subj_bucket"])
 
     import ray.data as rd

@@ -109,3 +109,12 @@ KG_TRIPLES_NOBNODE_SQL = (
     "WITH trip AS (" + KG_TRIPLES_SQL + ")\n"
     "SELECT * FROM trip WHERE subj_kind = 'iri' AND obj_kind <> 'bnode'"
 )
+
+KG_TOP_ENTITIES_SQL = (
+    "WITH trip AS (" + KG_TRIPLES_SQL + ")\n"
+    """SELECT obj_value AS entity, CAST(count(*) AS BIGINT) AS n
+FROM trip WHERE obj_kind = 'iri'
+GROUP BY obj_value
+ORDER BY n DESC, entity ASC
+LIMIT 10"""
+)
