@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,

@@ -2,21 +2,20 @@
 
 Topology (SURVEY.md §3.4, all streaming — no mid-pipeline materialization):
 
-    read_parquet(events, pruned columns)
+    read_parquet(events, pruned columns, pinned block count)
     → map_batches(derive_turns_batch, pyarrow)            # vectorized derive
-    → groupby(conv_bucket).map_groups(assemble+render)    # conv co-location
-    → map_batches(parse_and_filter, pyarrow tasks)        # striped parser
-    → map_batches(EntityLinker, actor pool, broadcast registry)
-    → canonicalize: subj bucket → per-bucket dedup + sort # 2nd shuffle
+    → groupby(conv_bucket).map_groups(assemble+render)    # THE shuffle
+    → map_batches(parse → link → dedup+sort, fused tasks) # striped parser
     → write_parquet(partition_cols=["subj_bucket"])       # resumable store
 
-Scale notes: the only all-to-all exchanges are the two bucket groupbys, and
-both are keyed on a fixed-cardinality hash bucket (not the raw key) so Ray's
-per-group dispatch overhead is O(buckets) regardless of how many
-conversations/subjects exist; whole conversations still co-locate because
-bucket is a pure function of conv_id. Per-batch pre-dedup shrinks the second
-exchange before it happens. The linker registry is broadcast via ``ray.put``
-once, read per actor in ``__init__``.
+Scale notes: the flagship needs exactly ONE all-to-all exchange, keyed on a
+fixed-cardinality conversation bucket (crc32(conv_id) % B, not the raw key)
+so Ray's per-group dispatch overhead is O(buckets) however many
+conversations exist. Subjects are conversation-scoped, so that shuffle
+already co-partitions subjects and dedup + (subj, pred, obj) sort run per
+partition (see kg_triples_dataset; the general subject-hash canonicalization
+shuffle remains in stages/canonicalize.py for multi-document subjects). The
+linker registry is broadcast via ``ray.put`` once, resolved once per worker.
 """
 
 from __future__ import annotations
@@ -391,7 +390,20 @@ def run_kg_job(
 
     # ---- stage 2: parse + link + canonicalize + store ----
     docs = rd.read_parquet(docs_dir)
-    triples = parse_documents(docs)
+    # materialized: both the rejects sink and the store consume this once
+    # (object-store pinned at the stage boundary; spills under pressure)
+    parsed = docs.map_batches(ParseDocs(), batch_format="pyarrow", batch_size=256).materialize()
+    rejects = parsed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["error"])).select(["conv_id", "error"]),
+        batch_format="pyarrow",
+    )
+    n_rejects = rejects.count()
+    if n_rejects:
+        rejects.write_parquet(os.path.join(out_dir, "rejects"))
+    triples = parsed.map_batches(
+        lambda t: t.filter(pc.is_null(t["error"])).drop_columns(["error"]),
+        batch_format="pyarrow",
+    )
     linked = link_entities(triples)
     import pyarrow as pa
 
@@ -413,6 +425,7 @@ def run_kg_job(
     lineage = {
         "sf_dir": sf_dir,
         "num_buckets": num_buckets,
+        "n_rejected_docs": int(n_rejects),
         "n_triples": int(sum(m["n_triples"] for m in metrics)),
         "partitions": [
             {k: int(v) for k, v in m.items()} for m in sorted(metrics, key=lambda m: m["subj_bucket"])

@@ -94,6 +94,92 @@ def _merge_topk(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _assign_cells(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    return np.argmax(_normalize(mat) @ centroids.T, axis=1)
+
+
+def ivf_centroids(path: str) -> np.ndarray:
+    """Deterministic coarse quantizer: seed centroids from the first N_CELLS
+    vectors, one Lloyd refinement over a fixed sample. At 100 TB the sample
+    is a bounded `limit()`; the refined centroids broadcast to every task."""
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    sample = np.stack(tbl["embedding"].to_pylist()[: max(1024, N_CELLS * 8)]).astype(np.float64)
+    centroids = _normalize(sample[:N_CELLS].copy())
+    assign = _assign_cells(sample, centroids)
+    for c in range(N_CELLS):
+        members = sample[assign == c]
+        if len(members):
+            centroids[c] = members.mean(axis=0)
+    return _normalize(centroids)
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN: vectors partition into coarse cells; each query
+    probes only its N_PROBE nearest cells. Same output schema as ann_topk —
+    pytest checks recall against the brute-force baseline."""
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    centroids = ivf_centroids(path)
+    qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
+    qmat = _normalize(np.stack(qtbl["embedding"].to_pylist()).astype(np.float64))
+    q_probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :N_PROBE]
+    broadcast = {
+        "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
+        "mat": qmat,
+        "probes": q_probes,
+        "centroids": centroids,
+    }
+    ref = ray.put(broadcast) if ray.is_initialized() else broadcast
+
+    class IvfPartialTopK:
+        def __init__(self, queries_ref):
+            q = ray.get(queries_ref) if ray.is_initialized() else queries_ref
+            self.q = q
+            # per query, the set of cells it probes
+            self.probe_sets = [set(p) for p in q["probes"]]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+            cells = _assign_cells(mat, self.q["centroids"])
+            sims = self.q["mat"] @ mat.T
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.q["ids"]):
+                probe = self.probe_sets[qi]
+                keep = np.fromiter((c in probe for c in cells), bool, len(cells))
+                keep &= vec_ids != qid
+                ids_k, row_k = vec_ids[keep], sims[qi][keep]
+                if len(row_k) > TOP_K:
+                    part = np.argpartition(-row_k, TOP_K)[:TOP_K]
+                    ids_k, row_k = ids_k[part], row_k[part]
+                out_q.extend([qid] * len(ids_k))
+                out_v.extend(ids_k)
+                out_s.extend(row_k)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        IvfPartialTopK,
+        fn_constructor_kwargs={"queries_ref": ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
+
+
 def ann_topk(sf_dir: str):
     import ray
     import ray.data as rd

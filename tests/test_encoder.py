@@ -125,3 +125,19 @@ def test_roundtrip_xmlliteral():
     g = Graph({(s, IRI(EG + "p"), Literal(lex, datatype=RDF_XML_LITERAL))}, prefixes=PFX)
     g2 = parse_rdfxml(encode(g), base="http://example.org/")
     assert isomorphic(g2.triples(), g.triples())
+
+
+def test_real_world_roundtrip_org_ontology():
+    """Decode the reference's bench corpus (W3C org ontology, 748 triples),
+    re-encode with the document's own prefixes, decode again → isomorphic."""
+    import os
+
+    path = "/root/reference/bench/data/org.rdf"
+    if not os.path.exists(path):
+        pytest.skip("reference bench corpus unavailable")
+    with open(path, "rb") as f:
+        g1 = parse_rdfxml(f.read(), base="http://www.w3.org/ns/org")
+    assert len(g1) == 748
+    xml = encode(g1, base=g1.base_iri, prefixes=g1.prefixes)
+    g2 = parse_rdfxml(xml, base="http://www.w3.org/ns/org")
+    assert isomorphic(g2.triples(), g1.triples())

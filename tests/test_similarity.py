@@ -1,0 +1,17 @@
+"""ANN: IVF-bucketed variant must recover most of the brute-force top-k."""
+
+
+def test_ivf_recall_vs_brute_force(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.similarity import TOP_K, ann_ivf_topk, ann_topk
+
+    brute = ann_topk(sf_dir).to_pandas()
+    ivf = ann_ivf_topk(sf_dir).to_pandas()
+    recalls = []
+    for qid, g in brute.groupby("query_id"):
+        want = set(g["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(want & got) / TOP_K)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVF recall too low: {mean_recall}"
+    # probing all cells would be exact; with N_PROBE=4/16 expect decent recall
+    assert len(ivf) > 0
