@@ -76,6 +76,51 @@ def canonicalize(ds, num_buckets: int = 64, prededup: bool = False):
     return ds.groupby("subj_bucket").map_groups(dedup_sort_group, batch_format="pandas")
 
 
+def canonicalize_skew_aware(ds, num_buckets: int = 64, dedup_partitions: int = 256):
+    """Two-phase canonicalization for graphs with HOT subjects (north_star:
+    system/assistant role entities can hold a large share of triples).
+
+    A plain ``groupby(subj_bucket)`` sends every triple of a hot subject to
+    one reducer. Phase 1 instead partitions by a hash of the FULL triple —
+    perfectly uniform under any subject skew, and still correct for dedup
+    because duplicate triples hash identically. Phase 2 then groups the
+    (already-deduplicated) rows by subject bucket only to sort for the store
+    layout; a hot subject still lands in one storage partition — that is the
+    store's contract — but the expensive dedup exchange no longer hot-spots.
+    """
+    import pyarrow as pa
+
+    def add_triple_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = zip(
+            batch["subj"].to_pylist(),
+            batch["pred"].to_pylist(),
+            batch["obj_kind"].to_pylist(),
+            batch["obj_value"].to_pylist(),
+        )
+        buckets = np.fromiter(
+            (zlib.crc32("\x1f".join(k).encode("utf-8", "surrogatepass")) % dedup_partitions for k in keys),
+            dtype=np.int32,
+            count=n,
+        )
+        return batch.append_column("triple_bucket", pa.array(buckets, pa.int32()))
+
+    def dedup_only(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=SORT_KEYS).drop(columns=["triple_bucket"])
+
+    deduped = (
+        ds.map_batches(add_triple_bucket, batch_format="pyarrow")
+        .groupby("triple_bucket")
+        .map_groups(dedup_only, batch_format="pandas")
+    )
+    bucketed = deduped.map_batches(lambda b: add_subj_bucket(b, num_buckets), batch_format="pyarrow")
+
+    def sort_only(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(SORT_KEYS, kind="mergesort").reset_index(drop=True)
+
+    return bucketed.groupby("subj_bucket").map_groups(sort_only, batch_format="pandas")
+
+
 def bucket_metrics(group: pd.DataFrame) -> pd.DataFrame:
     """Per-partition lineage/metrics record (north_rule: per-partition
     lineage + metrics)."""

@@ -141,3 +141,49 @@ def test_simhash_near_docs_close_in_hamming():
     d_far = bin(ha ^ hf).count("1")
     assert d_near < d_far
     assert d_near <= 8
+
+
+def test_skew_aware_canonicalize_matches_plain(ray_session):
+    """Hot-subject skew: one subject holds half the triples + duplicates;
+    the two-phase skew-aware path must produce exactly the plain path's
+    output."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.stages.canonicalize import canonicalize, canonicalize_skew_aware
+
+    rows = []
+    for i in range(500):
+        rows.append(
+            {
+                "subj": "http://example.org/role/system",  # hot
+                "subj_kind": "iri",
+                "pred": f"http://example.org/p{i % 7}",
+                "obj_kind": "literal",
+                "obj_value": f"v{i % 50}",  # duplicates across i
+                "obj_lang": None,
+                "obj_datatype": None,
+                "conv_id": f"c{i % 13}",
+            }
+        )
+        rows.append(
+            {
+                "subj": f"http://example.org/conv/c{i}",
+                "subj_kind": "iri",
+                "pred": "http://example.org/q",
+                "obj_kind": "iri",
+                "obj_value": f"http://example.org/o{i}",
+                "obj_lang": None,
+                "obj_datatype": None,
+                "conv_id": f"c{i % 13}",
+            }
+        )
+    ds = rd.from_items(rows)
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype", "subj_bucket"]
+    plain = canonicalize(ds, num_buckets=8).to_pandas()[cols]
+    skew = canonicalize_skew_aware(rd.from_items(rows), num_buckets=8, dedup_partitions=32).to_pandas()[cols]
+    key = cols
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = skew.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # dedup really happened: 7*50 distinct hot triples + 500 conv triples
+    assert len(a) == 7 * 50 + 500
