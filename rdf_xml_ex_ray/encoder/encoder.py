@@ -30,7 +30,6 @@ from collections.abc import Callable, Iterable
 from ..core.model import Graph, Triple
 from ..core.terms import (
     DEFAULT_PREFIXES,
-    RDF_NS,
     RDF_TYPE,
     RDF_XML_LITERAL,
     BNode,

@@ -25,7 +25,7 @@ import os
 
 import pyarrow.compute as pc
 
-from ..stages.canonicalize import add_subj_bucket, bucket_metrics, canonicalize, prededup_batch
+from ..stages.canonicalize import add_subj_bucket, bucket_metrics, canonicalize
 from ..stages.linker import EntityLinker, build_role_registry
 from ..stages.parse import ParseDocs
 from ..stages.render import assemble_and_render_bucket

@@ -22,7 +22,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.model import TRIPLE_COLUMNS
 
 SORT_KEYS = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
 

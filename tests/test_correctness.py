@@ -2,8 +2,6 @@
 twin must match DuckDB on row count, schema (column names) and
 order-insensitive values at the test scale factor."""
 
-import math
-
 import duckdb
 import pandas as pd
 import pytest
