@@ -216,6 +216,50 @@ def kg_triples_dataset(
     return canon.drop_columns(["subj_bucket", "conv_id"])
 
 
+def kg_triples_from_transcripts(
+    transcripts_ds,
+    num_buckets: int = 16,
+    num_conv_buckets: int = 64,
+    keep_lineage: bool = False,
+):
+    """Pipeline entry for an input_hint-shaped transcripts table
+    (conv_id, turn_idx:int32, role, text, tool, ts:timestamp[us]) — what a
+    user with real transcript parquet feeds in directly. Same topology as
+    the flagship; ordering comes from the explicit (conv_id, turn_idx)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.canonicalize import dedup_sort_group
+    from ..stages.render import assemble_and_render_bucket_by_turn_idx
+
+    def add_conv_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].to_pylist()
+        buckets = np.fromiter(
+            (zlib.crc32(c.encode()) % num_conv_buckets for c in ids),
+            dtype=np.int32,
+            count=len(ids),
+        )
+        return batch.append_column("conv_bucket", pa.array(buckets, pa.int32()))
+
+    docs = (
+        transcripts_ds.map_batches(add_conv_bucket, batch_format="pyarrow")
+        .groupby("conv_bucket")
+        .map_groups(assemble_and_render_bucket_by_turn_idx, batch_format="pandas")
+    )
+    linked = link_entities(parse_documents(docs))
+
+    def dedup_sort_block(batch):
+        out = dedup_sort_group(add_subj_bucket(batch, num_buckets).to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    canon = linked.map_batches(dedup_sort_block, batch_format="pyarrow", batch_size=None)
+    if keep_lineage:
+        return canon
+    return canon.drop_columns(["subj_bucket", "conv_id"])
+
+
 def kg_conv_stats(sf_dir: str):
     """Per-conversation stats straight off the turns (partial-agg friendly)."""
     import pyarrow as pa

@@ -28,6 +28,37 @@ def assemble_and_render(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"conv_id": [conv_id], "doc": [doc], "n_turns": [len(turns)]})
 
 
+def assemble_and_render_bucket_by_turn_idx(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket assembly for transcript tables that carry an explicit
+    ``turn_idx`` (the BASELINE.json input_hint shape): stable
+    (conv_id, turn_idx) ordering instead of the derived (ts, event_id)."""
+    g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    ts_us = (
+        g["ts"].astype("int64") if "ts_us" not in g.columns else g["ts_us"].astype("int64")
+    ).to_numpy()
+    return _render_sorted(
+        g["conv_id"].to_numpy(),
+        g["role"].to_numpy(),
+        g["text"].to_numpy(),
+        g["tool"].astype(object).where(g["tool"].notna(), None).to_numpy(),
+        ts_us,
+    )
+
+
+def _render_sorted(conv_ids, roles, texts, tools, ts_us) -> pd.DataFrame:
+    out_ids, out_docs, out_n = [], [], []
+    n = len(conv_ids)
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or conv_ids[i] != conv_ids[start]:
+            turns = list(zip(roles[start:i], texts[start:i], tools[start:i], ts_us[start:i]))
+            out_ids.append(conv_ids[start])
+            out_docs.append(render_conversation(conv_ids[start], turns))
+            out_n.append(i - start)
+            start = i
+    return pd.DataFrame({"conv_id": out_ids, "doc": out_docs, "n_turns": out_n})
+
+
 def assemble_and_render_bucket(group: pd.DataFrame) -> pd.DataFrame:
     """Many conversations (one conv_bucket) → one doc row per conversation.
 
@@ -38,19 +69,10 @@ def assemble_and_render_bucket(group: pd.DataFrame) -> pd.DataFrame:
     Python loop below only walks group boundaries.
     """
     g = group.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
-    conv_ids = g["conv_id"].to_numpy()
-    roles = g["role"].to_numpy()
-    texts = g["text"].to_numpy()
-    tools = g["tool"].astype(object).where(g["tool"].notna(), None).to_numpy()
-    ts_us = g["ts_us"].to_numpy()
-    out_ids, out_docs, out_n = [], [], []
-    n = len(g)
-    start = 0
-    for i in range(1, n + 1):
-        if i == n or conv_ids[i] != conv_ids[start]:
-            turns = list(zip(roles[start:i], texts[start:i], tools[start:i], ts_us[start:i]))
-            out_ids.append(conv_ids[start])
-            out_docs.append(render_conversation(conv_ids[start], turns))
-            out_n.append(i - start)
-            start = i
-    return pd.DataFrame({"conv_id": out_ids, "doc": out_docs, "n_turns": out_n})
+    return _render_sorted(
+        g["conv_id"].to_numpy(),
+        g["role"].to_numpy(),
+        g["text"].to_numpy(),
+        g["tool"].astype(object).where(g["tool"].notna(), None).to_numpy(),
+        g["ts_us"].to_numpy(),
+    )
