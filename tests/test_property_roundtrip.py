@@ -48,3 +48,48 @@ def test_encode_decode_roundtrip_isomorphic(triples):
     xml = encode(g)
     g2 = parse_rdfxml(xml, base="http://example.org/")
     assert isomorphic(g2.triples(), g.triples()), xml
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_parser_total_on_garbage(data):
+    """Robustness: arbitrary input either parses or raises ParseError —
+    never any other exception (the rejects side-channel depends on this)."""
+    from rdf_xml_ex_ray.core.terms import ParseError
+    try:
+        parse_rdfxml(data, base="http://example.org/")
+    except ParseError:
+        pass
+
+
+_xmlish = st.recursive(
+    st.text(alphabet="abcdefgh<>&\"' =:/\n", max_size=20),
+    lambda inner: st.tuples(
+        st.sampled_from(["rdf:RDF", "rdf:Description", "eg:p", "rdf:li", "x"]),
+        st.lists(st.tuples(st.sampled_from(["rdf:about", "rdf:ID", "xml:lang", "eg:a", "rdf:parseType"]), st.text(max_size=8)), max_size=2),
+        st.lists(inner, max_size=3),
+    ).map(
+        lambda t: "<{0}{1}>{2}</{0}>".format(
+            t[0],
+            "".join(f' {k}="{v}"' for k, v in dict(t[1]).items()),
+            "".join(t[2]),
+        )
+    ),
+    max_leaves=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_xmlish)
+def test_parser_total_on_xmlish_documents(body):
+    """Structured fuzz: well-formed-ish RDF/XML-shaped trees with random
+    rdf attributes — same totality guarantee."""
+    from rdf_xml_ex_ray.core.terms import ParseError
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        f'xmlns:eg="http://example.org/">{body}</rdf:RDF>'
+    )
+    try:
+        parse_rdfxml(doc, base="http://example.org/")
+    except ParseError:
+        pass
