@@ -200,13 +200,10 @@ def kg_triples_dataset(
     triples = parse_documents(docs)
     linked = link_entities(triples)
     if co_partitioned:
-        import pyarrow as pa
+        from ..stages.canonicalize import dedup_sort_table
 
-        from ..stages.canonicalize import dedup_sort_group
-
-        def dedup_sort_block(batch: pa.Table) -> pa.Table:
-            out = dedup_sort_group(add_subj_bucket(batch, num_buckets).to_pandas())
-            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        def dedup_sort_block(batch):
+            return dedup_sort_table(add_subj_bucket(batch, num_buckets))
 
         canon = linked.map_batches(dedup_sort_block, batch_format="pyarrow", batch_size=None)
     else:
@@ -231,7 +228,7 @@ def kg_triples_from_transcripts(
     import numpy as np
     import pyarrow as pa
 
-    from ..stages.canonicalize import dedup_sort_group
+    from ..stages.canonicalize import dedup_sort_table
     from ..stages.render import assemble_and_render_bucket_by_turn_idx
 
     def add_conv_bucket(batch: pa.Table) -> pa.Table:
@@ -251,8 +248,7 @@ def kg_triples_from_transcripts(
     linked = link_entities(parse_documents(docs))
 
     def dedup_sort_block(batch):
-        out = dedup_sort_group(add_subj_bucket(batch, num_buckets).to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return dedup_sort_table(add_subj_bucket(batch, num_buckets))
 
     canon = linked.map_batches(dedup_sort_block, batch_format="pyarrow", batch_size=None)
     if keep_lineage:
@@ -451,11 +447,10 @@ def run_kg_job(
     linked = link_entities(triples)
     import pyarrow as pa
 
-    from ..stages.canonicalize import dedup_sort_group
+    from ..stages.canonicalize import dedup_sort_table
 
     def dedup_sort_block(batch: pa.Table) -> pa.Table:
-        out = dedup_sort_group(add_subj_bucket(batch, num_buckets).to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return dedup_sort_table(add_subj_bucket(batch, num_buckets))
 
     canon = linked.map_batches(dedup_sort_block, batch_format="pyarrow", batch_size=None)
     canon.write_parquet(os.path.join(out_dir, "triples"), partition_cols=["subj_bucket"])

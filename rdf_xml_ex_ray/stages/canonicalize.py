@@ -57,6 +57,34 @@ def dedup_sort_group(group: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def dedup_sort_table(batch: pa.Table) -> pa.Table:
+    """Arrow-native dedup + sort (same semantics as dedup_sort_group without
+    the pandas round-trip: C++ multi-column sort, then drop rows whose whole
+    sort key equals their predecessor's)."""
+    t = batch.sort_by([(k, "ascending") for k in SORT_KEYS])
+    n = t.num_rows
+    if n <= 1:
+        return t
+    eq = None
+    for k in SORT_KEYS:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            continue  # all-null column: every neighbor pair matches
+        a, b = col.slice(1), col.slice(0, n - 1)
+        e = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        e = pc.or_(e, both_null)
+        eq = e if eq is None else pc.and_(eq, e)
+    if eq is None:  # every key column all-null: all rows identical
+        return t.slice(0, 1)
+    if isinstance(eq, pa.ChunkedArray):
+        eq = eq.combine_chunks()
+    mask = pa.concat_arrays([pa.array([True]), pc.invert(eq)])
+    return t.filter(mask)
+
+
 def canonicalize(ds, num_buckets: int = 64, prededup: bool = False):
     """Dataset of triple rows (+ conv_id lineage) → canonical store layout.
 
