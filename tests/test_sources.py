@@ -57,3 +57,53 @@ def test_write_read_roundtrip(ray_session, tmp_path):
     got = set(zip(back_ok["subj"], back_ok["obj_value"], back_ok["obj_lang"]))
     want = {(r["subj"], r["obj_value"], "en") for r in rows}
     assert got == want
+
+
+def test_ntriples_sink_source_roundtrip(ray_session, tmp_path):
+    """Flagship triples → .nt sink → .nt source → identical rows."""
+    import os
+
+    from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+    from rdf_xml_ex_ray.sources.ntriples import read_ntriples, write_ntriples
+
+    triples = kg_triples_dataset("/root/testdata/sf0.001", num_buckets=8)
+    orig = triples.to_pandas()
+    out = str(tmp_path / "nt")
+    res = write_ntriples(triples, out, num_buckets=4).to_pandas()
+    assert res["n_triples"].sum() == len(orig)
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))]
+    back = read_ntriples(files).to_pandas()
+    cols = list(orig.columns)
+    a = orig[cols].sort_values(cols).reset_index(drop=True)
+    b = back[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_rdfxml_sink_roundtrip_of_flagship_store(ray_session, tmp_path):
+    """Flagship triples (bnode-free slice) → .rdf sink → .rdf source →
+    same triples (format-fidelity at the pipeline level)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from rdf_xml_ex_ray.core.terms import RDF_NS
+    from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+    from rdf_xml_ex_ray.sources.rdfxml import read_rdfxml, write_rdfxml
+    from rdf_xml_ex_ray.transcripts.ontology import CT_NS
+
+    nob = kg_triples_dataset("/root/testdata/sf0.001", num_buckets=8).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["subj_kind"], "iri"), pc.not_equal(t["obj_kind"], "bnode"))
+        ),
+        batch_format="pyarrow",
+    )
+    orig = nob.to_pandas()
+    out = str(tmp_path / "rdf")
+    write_rdfxml(nob, out, prefixes={"rdf": RDF_NS, "ct": CT_NS}, num_buckets=4).to_pandas()
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))]
+    back = read_rdfxml(files).to_pandas()
+    back_ok = back[back["error"].isna()].drop(columns=["conv_id", "error"])
+    cols = list(orig.columns)
+    a = orig[cols].sort_values(cols).reset_index(drop=True)
+    b = back_ok[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
