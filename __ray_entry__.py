@@ -69,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "lang_id": text.LANG_ID_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,

@@ -10,7 +10,6 @@ base, and base URIs get their fragment stripped.
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
@@ -105,11 +104,68 @@ def is_absolute_iri(value: str) -> bool:
     return bool(_SCHEME_RE.match(value))
 
 
+# RFC 3986 §3 component split (appendix B regex, anchored groups)
+_URI_SPLIT_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1) if path.startswith("/") else path.find("/")
+            if i == -1:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:i])
+                path = path[i:]
+    return "".join(out)
+
+
+def _recompose(scheme, authority, path, query, fragment) -> str:
+    out = []
+    if scheme is not None:
+        out += [scheme, ":"]
+    if authority is not None:
+        out += ["//", authority]
+    out.append(path)
+    if query is not None:
+        out += ["?", query]
+    if fragment is not None:
+        out += ["#", fragment]
+    return "".join(out)
+
+
 def resolve_iri(value: str, base: str | None) -> str:
-    """RFC 3986 reference resolution; absolute refs are kept verbatim.
+    """RFC 3986 §5 reference resolution; absolute refs are kept verbatim.
 
     Mirrors ``uri_reference/3`` (element_node.ex:195-211): an absolute IRI is
-    NOT normalized, a relative one without a base is an error.
+    NOT normalized, a relative one without a base is an error. The merge is
+    the generic RFC 3986 algorithm — it works for ANY base scheme (tag:,
+    urn:, doi:, …), unlike ``urllib.parse.urljoin``, which only merges for
+    schemes in its ``uses_relative`` whitelist and would return a relative
+    reference unresolved.
     """
     if is_absolute_iri(value):
         return value
@@ -119,7 +175,29 @@ def resolve_iri(value: str, base: str | None) -> str:
         return base
     if value.startswith("#"):
         return base.split("#", 1)[0] + value
-    return urljoin(base, value)
+
+    b_scheme, b_auth, b_path, b_query, _ = _URI_SPLIT_RE.match(base).groups()
+    r_scheme, r_auth, r_path, r_query, r_frag = _URI_SPLIT_RE.match(value).groups()
+    if r_scheme is not None:  # pragma: no cover - is_absolute_iri caught it
+        return value
+    if r_auth is not None:
+        return _recompose(b_scheme, r_auth, _remove_dot_segments(r_path), r_query, r_frag)
+    if r_path == "":
+        path = b_path
+        query = r_query if r_query is not None else b_query
+    else:
+        if r_path.startswith("/"):
+            path = _remove_dot_segments(r_path)
+        else:
+            # §5.2.3 merge: an authority with an empty path merges at root
+            if b_auth is not None and b_path == "":
+                merged = "/" + r_path
+            else:
+                i = b_path.rfind("/")
+                merged = (b_path[: i + 1] if i >= 0 else "") + r_path
+            path = _remove_dot_segments(merged)
+        query = r_query
+    return _recompose(b_scheme, b_auth, path, query, r_frag)
 
 
 def normalize_base_uri(base: str | None) -> str | None:
@@ -170,13 +248,26 @@ def qname_to_iri(qname: str, ns: dict[str | None, str]) -> str:
 
 
 def escape_text(text: str) -> str:
-    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # \r must be a character reference: an XML parser normalizes a literal
+    # CR (and CRLF) in text content to LF on parse, which would silently
+    # mutate "a\rb" → "a\nb" on every encode→decode roundtrip
+    return (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace("\r", "&#xD;")
+    )
 
 
 def escape_attr(value: str) -> str:
+    # \t/\n/\r in attribute values are normalized to spaces by XML
+    # attribute-value normalization — escape all three as character refs
     return (
         value.replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
         .replace('"', "&quot;")
+        .replace("\t", "&#x9;")
+        .replace("\n", "&#xA;")
+        .replace("\r", "&#xD;")
     )

@@ -418,9 +418,16 @@ def run_kg_job(
     os.makedirs(out_dir, exist_ok=True)
 
     # ---- stage 1: derive + assemble + render (shuffle lives here) ----
+    # Crash-safety invariant: write_parquet APPENDS uuid-named files, so an
+    # incomplete stage dir (no _SUCCESS) must be cleared before re-running —
+    # otherwise stale partial files from the crashed attempt sit beside the
+    # fresh ones and silently duplicate rows downstream.
+    import shutil
+
     docs_dir = os.path.join(out_dir, "docs")
     docs_done = os.path.join(docs_dir, "_SUCCESS")
     if not (resume and os.path.exists(docs_done)):
+        shutil.rmtree(docs_dir, ignore_errors=True)
         parallelism = _default_parallelism()
         turns = read_transcript_turns(sf_dir, 2 * parallelism)
         docs = render_documents(turns, num_conv_buckets=4 * parallelism)
@@ -429,6 +436,10 @@ def run_kg_job(
             f.write("ok\n")
 
     # ---- stage 2: parse + link + canonicalize + store ----
+    # reaching here means the job-level _SUCCESS is absent → any existing
+    # stage-2 output is a partial write from a crashed attempt: clear it
+    for partial in ("triples", "rejects"):
+        shutil.rmtree(os.path.join(out_dir, partial), ignore_errors=True)
     docs = rd.read_parquet(docs_dir)
     # materialized: both the rejects sink and the store consume this once
     # (object-store pinned at the stage boundary; spills under pressure)

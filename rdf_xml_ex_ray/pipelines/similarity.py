@@ -1,11 +1,17 @@
 """Similarity search over the ``embeddings`` table.
 
 Brute-force cosine top-k as the baseline: the query matrix is broadcast once
-(``ray.put``), each ``map_batches`` task computes a per-batch partial top-k
-with one float64 matmul, and a tiny ``groupby(query_id)`` merges partials.
-At scale the same topology holds — the broadcast side stays small and only
-(n_queries × k) rows per batch hit the shuffle. The label-blocked variant in
-dedup.dedup_embedding is the IVF-style bucketed path.
+(``ray.put``), each ``map_batches`` *task* computes a per-batch partial top-k
+with one float64 matmul (resolving the broadcast at most once per worker via
+the module-level cache in stages/broadcast.py), and a tiny
+``groupby(query_id)`` merges partials. At scale the same topology holds — the
+broadcast side stays small and only (n_queries × k) rows per batch hit the
+shuffle. Task stages (not actor pools) keep the map chain fusable at full
+cluster parallelism.
+
+The IVF variant is the scale path: a deterministic coarse quantizer built
+from a *bounded* sample (never a full-table driver read), vectors assigned
+to cells per batch, each query probing only its N_PROBE nearest cells.
 """
 
 from __future__ import annotations
@@ -16,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from ..stages.broadcast import put_broadcast, resolve_broadcast
 
 N_QUERIES = 8
 TOP_K = 10
@@ -44,42 +52,26 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-class BatchTopK:
-    """Actor-pool stage: per-batch partial top-k against the broadcast
-    query matrix (loaded once per actor in __init__)."""
-
-    def __init__(self, queries_ref):
-        try:
-            import ray
-
-            q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        except ImportError:  # pragma: no cover
-            q = queries_ref
-        self.query_ids = q["ids"]
-        self.query_mat = _normalize(q["mat"].astype(np.float64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        sims = self.query_mat @ _normalize(mat).T  # (n_queries, batch)
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.query_ids):
-            row = sims[qi]
-            keep = vec_ids != qid
-            ids_k, row_k = vec_ids[keep], row[keep]
-            if len(row_k) > TOP_K:
-                part = np.argpartition(-row_k, TOP_K)[:TOP_K]
-                ids_k, row_k = ids_k[part], row_k[part]
-            out_q.extend([qid] * len(ids_k))
-            out_v.extend(ids_k)
-            out_s.extend(row_k)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+def _partial_topk(query_ids, sims, vec_ids):
+    """Per-batch partial top-k rows for every query; (3 lists)."""
+    out_q, out_v, out_s = [], [], []
+    for qi, qid in enumerate(query_ids):
+        row = sims[qi]
+        keep = vec_ids != qid
+        ids_k, row_k = vec_ids[keep], row[keep]
+        if len(row_k) > TOP_K:
+            part = np.argpartition(-row_k, TOP_K)[:TOP_K]
+            ids_k, row_k = ids_k[part], row_k[part]
+        out_q.extend([qid] * len(ids_k))
+        out_v.extend(ids_k)
+        out_s.extend(row_k)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def _merge_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -94,8 +86,38 @@ def _merge_topk(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _read_queries(path: str) -> dict:
+    """Query vectors: a tiny row-group-filtered read (vec_id < N_QUERIES)."""
+    qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
+    return {
+        "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
+        "mat": _normalize(np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)),
+    }
+
+
+def ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    queries_ref = put_broadcast(_read_queries(path))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q = resolve_broadcast(queries_ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        sims = q["mat"] @ _normalize(mat).T  # (n_queries, batch)
+        return _partial_topk(q["ids"], sims, vec_ids)
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ IVF
+
 N_CELLS = 16
 N_PROBE = 4
+CENTROID_SAMPLE = 1024
 
 
 def _assign_cells(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
@@ -104,10 +126,22 @@ def _assign_cells(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
 
 def ivf_centroids(path: str) -> np.ndarray:
     """Deterministic coarse quantizer: seed centroids from the first N_CELLS
-    vectors, one Lloyd refinement over a fixed sample. At 100 TB the sample
-    is a bounded `limit()`; the refined centroids broadcast to every task."""
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    sample = np.stack(tbl["embedding"].to_pylist()[: max(1024, N_CELLS * 8)]).astype(np.float64)
+    vectors, one Lloyd refinement over a fixed-size sample.
+
+    The sample read is BOUNDED — streamed row-group by row-group off the
+    parquet footer and stopped at CENTROID_SAMPLE rows — so at 100 TB this is
+    a constant-size driver read, never a full-table load. The refined
+    centroids then broadcast to every task."""
+    want = max(CENTROID_SAMPLE, N_CELLS * 8)
+    pf = pq.ParquetFile(path)
+    rows, have = [], 0
+    for rb in pf.iter_batches(batch_size=min(want, 4096), columns=["embedding"]):
+        rows.append(rb)
+        have += rb.num_rows
+        if have >= want:
+            break
+    tbl = pa.Table.from_batches(rows)
+    sample = np.stack(tbl["embedding"].to_pylist()[:want]).astype(np.float64)
     centroids = _normalize(sample[:N_CELLS].copy())
     assign = _assign_cells(sample, centroids)
     for c in range(N_CELLS):
@@ -121,83 +155,33 @@ def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN: vectors partition into coarse cells; each query
     probes only its N_PROBE nearest cells. Same output schema as ann_topk —
     pytest checks recall against the brute-force baseline."""
-    import ray
     import ray.data as rd
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     centroids = ivf_centroids(path)
-    qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
-    qmat = _normalize(np.stack(qtbl["embedding"].to_pylist()).astype(np.float64))
-    q_probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :N_PROBE]
-    broadcast = {
-        "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
-        "mat": qmat,
-        "probes": q_probes,
-        "centroids": centroids,
-    }
-    ref = ray.put(broadcast) if ray.is_initialized() else broadcast
+    q = _read_queries(path)
+    q_probes = np.argsort(-(q["mat"] @ centroids.T), axis=1)[:, :N_PROBE]
+    ref = put_broadcast(
+        {"ids": q["ids"], "mat": q["mat"], "probes": q_probes, "centroids": centroids}
+    )
 
-    class IvfPartialTopK:
-        def __init__(self, queries_ref):
-            q = ray.get(queries_ref) if ray.is_initialized() else queries_ref
-            self.q = q
-            # per query, the set of cells it probes
-            self.probe_sets = [set(p) for p in q["probes"]]
+    def ivf_partial_topk(batch: pa.Table) -> pa.Table:
+        b = resolve_broadcast(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        cells = _assign_cells(mat, b["centroids"])
+        sims = b["mat"] @ mat.T
+        # mask out vectors outside each query's probed cells
+        probe_mask = np.zeros((len(b["ids"]), len(cells)), dtype=bool)
+        for qi in range(len(b["ids"])):
+            probe_mask[qi] = np.isin(cells, b["probes"][qi])
+        sims = np.where(probe_mask, sims, -np.inf)
+        out = _partial_topk(b["ids"], sims, vec_ids)
+        # drop the -inf placeholder rows (vectors outside probed cells)
+        import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
-            cells = _assign_cells(mat, self.q["centroids"])
-            sims = self.q["mat"] @ mat.T
-            out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(self.q["ids"]):
-                probe = self.probe_sets[qi]
-                keep = np.fromiter((c in probe for c in cells), bool, len(cells))
-                keep &= vec_ids != qid
-                ids_k, row_k = vec_ids[keep], sims[qi][keep]
-                if len(row_k) > TOP_K:
-                    part = np.argpartition(-row_k, TOP_K)[:TOP_K]
-                    ids_k, row_k = ids_k[part], row_k[part]
-                out_q.extend([qid] * len(ids_k))
-                out_v.extend(ids_k)
-                out_s.extend(row_k)
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
+        return out.filter(pc.greater(out["sim"], -np.inf))
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    partials = ds.map_batches(
-        IvfPartialTopK,
-        fn_constructor_kwargs={"queries_ref": ref},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
-    return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
-
-
-def ann_topk(sf_dir: str):
-    import ray
-    import ray.data as rd
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
-    queries = {
-        "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
-        "mat": np.stack(qtbl["embedding"].to_pylist()),
-    }
-    queries_ref = ray.put(queries) if ray.is_initialized() else queries
-
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    partials = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
+    partials = ds.map_batches(ivf_partial_topk, batch_format="pyarrow", batch_size=4096)
     return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")

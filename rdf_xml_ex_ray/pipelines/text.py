@@ -41,39 +41,34 @@ _punct_pat = re.compile(_PUNCT_RE)
 _stop_pat = re.compile(rf"\b(?:{_STOPWORDS})\b")
 
 
-class DocStats:
-    """Actor-pool stage; patterns compiled once per actor (__init__)."""
-
-    def __init__(self):
-        self.word = _word_pat
-        self.punct = _punct_pat
-        self.stop = _stop_pat
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_words = np.fromiter((len(self.word.findall(t)) for t in texts), np.int64, len(texts))
-        n_punct = np.fromiter((len(self.punct.findall(t)) for t in texts), np.int64, len(texts))
-        n_stop = np.fromiter(
-            (len(self.stop.findall(t.lower())) for t in texts), np.int64, len(texts)
-        )
-        ratio = np.round(n_stop / np.maximum(n_words, 1), 6)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
-                "n_words": pa.array(n_words),
-                "n_punct": pa.array(n_punct),
-                "n_stopwords": pa.array(n_stop),
-                "stopword_ratio": pa.array(ratio, pa.float64()),
-            }
-        )
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """Task-stage UDF: patterns are compiled once per worker process at module
+    import (the task-stage analogue of actor ``__init__`` state — and unlike
+    an actor pool it never caps fused-chain parallelism)."""
+    texts = batch["text"].to_pylist()
+    n_words = np.fromiter((len(_word_pat.findall(t)) for t in texts), np.int64, len(texts))
+    n_punct = np.fromiter((len(_punct_pat.findall(t)) for t in texts), np.int64, len(texts))
+    n_stop = np.fromiter(
+        (len(_stop_pat.findall(t.lower())) for t in texts), np.int64, len(texts)
+    )
+    ratio = np.round(n_stop / np.maximum(n_words, 1), 6)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "n_words": pa.array(n_words),
+            "n_punct": pa.array(n_punct),
+            "n_stopwords": pa.array(n_stop),
+            "stopword_ratio": pa.array(ratio, pa.float64()),
+        }
+    )
 
 
 def doc_stats(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(DocStats, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- fingerprint
@@ -105,7 +100,10 @@ def doc_fingerprint(sf_dir: str):
 
 # ---------------------------------------------------------------- lang_id
 
-# tiny stopword profiles per language; heuristic n-gram/stopword scoring
+# tiny stopword profiles per language; heuristic stopword-overlap scoring.
+# Semantics are deliberately SQL-expressible (distinct-word ∩ profile, argmax
+# with alphabetical tie-break, 'und' when nothing matches) so the DuckDB
+# oracle below checks the operator hash-exactly.
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "für"},
@@ -113,39 +111,72 @@ _LANG_PROFILES = {
     "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
 }
 
+_SORTED_PROFILES = sorted(_LANG_PROFILES.items())
 
-class LangId:
-    """Actor-pool stage: stopword-overlap language guess; profiles built once
-    per actor. Scores are deterministic; ties resolve alphabetically."""
 
-    def __init__(self):
-        self.profiles = sorted(_LANG_PROFILES.items())
+def _lang_sql() -> str:
+    def in_list(prof):
+        return ", ".join(f"'{w}'" for w in sorted(prof))
 
-    def guess(self, text: str) -> tuple[str, float]:
-        words = set(text.lower().split())
-        best_lang, best = "und", 0.0
-        for lang, prof in self.profiles:
-            score = len(words & prof) / len(prof)
-            if score > best:
-                best_lang, best = lang, score
-        return best_lang, round(best, 4)
+    counts = ",\n    ".join(
+        f"count(DISTINCT CASE WHEN w IN ({in_list(prof)}) THEN w END) AS c_{lang}"
+        for lang, prof in _SORTED_PROFILES
+    )
+    first_max = "\n       ".join(
+        f"WHEN c_{lang} = cmax THEN '{lang}'" for lang, _ in _SORTED_PROFILES[:-1]
+    )
+    last = _SORTED_PROFILES[-1][0]
+    cmax_args = ", ".join(f"c_{lang}" for lang, _ in _SORTED_PROFILES)
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+),
+s AS (
+  SELECT doc_id,
+    {counts}
+  FROM w GROUP BY doc_id
+),
+m AS (SELECT *, greatest({cmax_args}) AS cmax FROM s)
+SELECT doc_id,
+  CASE WHEN cmax = 0 THEN 'und'
+       {first_max}
+       ELSE '{last}' END AS pred_lang,
+  round(cmax / 10.0, 4) AS lang_score
+FROM m
+"""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        pairs = [self.guess(t) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "pred_lang": pa.array([p[0] for p in pairs], pa.string()),
-                "lang_score": pa.array([p[1] for p in pairs], pa.float64()),
-            }
-        )
+
+LANG_ID_SQL = _lang_sql()
+
+
+def guess_lang(text: str) -> tuple[str, float]:
+    """Stopword-overlap language guess; ties resolve alphabetically, no
+    overlap at all → ('und', 0.0)."""
+    words = set(text.lower().split())
+    best_lang, best = "und", 0.0
+    for lang, prof in _SORTED_PROFILES:
+        score = len(words & prof) / len(prof)
+        if score > best:
+            best_lang, best = lang, score
+    return best_lang, round(best, 4)
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    pairs = [guess_lang(t) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array([p[0] for p in pairs], pa.string()),
+            "lang_score": pa.array([p[1] for p in pairs], pa.float64()),
+        }
+    )
 
 
 def lang_id(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- multimodal
@@ -208,10 +239,13 @@ def mm_media_meta(sf_dir: str):
             }
         )
 
+    from ..stages.broadcast import cluster_cpus
+
     payloads = ds.map_batches(to_binary, batch_format="pyarrow")
     return payloads.map_batches(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=512,  # binary payloads: keep batches small
-        concurrency=(1, 4),
+        # autoscaling actor pool sized to the cluster, not a constant cap
+        concurrency=(1, cluster_cpus()),
     )

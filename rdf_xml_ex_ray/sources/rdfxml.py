@@ -11,6 +11,7 @@ Sink: canonical triple rows → one RDF/XML document per subject-hash bucket
 from __future__ import annotations
 
 import os
+import zlib
 
 import pyarrow as pa
 
@@ -46,7 +47,12 @@ def read_rdfxml(paths, base: str | None = None, bnode_prefix: str = "b"):
             cols["error"].append(err)
 
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            doc_id = os.path.splitext(os.path.basename(path))[0]
+            # doc_id must be collision-free across the whole input set: two
+            # files with the same basename in different directories (a/x.rdf,
+            # b/x.rdf) must NOT share blank-node namespaces or lineage — so
+            # the full path is folded in via a crc32 suffix
+            stem = os.path.splitext(os.path.basename(path))[0]
+            doc_id = f"{stem}-{zlib.crc32(path.encode('utf-8')):08x}"
             doc_base = base if base is not None else f"file://{path}"
             try:
                 graph = parse_rdfxml(data, base=doc_base, bnode_prefix=f"{doc_id}!{bnode_prefix}")

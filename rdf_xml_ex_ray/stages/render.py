@@ -33,8 +33,12 @@ def assemble_and_render_bucket_by_turn_idx(group: pd.DataFrame) -> pd.DataFrame:
     ``turn_idx`` (the BASELINE.json input_hint shape): stable
     (conv_id, turn_idx) ordering instead of the derived (ts, event_id)."""
     g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    # explicit µs conversion: a bare astype('int64') on a datetime64[ns]
+    # series would yield nanoseconds (1000× ct:tsMicros) — pin the unit
     ts_us = (
-        g["ts"].astype("int64") if "ts_us" not in g.columns else g["ts_us"].astype("int64")
+        g["ts"].astype("datetime64[us]").astype("int64")
+        if "ts_us" not in g.columns
+        else g["ts_us"].astype("int64")
     ).to_numpy()
     return _render_sorted(
         g["conv_id"].to_numpy(),

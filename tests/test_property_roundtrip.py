@@ -16,10 +16,16 @@ PFX = {"rdf": RDF_NS, "eg": EG}
 
 # NCName-safe local parts; texts exercise escaping + unicode
 _local = st.from_regex(r"[A-Za-z_][A-Za-z0-9_.\-]{0,8}", fullmatch=True)
+# XML 1.0 can represent exactly three control chars (#x9 #xA #xD) — include
+# them explicitly so the CR-escaping path is exercised; other Cc stay out
+# (they are unrepresentable in XML even as character references)
 _text = st.text(
-    alphabet=st.characters(
-        codec="utf-8",
-        exclude_categories=("Cs", "Cc"),  # no surrogates / control chars
+    alphabet=st.one_of(
+        st.characters(
+            codec="utf-8",
+            exclude_categories=("Cs", "Cc"),  # no surrogates / control chars
+        ),
+        st.sampled_from(["\t", "\n", "\r"]),
     ),
     max_size=40,
 )

@@ -31,6 +31,32 @@ def test_resolve_against_base():
     assert resolve_iri("../up", base) == "http://example.org/up"
 
 
+def test_resolve_generic_schemes():
+    """RFC 3986 merge must work for bases outside urljoin's uses_relative
+    whitelist (tag:, urn:, doi:) — a relative ref must never leak through
+    unresolved (ADVICE r1)."""
+    assert resolve_iri("c", "tag:example/a/b") == "tag:example/a/c"
+    assert resolve_iri("./c", "tag:example/a/b") == "tag:example/a/c"
+    assert resolve_iri("../c", "tag:example/a/b") == "tag:example/c"
+    assert resolve_iri("x/y", "urn:foo/bar") == "urn:foo/x/y"
+    assert resolve_iri("z", "doi:10.1000/182") == "doi:10.1000/z"
+    # urljoin-equivalent behavior for http must be preserved (W3C suite)
+    assert resolve_iri("//other/p", "http://example.org/d/x") == "http://other/p"
+    assert resolve_iri("?q=1", "http://example.org/d/x") == "http://example.org/d/x?q=1"
+    assert resolve_iri("a/./b/../c", "http://e.org/d/x") == "http://e.org/d/a/c"
+    assert resolve_iri("g", "http://e.org") == "http://e.org/g"
+
+
+def test_escaping_control_chars():
+    """\\r survives text content; \\t/\\n/\\r survive attribute values
+    (XML parsers normalize raw ones — ADVICE r1)."""
+    from rdf_xml_ex_ray.core.terms import escape_attr, escape_text
+
+    assert escape_text("a\rb") == "a&#xD;b"
+    assert escape_text("a\r\nb") == "a&#xD;\nb"
+    assert escape_attr("a\tb\nc\rd") == "a&#x9;b&#xA;c&#xD;d"
+
+
 def test_resolve_without_base_errors():
     with pytest.raises(ParseError):
         resolve_iri("relative", None)
