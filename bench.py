@@ -40,10 +40,14 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    import logging
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # keep stderr clean: schema-unification/deprecation chatter is not signal
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from rdf_xml_ex_ray.pipelines import dedup, kg, similarity, text
 

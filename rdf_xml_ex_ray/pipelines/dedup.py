@@ -4,12 +4,25 @@ Large-scale training-data pipeline staples, each expressed Ray-Data-first:
 
 * exact        — content hash → hash-partitioned groupby → keep first
 * minhash LSH  — shingles → minhash sig → banded buckets → candidate pairs
-                 → exact-Jaccard verify (classic MinHash/LSH, Broder '97)
+                 → DISTRIBUTED exact-Jaccard verify (classic MinHash/LSH,
+                 Broder '97); the verify never reads the corpus on the driver
+* ngram        — exact word-5-gram Jaccard with a document-frequency cap on
+                 grams and co-partitioned size joins (no driver-side dicts)
 * simhash      — 64-bit Charikar simhash per doc + band bucket
-* embedding    — label-blocked cosine near-dup pairs (numpy per group)
+* embedding    — label-blocked cosine near-dup pairs with a cell-size cap
+                 (oversized labels split into block pairs, all-pairs exact)
 
-Exact + embedding have DuckDB oracle twins; the sketch-based ones are
-pinned by pytest instead (not SQL-expressible).
+Every operator here has a DuckDB oracle twin except simhash's (expressed in
+SQL too, via bit arithmetic over md5) — see the *_SQL constants.
+
+Scale invariants (the round-1 review's checklist):
+- nothing reads the corpus on the driver; the only driver-side collections
+  are (a) the candidate-pair id set (O(near-dup pairs), broadcast to a
+  filter stage) and (b) the label cardinality (O(#labels), bounded by the
+  coarse quantizer).
+- every join is a bucketed map-side join over datasets that stay distributed.
+- pair emission per gram/band bucket is capped by GRAM_DF_CAP: a stop-phrase
+  gram shared by f docs would otherwise emit f(f-1)/2 pairs in one group.
 """
 
 from __future__ import annotations
@@ -17,10 +30,14 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.broadcast import put_broadcast, resolve_broadcast
 
 # ---------------------------------------------------------------- exact
 
@@ -54,8 +71,6 @@ def dedup_exact(sf_dir: str):
     )
 
     def cast(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return pa.table(
             {
                 "text_hash": batch["text_hash"],
@@ -67,6 +82,75 @@ def dedup_exact(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+# ----------------------------------------------------- bucketed doc joins
+
+NUM_JOIN_BUCKETS = 32
+
+
+def _doc_bucket(ids, num_buckets: int) -> np.ndarray:
+    """Deterministic int64-id → bucket (Knuth multiplicative mix so
+    sequential ids spread)."""
+    arr = np.asarray(ids, dtype=np.uint64)
+    return ((arr * np.uint64(0x9E3779B1)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
+                     out_col: str, pair_fields: list[tuple[str, pa.DataType]],
+                     num_buckets: int = NUM_JOIN_BUCKETS):
+    """Map-side bucketed join: attach ``docs_ds``'s payload (schema
+    (doc_id:int64, payload)) to each row of ``pairs_ds`` via its ``key_col``.
+
+    Both sides stay distributed: rows are tagged with a bucket of the join
+    key, unioned, and matched inside ``groupby(bucket).map_groups`` — the
+    scale-safe replacement for a driver-side lookup dict (which is O(n_docs)
+    driver memory — the round-1 review's scale-killer). ``pair_fields`` is
+    the pair side's (name, type) schema, passed explicitly so no lazy plan
+    has to execute just to inspect it."""
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {name: batch[name].cast(typ) for name, typ in pair_fields}
+        cols[out_col] = pa.nulls(n, payload_type)
+        cols["__docid"] = pa.nulls(n, pa.int64())
+        cols["__bucket"] = pa.array(_doc_bucket(batch[key_col].to_pylist(), num_buckets))
+        return pa.table(cols)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {name: pa.nulls(n, typ) for name, typ in pair_fields}
+        cols[out_col] = batch["payload"].cast(payload_type)
+        cols["__docid"] = batch["doc_id"].cast(pa.int64())
+        cols["__bucket"] = pa.array(_doc_bucket(batch["doc_id"].to_pylist(), num_buckets))
+        return pa.table(cols)
+
+    out_schema = pa.schema(pair_fields + [(out_col, payload_type)])
+
+    def attach(group: pd.DataFrame) -> pa.Table:
+        # typed-Arrow return: pandas floatifies int columns through the union
+        # nulls, and empty/object pandas blocks trip Ray's schema unification
+        is_doc = group["__docid"].notna()
+        lookup = dict(
+            zip(group.loc[is_doc, "__docid"].astype("int64"), group.loc[is_doc, out_col])
+        )
+        p = group.loc[~is_doc]
+        arrays = []
+        for name, typ in pair_fields:
+            s = p[name]
+            if pa.types.is_integer(typ):
+                s = s.astype("int64")
+            arrays.append(pa.array(s, type=typ))
+        vals = [lookup.get(k) for k in p[key_col].astype("int64")]
+        if pa.types.is_integer(payload_type):
+            vals = [None if v is None else int(v) for v in vals]
+        arrays.append(pa.array(vals, type=payload_type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+    )
+    return tagged.groupby("__bucket").map_groups(attach, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- minhash LSH
 
 N_PERM = 64
@@ -74,11 +158,43 @@ N_BANDS = 8  # 8 bands × 8 rows
 ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+NUM_PAIR_BUCKETS = 64
 
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 _PERM_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+# Exact-Jaccard twin over the same word-3-gram shingles. The LSH banding is a
+# candidate *generator*; the operator's contract is "all pairs with exact
+# shingle-Jaccard ≥ threshold among LSH candidates". On this corpus (near-dups
+# are ≥0.89 Jaccard, where 8×8 banding recall is ~1) the output equals the
+# exhaustive SQL — verified set-equal at sf0.001/sf0.01 — so the oracle is the
+# full exact-Jaccard self-join.
+DEDUP_MINHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM w, UNNEST(range(1, greatest(len(words)-1, 1))) AS t(i) WHERE len(words) >= {SHINGLE_K}
+  UNION ALL
+  SELECT doc_id, array_to_string(words, ' ') AS gram FROM w WHERE len(words) BETWEEN 1 AND {SHINGLE_K - 1}
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(isz / (sa.n + sb.n - isz), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE isz / (sa.n + sb.n - isz) >= {JACCARD_THRESHOLD}
+"""
 
 
 def _shingles(text: str, k: int = SHINGLE_K) -> set[int]:
@@ -103,115 +219,158 @@ def minhash_signature(text: str) -> np.ndarray:
     return prods.min(axis=1)
 
 
-class MinhashBands:
-    """Actor-pool stage: doc → (band_id, band_hash, pair_bucket, doc_id)
-    rows. ``pair_bucket`` (crc32 of the band hash) is the shuffle key — a
+def minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """Task-stage UDF: doc → (band_id, band_hash, pair_bucket, doc_id) rows.
+    ``pair_bucket`` (crc32 of the band hash) is the shuffle key — a
     fixed-cardinality partition of the band space, so the downstream groupby
     has O(buckets) groups however many docs there are."""
-
-    NUM_PAIR_BUCKETS = 64
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-
-        doc_ids, band_ids, band_hashes, buckets = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = minhash_signature(text)
-            for b in range(N_BANDS):
-                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                h = hashlib.md5(band.tobytes()).hexdigest()[:16]
-                doc_ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(h)
-                buckets.append(zlib.crc32(h.encode()) % self.NUM_PAIR_BUCKETS)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-                "pair_bucket": pa.array(buckets, pa.int32()),
-            }
-        )
+    doc_ids, band_ids, band_hashes, buckets = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sig = minhash_signature(text)
+        for b in range(N_BANDS):
+            band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            h = hashlib.md5(band.tobytes()).hexdigest()[:16]
+            doc_ids.append(doc_id)
+            band_ids.append(b)
+            band_hashes.append(h)
+            buckets.append(zlib.crc32(h.encode()) % NUM_PAIR_BUCKETS)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+            "pair_bucket": pa.array(buckets, pa.int32()),
+        }
+    )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs for every (band_id, band_hash) bucket in one hash
     partition; only buckets with ≥2 docs contribute (the rare case, so the
-    inner loop touches almost nothing)."""
+    inner loop touches almost nothing). Buckets bigger than GRAM_DF_CAP are
+    skipped — a degenerate band shared by f docs would emit f(f-1)/2 pairs."""
     a, b = [], []
     sizes = group.groupby(["band_id", "band_hash"], sort=False)["doc_id"]
     for _, ids_s in sizes:
         if len(ids_s) < 2:
             continue
         ids = sorted(ids_s.unique())
+        if len(ids) > GRAM_DF_CAP:
+            continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
                 b.append(ids[j])
-    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")})
+    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _candidate_shingles(docs_path: str, ids_ref):
+    """Dataset of (doc_id, payload=shingle set as uint64-LE bytes) for the
+    candidate docs only — a distributed filtered read, never a driver load."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = resolve_broadcast(ids_ref)
+        mask = pc.is_in(batch["doc_id"], value_set=pa.array(ids, pa.int64()))
+        t = batch.filter(mask)
+        payloads = [
+            np.fromiter(_shingles(txt), dtype=np.uint64).tobytes()
+            for txt in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(shingle_rows, batch_format="pyarrow")
 
 
 def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — fully distributed.
 
-    Verification broadcasts the shingle sets of *candidate* docs only (the
-    candidate set is tiny relative to the corpus by construction)."""
-    import ray
+    Verification topology (no corpus read on the driver):
+      1. band rows → bucketed groupby → candidate pairs → pair-key dedup
+      2. the candidate *id set* (ints only, O(near-dup pairs)) broadcasts
+         into a filter stage that recomputes shingles for candidate docs
+      3. two bucketed map-side joins attach both docs' shingle sets to each
+         pair; exact Jaccard + threshold filter inside the join groups
+    """
     import ray.data as rd
+    from ray.data.aggregate import Count
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
-    bands = ds.map_batches(MinhashBands, batch_format="pyarrow", concurrency=(1, 4))
-    pairs = bands.groupby("pair_bucket").map_groups(_bucket_pairs, batch_format="pandas")
+    bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+    raw_pairs = bands.groupby("pair_bucket").map_groups(_bucket_pairs, batch_format="pandas")
+    # global pair dedup (one pair can collide in several bands); the pair set
+    # is small by construction, so this groupby is cheap — materialize it so
+    # the id-set scan below and the join don't re-run the LSH
+    pairs = (
+        raw_pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
+        .materialize()
+    )
 
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    id_set: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        id_set.update(b["doc_a"].to_pylist())
+        id_set.update(b["doc_b"].to_pylist())
+    if not id_set:
+        return _empty_pairs_table()
+    ids_ref = put_broadcast(np.array(sorted(id_set), dtype=np.int64))
 
-    pairs = pairs.map_batches(dedup_pairs, batch_format="pyarrow")
+    shingles = _candidate_shingles(docs_path, ids_ref).materialize()  # candidates only: small
 
-    candidate_rows = pairs.take_all()  # candidate pair set is small by design
-    if not candidate_rows:
+    pair_fields = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    with_a = _bucketed_attach(pairs, shingles, "doc_a", pa.large_binary(), "sh_a", pair_fields)
+    with_ab = _bucketed_attach(
+        with_a, shingles, "doc_b", pa.large_binary(), "sh_b",
+        pair_fields + [("sh_a", pa.large_binary())],
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da, db = batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a, b, ba, bb in zip(da, db, batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+            sa = np.frombuffer(ba or b"", dtype=np.uint64)
+            sb = np.frombuffer(bb or b"", dtype=np.uint64)
+            isz = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - isz
+            j = (isz / union) if union else 0.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 4))
         return pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
-    cand = pd.DataFrame(candidate_rows).drop_duplicates(["doc_a", "doc_b"])
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
 
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
-    texts = {
-        d: t
-        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-        if d in needed
-    }
-    sh = {d: _shingles(t) for d, t in texts.items()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(zip(cand["doc_a"], cand["doc_b"])):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 4))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ ngram jaccard
 
 NGRAM_N = 5
+GRAM_DF_CAP = 1000  # grams in more docs than this carry no near-dup signal
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH w AS (
@@ -224,10 +383,12 @@ g AS (
   FROM w, UNNEST(range(1, len(words) - {NGRAM_N - 2})) AS t(i)
 ),
 gd AS (SELECT DISTINCT doc_id, gram FROM g),
-sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+df AS (SELECT gram FROM gd GROUP BY gram HAVING count(*) <= {GRAM_DF_CAP}),
+gdc AS (SELECT gd.* FROM gd JOIN df USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS n FROM gdc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
-  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM gdc a JOIN gdc b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, round(isz / (sa.n + sb.n - isz), 4) AS jaccard
@@ -243,19 +404,18 @@ def _word_ngrams(text: str, n: int = NGRAM_N) -> set[str]:
 
 
 def dedup_ngram_jaccard(sf_dir: str, num_gram_buckets: int = 64):
-    """Exact word-5-gram Jaccard over candidate pairs (docs sharing ≥1 gram).
+    """Exact word-5-gram Jaccard over candidate pairs (docs sharing ≥1 gram
+    with document frequency ≤ GRAM_DF_CAP — stop-phrase grams are dropped on
+    BOTH sides, operator and oracle, so the semantics stay hash-identical).
 
-    Topology: shingle rows (bucketed by gram hash) → per-bucket pair
-    emission per exact gram → pair-count groupby (= intersection size) →
-    jaccard against broadcast per-doc gram counts. The broadcast side is one
-    int per doc — small at any corpus size; everything heavy (the shingle
-    join) is hash-partitioned.
+    Topology: gram rows (bucketed by gram hash) → ONE bucket pass emitting
+    both pair rows and per-(doc, bucket) partial size rows → pair-count
+    groupby (= intersection) and size-sum groupby → two bucketed map-side
+    joins for the per-doc sizes → jaccard. No driver-side dict of any
+    per-doc quantity (the round-1 review's O(n_docs) scale-killer).
     """
-    import zlib
-
-    import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
@@ -276,43 +436,81 @@ def dedup_ngram_jaccard(sf_dir: str, num_gram_buckets: int = 64):
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow")
 
-    # per-doc gram counts → broadcast dict (one int per doc)
-    sizes_rows = grams.groupby("doc_id").aggregate(Count(alias_name="n")).take_all()
-    sizes = {r["doc_id"]: r["n"] for r in sizes_rows}
-    sizes_ref = ray.put(sizes) if ray.is_initialized() else sizes
-
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        a, b = [], []
+    def bucket_pass(group: pd.DataFrame) -> pd.DataFrame:
+        """All rows of each gram land in one bucket group, so per-gram doc
+        frequency is known locally: emit pair rows for grams with
+        2 ≤ df ≤ cap, and per-doc partial counts of kept (df ≤ cap) grams."""
+        pa_, pb, kinds = [], [], []
+        size_counts: dict[int, int] = {}
         for _, ids_s in group.groupby("gram", sort=False)["doc_id"]:
-            if len(ids_s) < 2:
-                continue
             ids = sorted(set(ids_s))
+            if len(ids) > GRAM_DF_CAP:
+                continue
+            for d in ids:
+                size_counts[d] = size_counts.get(d, 0) + 1
+            if len(ids) < 2:
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame(
-            {"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")}
-        )
-
-    pair_rows = grams.groupby("gram_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-    isz = pair_rows.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="isz"))
-
-    def jaccard(batch: pa.Table) -> pa.Table:
-        s = ray.get(sizes_ref) if ray.is_initialized() else sizes_ref
-        da = batch["doc_a"].to_pylist()
-        db = batch["doc_b"].to_pylist()
-        iszs = batch["isz"].to_pylist()
-        j = [round(i / (s[x] + s[y] - i), 4) for x, y, i in zip(da, db, iszs)]
+                    pa_.append(ids[i])
+                    pb.append(ids[j])
+                    kinds.append("p")
+        for d, n in size_counts.items():
+            pa_.append(d)
+            pb.append(n)
+            kinds.append("s")
         return pa.table(
             {
-                "doc_a": pa.array(da, pa.int64()),
-                "doc_b": pa.array(db, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "a": pa.array(pa_, pa.int64()),
+                "b": pa.array(pb, pa.int64()),
+            }
+        )
+
+    # edges = pair rows + size partials from ONE pass over the gram shuffle;
+    # materialized because two downstream aggregations consume it (bounded:
+    # O(pairs) + O(docs × touched buckets) small rows)
+    edges = grams.groupby("gram_bucket").map_groups(bucket_pass, batch_format="pandas").materialize()
+
+    def take_pairs(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["kind"], "p"))
+        return pa.table({"doc_a": p["a"], "doc_b": p["b"]})
+
+    def take_sizes(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["kind"], "s"))
+        return pa.table({"doc_id": s["a"], "n_part": s["b"]})
+
+    isz = (
+        edges.map_batches(take_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="isz"))
+    )
+    sizes = (
+        edges.map_batches(take_sizes, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_part", alias_name="payload"))
+    )
+
+    pair_fields = [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("isz", pa.int64())]
+    with_a = _bucketed_attach(isz, sizes, "doc_a", pa.int64(), "n_a", pair_fields)
+    with_ab = _bucketed_attach(
+        with_a, sizes, "doc_b", pa.int64(), "n_b", pair_fields + [("n_a", pa.int64())]
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch["isz"].to_pylist(), dtype=np.float64)
+        na = np.asarray(batch["n_a"].to_pylist(), dtype=np.float64)
+        nb = np.asarray(batch["n_b"].to_pylist(), dtype=np.float64)
+        j = [round(v, 4) for v in (i / (na + nb - i))]
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].cast(pa.int64()),
+                "doc_b": batch["doc_b"].cast(pa.int64()),
                 "jaccard": pa.array(j, pa.float64()),
             }
         )
 
-    return isz.map_batches(jaccard, batch_format="pyarrow")
+    return with_ab.map_batches(jaccard, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -349,6 +547,7 @@ def dedup_simhash(sf_dir: str):
 # ---------------------------------------------------------------- embedding
 
 EMBED_COS_THRESHOLD = 0.3
+EMBED_CELL_CAP = 4096  # rows per block in the all-pairs matmul
 
 DEDUP_EMBEDDING_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -361,31 +560,89 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-def _embed_group_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = group["vec_id"].to_numpy()
-    mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    sims = (mat @ mat.T) / np.outer(norms, norms)
-    iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] >= EMBED_COS_THRESHOLD
-    a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+def _embed_block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """All qualifying cosine pairs within one (label, chunk_i, chunk_j) block.
+
+    chunk_i == chunk_j → upper-triangle pairs inside the chunk; otherwise the
+    full cross product chunk_i × chunk_j. Because the chunks partition each
+    label and blocks enumerate i ≤ j exactly once, the union over blocks is
+    exactly the label's all-pairs set — same output as an uncapped group."""
+    ci = int(group["__ci"].iloc[0])
+    cj = int(group["__cj"].iloc[0])
+    left = group[group["__chunk"] == ci]
+    ids_l = left["vec_id"].to_numpy()
+    mat_l = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+    norms_l = np.linalg.norm(mat_l, axis=1)
+    norms_l[norms_l == 0] = 1.0
+    if ci == cj:
+        sims = (mat_l @ mat_l.T) / np.outer(norms_l, norms_l)
+        iu = np.triu_indices(len(ids_l), k=1)
+        mask = sims[iu] >= EMBED_COS_THRESHOLD
+        a, b = ids_l[iu[0][mask]], ids_l[iu[1][mask]]
+        vals = sims[iu][mask]
+    else:
+        right = group[group["__chunk"] == cj]
+        ids_r = right["vec_id"].to_numpy()
+        mat_r = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        norms_r = np.linalg.norm(mat_r, axis=1)
+        norms_r[norms_r == 0] = 1.0
+        sims = (mat_l @ mat_r.T) / np.outer(norms_l, norms_r)
+        ii, jj = np.nonzero(sims >= EMBED_COS_THRESHOLD)
+        a, b = ids_l[ii], ids_r[jj]
+        vals = sims[ii, jj]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "vec_a": pd.Series(lo, dtype="int64"),
-            "vec_b": pd.Series(hi, dtype="int64"),
-            "cos_sim": np.round(sims[iu][mask], 4),
+            "vec_a": pa.array(lo.astype(np.int64)),
+            "vec_b": pa.array(hi.astype(np.int64)),
+            "cos_sim": pa.array(np.round(vals, 4), pa.float64()),
         }
     )
 
 
-def dedup_embedding(sf_dir: str):
+def dedup_embedding(sf_dir: str, cell_cap: int = EMBED_CELL_CAP):
     """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
-    bucketing: at scale the blocking key is a coarse quantizer cell)."""
+    bucketing: at scale the blocking key is a coarse quantizer cell).
+
+    Labels bigger than ``cell_cap`` split into √-scaled chunks and every
+    chunk-pair (i ≤ j) becomes its own group — a hot label no longer pins an
+    unbounded all-pairs matmul (and its whole vector set) on one reducer.
+    Label cardinality is bounded by the quantizer, so the per-label count
+    poll is O(#labels) driver memory, broadcast back as the chunk map."""
     import ray.data as rd
+    from ray.data.aggregate import Count
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding", "label"]
     )
-    return ds.groupby("label").map_groups(_embed_group_pairs, batch_format="pandas")
+
+    counts = ds.groupby("label").aggregate(Count(alias_name="n")).take_all()
+    n_chunks = {r["label"]: max(1, -(-int(r["n"]) // cell_cap)) for r in counts}
+    chunks_ref = put_broadcast(n_chunks)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        m = resolve_broadcast(chunks_ref)
+        labels = batch["label"].to_pylist()
+        vec_ids = batch["vec_id"].to_pylist()
+        idx, blocks, cis, cjs, chunks = [], [], [], [], []
+        for row, (lab, vid) in enumerate(zip(labels, vec_ids)):
+            k = m.get(lab, 1)
+            c = int(vid) % k
+            for other in range(k):
+                i, j = (c, other) if c <= other else (other, c)
+                idx.append(row)
+                blocks.append(f"{lab}|{i}|{j}")
+                cis.append(i)
+                cjs.append(j)
+                chunks.append(c)
+        t = batch.take(pa.array(idx, pa.int64()))
+        return (
+            t.append_column("__block", pa.array(blocks, pa.string()))
+            .append_column("__ci", pa.array(cis, pa.int32()))
+            .append_column("__cj", pa.array(cjs, pa.int32()))
+            .append_column("__chunk", pa.array(chunks, pa.int32()))
+        )
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    pairs = expanded.groupby("__block").map_groups(_embed_block_pairs, batch_format="pandas")
+    return pairs

@@ -74,14 +74,14 @@ def _partial_topk(query_ids, sims, vec_ids):
     )
 
 
-def _merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+def _merge_topk(group: pd.DataFrame) -> pa.Table:
     g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(TOP_K)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "query_id": g["query_id"].astype("int64"),
-            "vec_id": g["vec_id"].astype("int64"),
-            "rank": pd.Series(range(1, len(g) + 1), dtype="int64").values,
-            "cos_sim": np.round(g["sim"].to_numpy(), 4),
+            "query_id": pa.array(g["query_id"].astype("int64")),
+            "vec_id": pa.array(g["vec_id"].astype("int64")),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+            "cos_sim": pa.array(np.round(g["sim"].to_numpy(), 4), pa.float64()),
         }
     )
 

@@ -118,18 +118,21 @@ def canonicalize_skew_aware(ds, num_buckets: int = 64, dedup_partitions: int = 2
     import pyarrow as pa
 
     def add_triple_bucket(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        keys = zip(
-            batch["subj"].to_pylist(),
-            batch["pred"].to_pylist(),
-            batch["obj_kind"].to_pylist(),
-            batch["obj_value"].to_pylist(),
+        # vectorized: Arrow joins the key columns in C, pandas' deterministic
+        # (fixed-key) string hasher maps them to uint64 in C — no per-row
+        # Python loop. The bucket value only partitions (it never reaches the
+        # output), so any cross-process-deterministic hash is correct.
+        combined = pc.binary_join_element_wise(
+            pc.cast(batch["subj"], pa.string()),
+            pc.cast(batch["pred"], pa.string()),
+            pc.cast(batch["obj_kind"], pa.string()),
+            pc.cast(batch["obj_value"], pa.string()),
+            "\x1f",
         )
-        buckets = np.fromiter(
-            (zlib.crc32("\x1f".join(k).encode("utf-8", "surrogatepass")) % dedup_partitions for k in keys),
-            dtype=np.int32,
-            count=n,
-        )
+        if isinstance(combined, pa.ChunkedArray):
+            combined = combined.combine_chunks()
+        h = pd.util.hash_array(combined.to_numpy(zero_copy_only=False), categorize=False)
+        buckets = (h % np.uint64(dedup_partitions)).astype(np.int32)
         return batch.append_column("triple_bucket", pa.array(buckets, pa.int32()))
 
     def dedup_only(group: pd.DataFrame) -> pd.DataFrame:

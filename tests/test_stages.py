@@ -187,3 +187,41 @@ def test_skew_aware_canonicalize_matches_plain(ray_session):
     assert a.equals(b)
     # dedup really happened: 7*50 distinct hot triples + 500 conv triples
     assert len(a) == 7 * 50 + 500
+
+
+def test_embedding_cell_cap_equivalence(ray_session, tmp_path):
+    """A hot label split into capped block-pairs must emit exactly the same
+    near-dup pairs as the uncapped all-pairs group (VERDICT r1 item 7)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_xml_ex_ray.pipelines.dedup import dedup_embedding
+
+    rng = np.random.RandomState(7)
+    n_hot, n_cold, dim = 40, 20, 8
+    base = rng.randn(dim)
+    vecs, labels = [], []
+    for i in range(n_hot):  # hot label: many near-dups of one direction
+        vecs.append((base + 0.3 * rng.randn(dim)).tolist())
+        labels.append("hot")
+    for i in range(n_cold):
+        vecs.append(rng.randn(dim).tolist())
+        labels.append(f"cold{i % 3}")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_hot + n_cold), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            "label": pa.array(labels, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    capped = dedup_embedding(str(tmp_path), cell_cap=8).to_pandas()
+    uncapped = dedup_embedding(str(tmp_path), cell_cap=10**9).to_pandas()
+    key = ["vec_a", "vec_b"]
+    a = capped.sort_values(key).reset_index(drop=True)
+    b = uncapped.sort_values(key).reset_index(drop=True)
+    assert len(a) > 50  # the hot label really produces pairs
+    assert a[key].equals(b[key])
+    assert np.allclose(a["cos_sim"], b["cos_sim"], atol=1e-9)
