@@ -65,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_entities": oracle.KG_TOP_ENTITIES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
+        "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
@@ -74,7 +75,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,
-        # dedup_simhash / ann_ivf_topk: the remaining rows-only checks —
-        # simhash is SQL-expressible in principle (md5 bit arithmetic) and
-        # ivf depends on float centroid refinement; both pytest-pinned.
+        # ann_ivf_topk is the one remaining rows-only check: its coarse
+        # quantizer is a float Lloyd refinement (not SQL-expressible at
+        # hash precision); pytest pins its recall against brute force.
     }

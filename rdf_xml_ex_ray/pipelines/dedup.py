@@ -515,6 +515,41 @@ def dedup_ngram_jaccard(sf_dir: str, num_gram_buckets: int = 64):
 
 # ---------------------------------------------------------------- simhash
 
+# SQL twin of simhash64. The Python packbits/unpackbits index shuffling is a
+# bijection on bit positions, so the whole sketch reduces to a per-bit-position
+# majority vote over the word hashes: bit p of the simhash = (Σ_words ±1 for
+# bit p of md5-LE-uint64(word)) > 0. The hex gymnastics below build that
+# little-endian uint64 from DuckDB's md5 hex string byte-pair by byte-pair.
+DEDUP_SIMHASH_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(word),15,2) || substr(md5(word),13,2) || substr(md5(word),11,2) ||
+     substr(md5(word),9,2)  || substr(md5(word),7,2)  || substr(md5(word),5,2)  ||
+     substr(md5(word),3,2)  || substr(md5(word),1,2))::UBIGINT AS hv
+  FROM w
+),
+bits AS (
+  SELECT doc_id, p, sum(CASE WHEN (hv >> p) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(range(0,64)) AS t(p)
+  GROUP BY doc_id, p
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << CAST(p AS INTEGER))::HUGEINT ELSE 0 END)
+              AS UBIGINT) AS si
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       lower(lpad(hex(coalesce(sh.si, 0)), 16, '0')) AS simhash,
+       CAST(coalesce(sh.si, 0) >> 48 AS BIGINT) AS bucket16
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+"""
+
+
 def simhash64(text: str) -> int:
     v = np.zeros(64, dtype=np.int64)
     for w in text.split():
