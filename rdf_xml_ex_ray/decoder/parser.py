@@ -612,10 +612,11 @@ def parse_rdfxml(
 
 def parse_rdfxml_stream(chunks, base: str | None = None, bnode_prefix: str = "b") -> Graph:
     """Decode an iterable of str/bytes chunks (``decode_from_stream``
-    analogue, decoder.ex:52-53). In this engine a document is one bounded
-    row, so chunked input is only an API convenience: chunks are joined and
-    parsed in one pass — Ray Data's streaming executor provides the
-    between-document streaming the reference's SAX loop provided
-    within-document."""
-    parts = [c.decode("utf-8") if isinstance(c, (bytes, bytearray)) else c for c in chunks]
-    return parse_rdfxml("".join(parts), base=base, bnode_prefix=bnode_prefix)
+    analogue, decoder.ex:52-53) — truly incremental: expat push-parses the
+    chunks and each completed top-level description is walked through the
+    grammar then pruned, so memory is O(largest description), never O(doc).
+    See decoder/streaming.py (``iter_parse_rdfxml`` additionally bounds the
+    output side by yielding triple batches)."""
+    from .streaming import stream_parse_rdfxml
+
+    return stream_parse_rdfxml(chunks, base=base, bnode_prefix=bnode_prefix)

@@ -21,51 +21,167 @@ from ..decoder.parser import parse_rdfxml
 from ..stages.parse import PARSE_OUT_SCHEMA
 
 
-def read_rdfxml(paths, base: str | None = None, bnode_prefix: str = "b"):
-    """Directory/glob of .rdf files → Dataset of triple rows (+ doc lineage).
+# Above this size a file decodes via the incremental parser (expat +
+# per-description pruning, decoder/streaming.py) instead of the tree parser:
+# the tree/string overhead of a whole-document parse is a small multiple of
+# the file size, so a multi-GB ontology dump must never take that path.
+STREAMING_THRESHOLD = 8 * 1024 * 1024
+FEED_CHUNK = 1 << 22  # 4 MiB expat feed granularity
+ROWS_PER_OUTPUT_BATCH = 50_000
 
-    Blank-node labels are namespaced per file (``{path-stem}!{prefix}{n}``) so
-    the union over files stays globally collision-free — same scheme as the
-    per-conversation allocation in the flagship.
-    """
-    import ray.data as rd
 
-    ds = rd.read_binary_files(paths, include_paths=True)
+def _doc_id_for(path: str) -> str:
+    # doc_id must be collision-free across the whole input set: two files
+    # with the same basename in different directories (a/x.rdf, b/x.rdf)
+    # must NOT share blank-node namespaces or lineage — so the full path is
+    # folded in via a crc32 suffix
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return f"{stem}-{zlib.crc32(path.encode('utf-8')):08x}"
 
-    def decode_batch(batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {name: [] for name in PARSE_OUT_SCHEMA.names}
 
-        def emit(s_kind, s_val, pred, o_kind, o_val, o_lang, o_dt, doc_id, err):
+class _RowSink:
+    """Accumulates triple rows and yields PARSE_OUT_SCHEMA tables in bounded
+    batches (generator-UDF plumbing shared by the two sources below)."""
+
+    def __init__(self):
+        self.cols: dict[str, list] = {name: [] for name in PARSE_OUT_SCHEMA.names}
+        self.n = 0
+
+    def emit_triples(self, triples, doc_id: str):
+        cols = self.cols
+        for s, p, o in triples:
+            s_kind, s_val, _, _ = term_to_row(s)
+            o_kind, o_val, o_lang, o_dt = term_to_row(o)
             cols["subj"].append(s_val)
             cols["subj_kind"].append(s_kind)
-            cols["pred"].append(pred)
+            cols["pred"].append(str(p))
             cols["obj_kind"].append(o_kind)
             cols["obj_value"].append(o_val)
             cols["obj_lang"].append(o_lang)
             cols["obj_datatype"].append(o_dt)
             cols["conv_id"].append(doc_id)
-            cols["error"].append(err)
+            cols["error"].append(None)
+        self.n += len(triples)
 
+    def emit_error(self, doc_id: str, err: str):
+        cols = self.cols
+        for name in PARSE_OUT_SCHEMA.names:
+            cols[name].append(None)
+        cols["conv_id"][-1] = doc_id
+        cols["error"][-1] = err
+        self.n += 1
+
+    def table(self) -> pa.Table:
+        t = pa.table(self.cols, schema=PARSE_OUT_SCHEMA)
+        self.cols = {name: [] for name in PARSE_OUT_SCHEMA.names}
+        self.n = 0
+        return t
+
+
+def read_rdfxml(
+    paths,
+    base: str | None = None,
+    bnode_prefix: str = "b",
+    streaming_threshold: int = STREAMING_THRESHOLD,
+):
+    """Directory/glob of .rdf files → Dataset of triple rows (+ doc lineage).
+
+    Blank-node labels are namespaced per file (``{stem}-{pathhash}!{prefix}{n}``)
+    so the union over files stays globally collision-free — same scheme as the
+    per-conversation allocation in the flagship.
+
+    Files above ``streaming_threshold`` decode through the incremental parser
+    and the UDF *yields* output batches as descriptions complete, so worker
+    memory is O(file bytes + one output batch), not O(parse tree). (For such
+    a file a mid-document syntax error still appends a rejects row, but
+    batches already yielded stand — global set semantics are restored by the
+    canonicalization stage, as everywhere else.)
+    """
+    import ray.data as rd
+
+    from ..decoder.streaming import iter_parse_rdfxml
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def decode_batch(batch: pa.Table):
+        sink = _RowSink()
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            # doc_id must be collision-free across the whole input set: two
-            # files with the same basename in different directories (a/x.rdf,
-            # b/x.rdf) must NOT share blank-node namespaces or lineage — so
-            # the full path is folded in via a crc32 suffix
-            stem = os.path.splitext(os.path.basename(path))[0]
-            doc_id = f"{stem}-{zlib.crc32(path.encode('utf-8')):08x}"
+            doc_id = _doc_id_for(path)
             doc_base = base if base is not None else f"file://{path}"
-            try:
-                graph = parse_rdfxml(data, base=doc_base, bnode_prefix=f"{doc_id}!{bnode_prefix}")
-            except ParseError as e:
-                emit(None, None, None, None, None, None, None, doc_id, str(e))
-                continue
-            for s, p, o in graph:
-                s_kind, s_val, _, _ = term_to_row(s)
-                o_kind, o_val, o_lang, o_dt = term_to_row(o)
-                emit(s_kind, s_val, str(p), o_kind, o_val, o_lang, o_dt, doc_id, None)
-        return pa.table(cols, schema=PARSE_OUT_SCHEMA)
+            bp = f"{doc_id}!{bnode_prefix}"
+            if len(data) > streaming_threshold:
+                mv = memoryview(data)
+                chunks = (bytes(mv[i : i + FEED_CHUNK]) for i in range(0, len(mv), FEED_CHUNK))
+                try:
+                    for triples in iter_parse_rdfxml(chunks, base=doc_base, bnode_prefix=bp):
+                        sink.emit_triples(triples, doc_id)
+                        if sink.n >= ROWS_PER_OUTPUT_BATCH:
+                            yield sink.table()
+                except ParseError as e:
+                    sink.emit_error(doc_id, str(e))
+            else:
+                try:
+                    sink.emit_triples(parse_rdfxml(data, base=doc_base, bnode_prefix=bp), doc_id)
+                except ParseError as e:
+                    sink.emit_error(doc_id, str(e))
+            if sink.n >= ROWS_PER_OUTPUT_BATCH:
+                yield sink.table()
+        yield sink.table()
 
     return ds.map_batches(decode_batch, batch_format="pyarrow")
+
+
+def read_rdfxml_streamed(
+    paths: list[str],
+    base: str | None = None,
+    bnode_prefix: str = "b",
+    feed_chunk: int = FEED_CHUNK,
+):
+    """Constant-memory variant of :func:`read_rdfxml` for very large files:
+    one task per file, the file is read in ``feed_chunk`` slices through
+    ``pyarrow.fs`` (local or remote URI) and fed straight into the
+    incremental parser — at no point do the file bytes, the parse tree, or
+    the triple set exist whole in memory. Worker RSS is O(feed chunk +
+    largest description + one output batch)."""
+    import ray.data as rd
+
+    from ..decoder.streaming import iter_parse_rdfxml
+
+    def decode_paths(batch: pa.Table):
+        from pyarrow import fs as pafs
+
+        for path in batch["path"].to_pylist():
+            doc_id = _doc_id_for(path)
+            doc_base = base if base is not None else f"file://{path}"
+            filesystem, fs_path = pafs.FileSystem.from_uri(
+                path if "://" in path else os.path.abspath(path)
+            )
+            sink = _RowSink()
+
+            def chunk_iter():
+                with filesystem.open_input_stream(fs_path) as f:
+                    while True:
+                        data = f.read(feed_chunk)
+                        if not data:
+                            return
+                        yield data
+
+            try:
+                for triples in iter_parse_rdfxml(
+                    chunk_iter(), base=doc_base, bnode_prefix=f"{doc_id}!{bnode_prefix}"
+                ):
+                    sink.emit_triples(triples, doc_id)
+                    if sink.n >= ROWS_PER_OUTPUT_BATCH:
+                        yield sink.table()
+            except ParseError as e:
+                sink.emit_error(doc_id, str(e))
+            yield sink.table()
+
+    items = rd.from_items([{"path": p} for p in paths])
+    # one file per task: each path's decode is sequential by nature, so the
+    # parallel unit is the file (override_num_blocks at from_items default
+    # already splits items one-per-block for small lists)
+    return items.map_batches(decode_paths, batch_format="pyarrow", batch_size=1)
 
 
 def write_rdfxml(
