@@ -78,6 +78,34 @@ class Graph:
         return [t for t in self._triples if t[0] == subject]
 
 
+class MultiGraph:
+    """Append-only triple collector — the parse-stage fast path.
+
+    Set semantics (``Graph``) cost a dict insert + full triple hash per
+    emitted triple; pipelines that canonicalize downstream (per-bucket
+    dedup+sort restores set semantics globally anyway) skip that by parsing
+    into this collector instead. Same read API as ``Graph``."""
+
+    __slots__ = ("_triples", "base_iri", "prefixes")
+
+    def __init__(self, base_iri: str | None = None):
+        self._triples: list[Triple] = []
+        self.base_iri = base_iri
+        self.prefixes: dict[str | None, str] = {}
+
+    def add(self, triple: Triple) -> None:
+        self._triples.append(triple)
+
+    def __iter__(self) -> Iterator[Triple]:
+        return iter(self._triples)
+
+    def __len__(self) -> int:
+        return len(self._triples)
+
+    def triples(self) -> list[Triple]:
+        return list(self._triples)
+
+
 def term_to_row(term) -> tuple[str, str, str | None, str | None]:
     """→ (kind, value, lang, datatype) for the Arrow triple layout."""
     if isinstance(term, Literal):

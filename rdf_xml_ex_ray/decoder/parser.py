@@ -25,7 +25,7 @@ state function-local, so it runs embarrassingly parallel inside
 
 from __future__ import annotations
 
-from ..core.model import Graph
+from ..core.model import Graph, MultiGraph
 from ..core.terms import (
     CORE_SYNTAX_TERMS,
     OLD_TERMS,
@@ -130,10 +130,23 @@ class ElemCtx:
         if parent is None:
             lang = None
 
+        # Fast path: no attributes at all (most property elements) — skip
+        # both classification passes
+        if not xml_el.attrs:
+            self.ns = ns
+            self.base = base
+            self.lang = lang
+            self.uri = self._qname_uri(xml_el.qname)
+            u = str.__str__(self.uri)
+            self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
+            self.rdf = {}
+            self.prop_attrs = {}
+            return
+
         # Pass 1: xml:lang / xml:base / xmlns declarations (element_node.ex:94-111)
         plain_attrs: list[tuple[str, str]] = []
         own_ns: dict[str | None, str] | None = None
-        for name, value in xml_el.attrs if xml_el.attrs else ():
+        for name, value in xml_el.attrs:
             if name == "xml:lang":
                 lang = value or None
             elif name == "xml:base":
@@ -267,8 +280,12 @@ class ElemCtx:
 
 
 class _DocParser:
-    def __init__(self, base: str | None, bnode_prefix: str):
-        self.graph = Graph(base_iri=normalize_base_uri(base))
+    def __init__(self, base: str | None, bnode_prefix: str, unique: bool = True):
+        # unique=False parses into an append-only MultiGraph — no per-triple
+        # set insert/hash; for pipeline paths whose downstream per-bucket
+        # canonicalization restores set semantics anyway (stages/parse.py)
+        cls = Graph if unique else MultiGraph
+        self.graph = cls(base_iri=normalize_base_uri(base))
         self.bnodes = BnodeGen(bnode_prefix)
         self.rdf_ids: set[str] = set()
 
@@ -599,15 +616,16 @@ def parse_rdfxml(
     source: str | bytes,
     base: str | None = None,
     bnode_prefix: str = "b",
+    unique: bool = True,
 ) -> Graph:
     """Decode one RDF/XML document to a ``Graph`` (decoder.ex:42-61).
 
     Raises ``ParseError`` on any syntax violation (the negative-case
     surface); callers in the Ray stages catch it and route the document to
-    the rejects side-channel.
-    """
+    the rejects side-channel. ``unique=False`` returns a ``MultiGraph``
+    (duplicates kept — cheaper; see _DocParser)."""
     root = parse_xml(source)
-    return _DocParser(base, bnode_prefix).parse_doc(root)
+    return _DocParser(base, bnode_prefix, unique=unique).parse_doc(root)
 
 
 def parse_rdfxml_stream(chunks, base: str | None = None, bnode_prefix: str = "b") -> Graph:

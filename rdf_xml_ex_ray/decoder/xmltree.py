@@ -52,7 +52,7 @@ def parse_xml(data: str | bytes) -> XmlElement:
     stack: list[XmlElement] = []
 
     def start(name: str, attr_list: list):
-        attrs = [(attr_list[i], attr_list[i + 1]) for i in range(0, len(attr_list), 2)]
+        attrs = list(zip(attr_list[::2], attr_list[1::2])) if attr_list else attr_list
         el = XmlElement(name, attrs)
         if stack:
             stack[-1].children.append(el)

@@ -52,7 +52,10 @@ class ParseDocs:
 
         for doc, doc_id in zip(docs, ids):
             try:
-                graph = parse_rdfxml(doc, base=self.base, bnode_prefix=f"{doc_id}!b")
+                # unique=False: skip per-triple set inserts — every consumer
+                # of this stage canonicalizes (per-bucket dedup+sort), which
+                # restores set semantics globally
+                graph = parse_rdfxml(doc, base=self.base, bnode_prefix=f"{doc_id}!b", unique=False)
             except ParseError as e:
                 subj.append(None)
                 subj_kind.append(None)

@@ -1,0 +1,62 @@
+"""Checkpoint-resumable store job: fresh run, clean resume, and the
+crash-resume case ADVICE r1 flagged — a rerun after a mid-write crash must
+not read stale partial files from the crashed attempt."""
+
+import json
+import os
+
+
+def test_kg_job_fresh_and_resume(ray_session, tmp_path):
+    from rdf_xml_ex_ray.pipelines.kg import run_kg_job
+
+    out = str(tmp_path / "store")
+    lineage = run_kg_job("/root/testdata/sf0.001", out, num_buckets=8)
+    assert lineage["n_triples"] > 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert len(lineage["partitions"]) > 0
+
+    # resume after success: returns the recorded lineage without recompute
+    again = run_kg_job("/root/testdata/sf0.001", out, num_buckets=8)
+    assert again == lineage
+
+
+def test_kg_job_crash_resume_discards_stale_partials(ray_session, tmp_path):
+    """Simulate a crash mid-stage-2: job _SUCCESS absent, stage dirs hold
+    leftover files from the dead attempt. The rerun must clear them — parquet
+    writes append, so stale partials would silently duplicate triples."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_xml_ex_ray.pipelines.kg import run_kg_job
+
+    out = str(tmp_path / "store")
+    clean = run_kg_job("/root/testdata/sf0.001", out, num_buckets=8)
+
+    # crash simulation: drop the success markers, plant a stale triples file
+    os.remove(os.path.join(out, "_SUCCESS"))
+    stale_dir = os.path.join(out, "triples", "subj_bucket=0")
+    os.makedirs(stale_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "subj": ["http://stale/x"],
+                "subj_kind": ["iri"],
+                "pred": ["http://stale/p"],
+                "obj_kind": ["literal"],
+                "obj_value": ["stale row from crashed attempt"],
+                "obj_lang": [None],
+                "obj_datatype": [None],
+                "conv_id": ["stale"],
+            }
+        ),
+        os.path.join(stale_dir, "zz-stale.parquet"),
+    )
+
+    resumed = run_kg_job("/root/testdata/sf0.001", out, num_buckets=8)
+    assert resumed["n_triples"] == clean["n_triples"], "stale partials leaked into the store"
+
+    import ray.data as rd
+
+    store = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    assert "http://stale/x" not in set(store["subj"])
+    assert len(store) == clean["n_triples"]
