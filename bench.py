@@ -104,28 +104,33 @@ def run_bench() -> dict:
     return result
 
 
+def _run_level(ncpu: int, replicas: int | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if replicas is not None:
+        env["GRAFT_BENCH_REPLICAS"] = str(replicas)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
-    """Same input, fresh ray.init per level; two N-vs-4N pairs.
+    """Strong scaling: same input, fresh ray.init per level; every N-vs-4N
+    pair among the levels is reported.
 
-    2→8 evidences the pipeline's parallel scalability below this single
-    box's shared memory-bandwidth saturation (a real 4×-node cluster shards
-    bandwidth with the nodes); 8→32 is additionally reported for the full
-    core range of the machine.
+    Single-box caveat (measured, see BASELINE.md): per-task compute slows
+    ~1.45× going 16→32 concurrent workers (all-core turbo / shared memory
+    bandwidth — a multiprocessing control of the identical stage function
+    shows it with no Ray involved). A real 4×-node cluster shards that
+    ceiling with the nodes; the lower pairs (2→8, 4→16) sit below it and
+    evidence the pipeline's own scalability.
     """
-
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
     levels = [int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")]
-    results = {n: run(n) for n in levels}
+    results = {n: _run_level(n) for n in levels}
     tp = {n: results[n]["triples_per_sec"] for n in levels}
     out = {
         "metric": "throughput scaling efficiency (N vs 4N CPUs, same input)",
@@ -143,8 +148,32 @@ def run_scaling() -> dict:
     return out
 
 
+def run_scaling_weak() -> dict:
+    """Weak scaling: workload ∝ CPUs (replicas = num_cpus), fresh ray.init
+    per level — the 100 TB-relevant measure: on a fixed-size cluster each
+    node holds a constant data share, so growing the cluster grows the data
+    with it. Ideal = constant wall time; efficiency(a→4a) = wall_a/wall_4a.
+    """
+    levels = [int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")]
+    results = {n: _run_level(n, replicas=n) for n in levels}
+    out = {
+        "metric": "weak scaling efficiency (workload ∝ CPUs, N vs 4N)",
+        "sf": SF_DIR,
+    }
+    for n in levels:
+        out[f"sec_{n}"] = results[n]["value"]
+        out[f"replicas_{n}"] = results[n]["replicas"]
+        out[f"triples_per_sec_{n}"] = results[n]["triples_per_sec"]
+    pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
+    for a, b in pairs:
+        out[f"weak_efficiency_{a}_{b}"] = round(results[a]["value"] / results[b]["value"], 3)
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        print(json.dumps(run_scaling_weak()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
