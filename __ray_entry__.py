@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_id": text.lang_id,
+        "token_count": text.token_count,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         # --- streaming-shaped (partitioned ordered log) ---
@@ -72,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,
+        "token_count": text.TOKEN_COUNT_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,

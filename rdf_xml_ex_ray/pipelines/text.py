@@ -98,6 +98,52 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- tokens
+
+# BPE-ish pretokenizer (GPT-2-flavored, ASCII-safe so Python re and DuckDB
+# RE2 agree exactly): contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, whitespace runs.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+_ws_tok_pat = re.compile(r"\S+")
+_bpe_tok_pat = re.compile(_BPE_PATTERN)
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Task-stage UDF: whitespace tokens + BPE-ish pretokens per doc —
+    the per-document cost estimator every training-data pipeline needs
+    before a real tokenizer pass (the regex is the GPT-2 pretokenizer's
+    ASCII shape; a real BPE merges within these pretokens, so this is a
+    stable upper-bound proxy at ~100× the speed)."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    ws = np.fromiter((len(_ws_tok_pat.findall(t)) for t in texts), np.int64, n)
+    bpe = np.fromiter((len(_bpe_tok_pat.findall(t)) for t in texts), np.int64, n)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(ws),
+            "n_bpe_tokens": pa.array(bpe),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        }
+    )
+
+
+def token_count(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- lang_id
 
 # tiny stopword profiles per language; heuristic stopword-overlap scoring.
