@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "lang_id": text.lang_id,
         "token_count": text.token_count,
+        "doc_winnow": text.doc_winnow,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         # --- streaming-shaped (partitioned ordered log) ---
@@ -74,6 +75,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,
         "token_count": text.TOKEN_COUNT_SQL,
+        "doc_winnow": text.DOC_WINNOW_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,

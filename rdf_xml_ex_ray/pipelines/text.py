@@ -144,6 +144,84 @@ def token_count(sf_dir: str):
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- winnowing
+
+WINNOW_K = 8  # character k-gram size
+WINNOW_W = 4  # window size (Schleimer et al., MOSS winnowing)
+
+# Window minima computed over ALL gram rows first, THEN filtered to full
+# windows (WHERE before a window function would break the preceding frame).
+DOC_WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), {WINNOW_K})) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - {WINNOW_K} + 2, 2))) AS t(i)
+),
+wm0 AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS mh
+  FROM g
+),
+wm AS (
+  SELECT doc_id, mh FROM wm0 WHERE n > {WINNOW_W} AND i >= {WINNOW_W}
+  UNION ALL
+  SELECT doc_id, min(h) AS mh FROM g WHERE n <= {WINNOW_W} GROUP BY doc_id
+),
+fp AS (SELECT DISTINCT doc_id, mh FROM wm)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       md5(string_agg(mh, ',' ORDER BY mh)) AS winnow_digest
+FROM fp GROUP BY doc_id
+"""
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[str]:
+    """Winnowing fingerprint set: md5 of each char k-gram, minimum per
+    sliding window of w, deduplicated. md5 stands in for the rolling
+    Karp-Rabin hash so the DuckDB oracle can replicate it bit-exactly; at
+    100 TB the hash becomes an actual rolling polynomial (same selection
+    logic, ~20× cheaper per char)."""
+    grams = [text[i : i + k] for i in range(max(len(text) - k + 1, 1))]
+    hashes = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+    n = len(hashes)
+    if n <= w:
+        fps = {min(hashes)}
+    else:
+        fps = set()
+        lo = 0
+        for hi in range(w, n + 1):
+            fps.add(min(hashes[lo:hi]))
+            lo += 1
+    return sorted(fps)
+
+
+def doc_winnow_batch(batch: pa.Table) -> pa.Table:
+    n_fp, digests = [], []
+    for t in batch["text"].to_pylist():
+        fps = winnow_fingerprints(t)
+        n_fp.append(len(fps))
+        digests.append(hashlib.md5(",".join(fps).encode()).hexdigest())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_fingerprints": pa.array(n_fp, pa.int64()),
+            "winnow_digest": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def doc_winnow(sf_dir: str):
+    """Rolling-window document fingerprinting (winnowing): position-robust
+    near-dup signatures — two documents sharing any sufficiently long run
+    of characters share fingerprints, wherever the run sits."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(doc_winnow_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- lang_id
 
 # tiny stopword profiles per language; heuristic stopword-overlap scoring.
