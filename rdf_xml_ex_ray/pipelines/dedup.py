@@ -274,40 +274,23 @@ def _empty_pairs_table() -> pa.Table:
     )
 
 
-def _candidate_shingles(docs_path: str, ids_ref):
-    """Dataset of (doc_id, payload=shingle set as uint64-LE bytes) for the
-    candidate docs only — a distributed filtered read, never a driver load."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
-
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = resolve_broadcast(ids_ref)
-        mask = pc.is_in(batch["doc_id"], value_set=pa.array(ids, pa.int64()))
-        t = batch.filter(mask)
-        payloads = [
-            np.fromiter(_shingles(txt), dtype=np.uint64).tobytes()
-            for txt in t["text"].to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": t["doc_id"].cast(pa.int64()),
-                "payload": pa.array(payloads, pa.large_binary()),
-            }
-        )
-
-    return ds.map_batches(shingle_rows, batch_format="pyarrow")
+NUM_VERIFY_BUCKETS = 32
 
 
 def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified — fully distributed.
 
-    Verification topology (no corpus read on the driver):
-      1. band rows → bucketed groupby → candidate pairs → pair-key dedup
-      2. the candidate *id set* (ints only, O(near-dup pairs)) broadcasts
-         into a filter stage that recomputes shingles for candidate docs
-      3. two bucketed map-side joins attach both docs' shingle sets to each
-         pair; exact Jaccard + threshold filter inside the join groups
+    Verification topology (the corpus is never read on the driver):
+      1. band rows → bucketed groupby → candidate pairs → pair-key dedup.
+         The deduplicated pair list — O(near-dup pairs), two ints each, the
+         same order as the candidate-id set — broadcasts via ``ray.put``.
+      2. ONE distributed pass over the corpus: candidate docs emit their
+         shingle set (uint64-LE bytes) once per (pair, side) they serve,
+         keyed by the pair's verify bucket.
+      3. ONE groupby(verify_bucket): each group holds both shingle sets of
+         its pairs; exact Jaccard + threshold filter inside the group.
+    One shuffle of candidate shingles total (the previous two-join version
+    paid three extra dataset executions of fixed latency for the same answer).
     """
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -317,8 +300,7 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
     raw_pairs = bands.groupby("pair_bucket").map_groups(_bucket_pairs, batch_format="pandas")
     # global pair dedup (one pair can collide in several bands); the pair set
-    # is small by construction, so this groupby is cheap — materialize it so
-    # the id-set scan below and the join don't re-run the LSH
+    # is small by construction
     pairs = (
         raw_pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="__nb"))
@@ -326,35 +308,61 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         .materialize()
     )
 
-    id_set: set[int] = set()
+    # doc_id → [(verify_bucket, pair_id, side)] and per-bucket pair arrays
+    need: dict[int, list[tuple[int, int, int]]] = {}
+    bucket_pairs: dict[int, list[tuple[int, int, int]]] = {}
+    pid = 0
     for b in pairs.iter_batches(batch_format="pyarrow"):
-        id_set.update(b["doc_a"].to_pylist())
-        id_set.update(b["doc_b"].to_pylist())
-    if not id_set:
+        for a_, b_ in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            vb = pid % NUM_VERIFY_BUCKETS
+            need.setdefault(a_, []).append((vb, pid, 0))
+            need.setdefault(b_, []).append((vb, pid, 1))
+            bucket_pairs.setdefault(vb, []).append((pid, a_, b_))
+            pid += 1
+    if pid == 0:
         return _empty_pairs_table()
-    ids_ref = put_broadcast(np.array(sorted(id_set), dtype=np.int64))
+    need_ref = put_broadcast(need)
+    bp_ref = put_broadcast(bucket_pairs)
 
-    shingles = _candidate_shingles(docs_path, ids_ref).materialize()  # candidates only: small
+    def emit_candidate_shingles(batch: pa.Table) -> pa.Table:
+        nd = resolve_broadcast(need_ref)
+        vbs, pids, sides, payloads = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            targets = nd.get(doc_id)
+            if not targets:
+                continue
+            sh = np.fromiter(_shingles(text), dtype=np.uint64).tobytes()
+            for vb, p, side in targets:
+                vbs.append(vb)
+                pids.append(p)
+                sides.append(side)
+                payloads.append(sh)
+        return pa.table(
+            {
+                "vb": pa.array(vbs, pa.int32()),
+                "pid": pa.array(pids, pa.int64()),
+                "side": pa.array(sides, pa.int32()),
+                "sh": pa.array(payloads, pa.large_binary()),
+            }
+        )
 
-    pair_fields = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-    with_a = _bucketed_attach(pairs, shingles, "doc_a", pa.large_binary(), "sh_a", pair_fields)
-    with_ab = _bucketed_attach(
-        with_a, shingles, "doc_b", pa.large_binary(), "sh_b",
-        pair_fields + [("sh_a", pa.large_binary())],
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        da, db = batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+    def verify_bucket(group: pd.DataFrame) -> pa.Table:
+        bp = resolve_broadcast(bp_ref)
+        vb = int(group["vb"].iloc[0])
+        sh_by = {
+            (int(p), int(s)): payload
+            for p, s, payload in zip(group["pid"], group["side"], group["sh"])
+        }
         out_a, out_b, out_j = [], [], []
-        for a, b, ba, bb in zip(da, db, batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
-            sa = np.frombuffer(ba or b"", dtype=np.uint64)
-            sb = np.frombuffer(bb or b"", dtype=np.uint64)
+        for p, a_, b_ in bp.get(vb, ()):
+            sa = np.frombuffer(sh_by.get((p, 0), b""), dtype=np.uint64)
+            sb = np.frombuffer(sh_by.get((p, 1), b""), dtype=np.uint64)
             isz = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - isz
             j = (isz / union) if union else 0.0
             if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
+                out_a.append(a_)
+                out_b.append(b_)
                 out_j.append(round(j, 4))
         return pa.table(
             {
@@ -364,7 +372,10 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
             }
         )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    sh_rows = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        emit_candidate_shingles, batch_format="pyarrow"
+    )
+    return sh_rows.groupby("vb").map_groups(verify_bucket, batch_format="pandas")
 
 
 # ------------------------------------------------------------ ngram jaccard
