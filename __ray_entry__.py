@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -71,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
+        "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,

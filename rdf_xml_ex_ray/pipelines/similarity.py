@@ -151,6 +151,97 @@ def ivf_centroids(path: str) -> np.ndarray:
     return _normalize(centroids)
 
 
+# ------------------------------------------------------------ sign-LSH
+
+N_PLANES = 4  # 16 cells; queries probe own cell + Hamming-1 → 5/16 of data
+LSH_DIM = 64  # embeddings table dim (fixed by the synth generator)
+
+_LSH_PLANES = np.random.RandomState(11).randn(N_PLANES, LSH_DIM)
+
+
+def _plane_literal(p: np.ndarray) -> str:
+    # repr() emits the shortest round-tripping decimal — DuckDB parses it
+    # back to the identical double, so both engines see the same hyperplane
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+_CELL_EXPR = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_literal(_LSH_PLANES[j])}) > 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+
+ANN_LSH_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v, ({_CELL_EXPR}) AS cell FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM c WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv,
+         unnest([qcell, xor(qcell, 1), xor(qcell, 2), xor(qcell, 4), xor(qcell, 8)]) AS pc
+  FROM q
+),
+sims AS (
+  SELECT p.query_id, t.vec_id, list_cosine_similarity(p.qv, t.v) AS sim
+  FROM probes p JOIN c t ON t.cell = p.pc AND t.vec_id <> p.query_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       round(sim, 4) AS cos_sim
+FROM sims
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def _sign_cells(raw_mat: np.ndarray) -> np.ndarray:
+    """Cell id per vector: bit j = sign of the dot with hyperplane j.
+    Computed on RAW vectors (matching the SQL side; normalization is a
+    positive scale, so signs agree either way)."""
+    bits = raw_mat @ _LSH_PLANES.T > 0  # (n, N_PLANES)
+    return (bits @ (1 << np.arange(N_PLANES))).astype(np.int64)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """Sign-LSH-bucketed ANN (the scale path with a full DuckDB twin):
+    vectors hash into 2^N_PLANES cells by hyperplane side; each query scans
+    only its own cell plus the N_PLANES Hamming-1 neighbors. The quantizer
+    is integer-exact on both engines (fixed seeded hyperplanes embedded as
+    SQL literals), so unlike the Lloyd-refined IVF variant this one is
+    value-hash checked end to end."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
+    qraw = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    qcells = _sign_cells(qraw)
+    probes = np.stack([qcells ^ m for m in (0, 1, 2, 4, 8)], axis=1)  # (nq, 5)
+    ref = put_broadcast(
+        {
+            "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
+            "mat": _normalize(qraw),
+            "probes": probes,
+        }
+    )
+
+    def lsh_partial_topk(batch: pa.Table) -> pa.Table:
+        b = resolve_broadcast(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        cells = _sign_cells(raw)
+        sims = b["mat"] @ _normalize(raw).T
+        probe_mask = np.zeros((len(b["ids"]), len(cells)), dtype=bool)
+        for qi in range(len(b["ids"])):
+            probe_mask[qi] = np.isin(cells, b["probes"][qi])
+        sims = np.where(probe_mask, sims, -np.inf)
+        out = _partial_topk(b["ids"], sims, vec_ids)
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater(out["sim"], -np.inf))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(lsh_partial_topk, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN: vectors partition into coarse cells; each query
     probes only its N_PROBE nearest cells. Same output schema as ann_topk —

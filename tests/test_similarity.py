@@ -15,3 +15,20 @@ def test_ivf_recall_vs_brute_force(ray_session, sf_dir):
     assert mean_recall >= 0.5, f"IVF recall too low: {mean_recall}"
     # probing all cells would be exact; with N_PROBE=4/16 expect decent recall
     assert len(ivf) > 0
+
+
+def test_lsh_recall_vs_brute_force(ray_session, sf_dir):
+    """Sign-LSH with Hamming-1 probing scans ~5/16 of the data; recall
+    against exact top-k should still be substantial."""
+    from rdf_xml_ex_ray.pipelines.similarity import TOP_K, ann_lsh_topk, ann_topk
+
+    brute = ann_topk(sf_dir).to_pandas()
+    lsh = ann_lsh_topk(sf_dir).to_pandas()
+    recalls = []
+    for qid, g in brute.groupby("query_id"):
+        want = set(g["vec_id"])
+        got = set(lsh[lsh["query_id"] == qid]["vec_id"])
+        recalls.append(len(want & got) / TOP_K)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"LSH recall too low: {mean_recall}"
+    assert len(lsh) > 0
