@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": text.doc_winnow,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
+        "mm_frame_sample": text.mm_frame_sample,
         # --- streaming-shaped (partitioned ordered log) ---
         "events_sessionize": streaming.events_sessionize,
         "events_window": streaming.events_window,
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": text.TOKEN_COUNT_SQL,
         "doc_winnow": text.DOC_WINNOW_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
+        "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,
         # ann_ivf_topk is the one remaining rows-only check: its coarse

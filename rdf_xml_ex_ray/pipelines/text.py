@@ -348,6 +348,89 @@ class MediaDecoder:
         )
 
 
+# Frame sampling: uniform k-of-n selection per media row — the real
+# scheduling logic a video pipeline runs before decoding anything, so it is
+# deterministic on the metadata alone and gets a full SQL twin. The decode
+# of the selected frames is the stubbed part (no media libs here).
+MM_FRAMES_PER_CLIP = 4
+
+MM_FRAME_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2  -- video rows only (media_type derivation in mm_media_meta)
+),
+s AS (
+  SELECT doc_id, n_frames, least(n_frames, {MM_FRAMES_PER_CLIP}) AS k FROM m
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS sample_idx,
+       CAST((i * n_frames) // k AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM s, UNNEST(range(0, CAST(k AS INT))) AS t(i)
+"""
+
+
+class FrameSampler:
+    """Actor-pool stage: media rows → one row per sampled frame.
+
+    Selection is uniform k-of-n (frame_idx = floor(i*n/k)) — the real
+    pre-decode scheduling; the per-frame decode would run here per row
+    (PIL/ffmpeg loaded once per actor) and is the clearly-marked stub."""
+
+    REAL_DECODE = False
+
+    def __init__(self):
+        if self.REAL_DECODE:  # pragma: no cover
+            raise NotImplementedError("no media decoder libs in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, sample_idx, frame_idx, n_frames_out = [], [], [], []
+        for d, nb in zip(batch["doc_id"].to_pylist(), batch["n_bytes"].to_pylist()):
+            n_frames = 1 + nb % 30
+            k = min(n_frames, MM_FRAMES_PER_CLIP)
+            for i in range(k):
+                doc_ids.append(d)
+                sample_idx.append(i)
+                frame_idx.append((i * n_frames) // k)
+                n_frames_out.append(n_frames)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sample_idx": pa.array(sample_idx, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "n_frames": pa.array(n_frames_out, pa.int64()),
+            }
+        )
+
+
+def mm_frame_sample(sf_dir: str):
+    """Video rows → uniformly sampled frame schedule via a small-batch actor
+    pool (the stage that would hold the decoder handle)."""
+    import ray.data as rd
+
+    from ..stages.broadcast import cluster_cpus
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def to_video_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        t = batch.filter(pa.array(ids % 3 == 2))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(pc.cast(t["text"], pa.large_binary())), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(to_video_rows, batch_format="pyarrow")
+    return rows.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=(1, cluster_cpus())
+    )
+
+
 def mm_media_meta(sf_dir: str):
     """documents.text treated as an opaque binary payload column → decode
     metadata via a small-batch actor pool (binary rows stay in Arrow)."""
