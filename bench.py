@@ -65,7 +65,7 @@ def run_bench() -> dict:
     n_triples = 0
 
     best = None
-    for _ in range(2):  # take the best of two runs: local-mode walls are noisy
+    for _ in range(3):  # best of three: local-mode walls vary ±30 %
         t0 = time.perf_counter()
         n_triples = kg.kg_triples_dataset(SF_DIR, num_buckets=64, replicas=REPLICAS).count()
         dt = time.perf_counter() - t0
