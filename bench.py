@@ -77,7 +77,9 @@ def run_bench() -> dict:
     timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    dedup.dedup_minhash(SF_DIR)
+    res = dedup.dedup_minhash(SF_DIR)
+    # consume: the verify stage is a lazy Dataset — timing must include it
+    res.count() if hasattr(res, "count") else None
     timings["dedup_minhash"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()

@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.broadcast import put_broadcast, resolve_broadcast
+from .text import ASCII_WS, ascii_words
 
 # ---------------------------------------------------------------- exact
 
@@ -145,6 +146,9 @@ def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
         arrays.append(pa.array(vals, type=payload_type))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
+    # 2-way union of two DISTINCT small aggregates — not the K-way same-read
+    # fan-in CLAUDE.md's lore warns about (that one re-plans K copies of one
+    # read; here each branch is its own already-reduced dataset)
     tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
         docs_ds.map_batches(tag_docs, batch_format="pyarrow")
     )
@@ -173,7 +177,7 @@ _PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint
 # full exact-Jaccard self-join.
 DEDUP_MINHASH_SQL = f"""
 WITH w AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[{ASCII_WS}]+'), x -> x <> '') AS words
   FROM documents
 ),
 g AS (
@@ -198,7 +202,7 @@ WHERE isz / (sa.n + sb.n - isz) >= {JACCARD_THRESHOLD}
 
 
 def _shingles(text: str, k: int = SHINGLE_K) -> set[int]:
-    words = text.split()
+    words = ascii_words(text)  # ASCII split: matches the SQL twin's class
     if len(words) < k:
         grams = [" ".join(words)] if words else []
     else:
@@ -244,18 +248,27 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+LSH_BAND_CAP = 10_000  # candidate-pair safety valve, see _bucket_pairs
+
+
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs for every (band_id, band_hash) bucket in one hash
     partition; only buckets with ≥2 docs contribute (the rare case, so the
-    inner loop touches almost nothing). Buckets bigger than GRAM_DF_CAP are
-    skipped — a degenerate band shared by f docs would emit f(f-1)/2 pairs."""
+    inner loop touches almost nothing).
+
+    Buckets bigger than LSH_BAND_CAP are skipped: a duplicate cluster of f
+    docs lands whole in one band bucket and would emit f(f-1)/2 pairs.
+    DOCUMENTED DIVERGENCE from the exhaustive SQL oracle, which has no cap —
+    the oracle equality holds for corpora whose largest duplicate cluster is
+    under the cap (any corpus one would actually near-dedup; a 10k-identical
+    cluster is exact-dedup territory and inherently quadratic as *output*)."""
     a, b = [], []
     sizes = group.groupby(["band_id", "band_hash"], sort=False)["doc_id"]
     for _, ids_s in sizes:
         if len(ids_s) < 2:
             continue
         ids = sorted(ids_s.unique())
-        if len(ids) > GRAM_DF_CAP:
+        if len(ids) > LSH_BAND_CAP:
             continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -531,9 +544,9 @@ def dedup_ngram_jaccard(sf_dir: str, num_gram_buckets: int = 64):
 # majority vote over the word hashes: bit p of the simhash = (Σ_words ±1 for
 # bit p of md5-LE-uint64(word)) > 0. The hex gymnastics below build that
 # little-endian uint64 from DuckDB's md5 hex string byte-pair by byte-pair.
-DEDUP_SIMHASH_SQL = """
+DEDUP_SIMHASH_SQL = f"""
 WITH w AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS word
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'[{ASCII_WS}]+'), x -> x <> '')) AS word
   FROM documents
 ),
 h AS (
@@ -563,7 +576,7 @@ FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
 
 def simhash64(text: str) -> int:
     v = np.zeros(64, dtype=np.int64)
-    for w in text.split():
+    for w in ascii_words(text):  # ASCII split: matches the SQL twin's class
         h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
         bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
         v += np.where(bits == 1, 1, -1)

@@ -203,12 +203,14 @@ def kg_triples_dataset(
     objects; letting Ray auto-split a small input into hundreds of tiny
     blocks makes the exchange latency-bound.
 
-    ``co_partitioned=True`` (default) exploits a flagship invariant: every
-    subject IRI/bnode embeds its conv_id (conv/turn/bnode IRIs are all
-    conversation-scoped) and the parser restores set semantics per document,
-    so after the conversation-bucket shuffle all triples of a subject sit in
-    one partition and cross-partition duplicates are impossible — dedup and
-    the (subj, pred, obj) sort run per partition with NO second exchange.
+    ``co_partitioned=True`` (default) exploits two flagship invariants:
+    every subject IRI/bnode embeds its conv_id (conv/turn/bnode IRIs are all
+    conversation-scoped) and the renderer never emits a duplicate triple
+    within a conversation (so the parse stage's MultiGraph fast path is
+    duplicate-free too). After the conversation-bucket shuffle all triples
+    of a subject sit in one partition and cross-partition duplicates are
+    impossible — dedup and the (subj, pred, obj) sort run per partition
+    with NO second exchange.
     For graphs whose subjects span documents (e.g. the read_rdfxml source),
     pass ``co_partitioned=False`` for the general subject-hash
     canonicalization shuffle (stages/canonicalize.py).
@@ -439,6 +441,14 @@ def run_kg_job(
             return json.load(f)
 
     os.makedirs(out_dir, exist_ok=True)
+
+    # We are (re)running: the job-level success markers from any previous
+    # run are stale the moment stage outputs start changing — drop them
+    # first, or a crash mid-rerun would leave _SUCCESS pointing at a store
+    # that no longer exists and the next resume would return stale lineage.
+    for marker in (success, lineage_path):
+        if os.path.exists(marker):
+            os.remove(marker)
 
     # ---- stage 1: derive + assemble + render (shuffle lives here) ----
     # Crash-safety invariant: write_parquet APPENDS uuid-named files, so an

@@ -53,15 +53,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _partial_topk(query_ids, sims, vec_ids):
-    """Per-batch partial top-k rows for every query; (3 lists)."""
+    """Per-batch partial top-k rows for every query; (3 lists).
+
+    Selection orders by (sim DESC, vec_id ASC) — the same total order the
+    SQL twins' ``ORDER BY sim DESC, vec_id`` uses — so tied similarities at
+    the top-k boundary resolve identically on both engines (a bare
+    argpartition keeps an arbitrary one of the tied rows)."""
     out_q, out_v, out_s = [], [], []
     for qi, qid in enumerate(query_ids):
         row = sims[qi]
         keep = vec_ids != qid
         ids_k, row_k = vec_ids[keep], row[keep]
         if len(row_k) > TOP_K:
-            part = np.argpartition(-row_k, TOP_K)[:TOP_K]
-            ids_k, row_k = ids_k[part], row_k[part]
+            order = np.lexsort((ids_k, -row_k))[:TOP_K]
+            ids_k, row_k = ids_k[order], row_k[order]
         out_q.extend([qid] * len(ids_k))
         out_v.extend(ids_k)
         out_s.extend(row_k)
@@ -72,6 +77,21 @@ def _partial_topk(query_ids, sims, vec_ids):
             "sim": pa.array(out_s, pa.float64()),
         }
     )
+
+
+def _probed_partial_topk(b: dict, cells: np.ndarray, vec_ids: np.ndarray,
+                         sims: np.ndarray) -> pa.Table:
+    """Partial top-k restricted to each query's probed cells (shared by the
+    IVF and sign-LSH variants): out-of-probe vectors are masked to -inf
+    before selection and the placeholder rows filtered after."""
+    import pyarrow.compute as pc
+
+    probe_mask = np.zeros((len(b["ids"]), len(cells)), dtype=bool)
+    for qi in range(len(b["ids"])):
+        probe_mask[qi] = np.isin(cells, b["probes"][qi])
+    sims = np.where(probe_mask, sims, -np.inf)
+    out = _partial_topk(b["ids"], sims, vec_ids)
+    return out.filter(pc.greater(out["sim"], -np.inf))
 
 
 def _merge_topk(group: pd.DataFrame) -> pa.Table:
@@ -228,14 +248,7 @@ def ann_lsh_topk(sf_dir: str):
         raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         cells = _sign_cells(raw)
         sims = b["mat"] @ _normalize(raw).T
-        probe_mask = np.zeros((len(b["ids"]), len(cells)), dtype=bool)
-        for qi in range(len(b["ids"])):
-            probe_mask[qi] = np.isin(cells, b["probes"][qi])
-        sims = np.where(probe_mask, sims, -np.inf)
-        out = _partial_topk(b["ids"], sims, vec_ids)
-        import pyarrow.compute as pc
-
-        return out.filter(pc.greater(out["sim"], -np.inf))
+        return _probed_partial_topk(b, cells, vec_ids, sims)
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(lsh_partial_topk, batch_format="pyarrow", batch_size=4096)
@@ -262,16 +275,7 @@ def ann_ivf_topk(sf_dir: str):
         mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
         cells = _assign_cells(mat, b["centroids"])
         sims = b["mat"] @ mat.T
-        # mask out vectors outside each query's probed cells
-        probe_mask = np.zeros((len(b["ids"]), len(cells)), dtype=bool)
-        for qi in range(len(b["ids"])):
-            probe_mask[qi] = np.isin(cells, b["probes"][qi])
-        sims = np.where(probe_mask, sims, -np.inf)
-        out = _partial_topk(b["ids"], sims, vec_ids)
-        # drop the -inf placeholder rows (vectors outside probed cells)
-        import pyarrow.compute as pc
-
-        return out.filter(pc.greater(out["sim"], -np.inf))
+        return _probed_partial_topk(b, cells, vec_ids, sims)
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(ivf_partial_topk, batch_format="pyarrow", batch_size=4096)

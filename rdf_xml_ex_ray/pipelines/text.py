@@ -19,10 +19,23 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Whitespace is ALWAYS the explicit ASCII class below, never \s or
+# str.split(): Python's \s covers Unicode whitespace (\xa0,  , …) while
+# DuckDB RE2's \s is ASCII-only — sharing one literal class keeps every
+# Python/SQL operator pair hash-identical on any input, not just clean text.
+ASCII_WS = r"\t\n\v\f\r "
+_ascii_ws_re = re.compile(f"[{ASCII_WS}]+")
+
+
+def ascii_words(text: str) -> list[str]:
+    """ASCII-whitespace tokenization (empty tokens dropped)."""
+    return [w for w in _ascii_ws_re.split(text) if w]
+
+
 # ---------------------------------------------------------------- doc_stats
 
 _WORD_RE = r"[A-Za-z]+"
-_PUNCT_RE = r"[^A-Za-z0-9\s]"
+_PUNCT_RE = f"[^A-Za-z0-9{ASCII_WS}]"
 _STOPWORDS = "the|a|an|and|or|of|to|in|is|it"
 
 DOC_STATS_SQL = f"""
@@ -100,20 +113,23 @@ def doc_fingerprint(sf_dir: str):
 
 # ---------------------------------------------------------------- tokens
 
-# BPE-ish pretokenizer (GPT-2-flavored, ASCII-safe so Python re and DuckDB
-# RE2 agree exactly): contraction suffixes, space-prefixed letter runs,
-# space-prefixed digit runs, space-prefixed punctuation runs, whitespace runs.
-_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# BPE-ish pretokenizer (GPT-2-flavored; every character class explicit and
+# ASCII so Python re and DuckDB RE2 agree exactly): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+_BPE_PATTERN = (
+    rf"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{ASCII_WS}']+|[{ASCII_WS}]+"
+)
+_WS_TOKEN_PATTERN = f"[^{ASCII_WS}]+"
 
 TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_WS_TOKEN_PATTERN}')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """
 
-_ws_tok_pat = re.compile(r"\S+")
+_ws_tok_pat = re.compile(_WS_TOKEN_PATTERN)
 _bpe_tok_pat = re.compile(_BPE_PATTERN)
 
 
@@ -253,7 +269,7 @@ def _lang_sql() -> str:
     cmax_args = ", ".join(f"c_{lang}" for lang, _ in _SORTED_PROFILES)
     return f"""
 WITH w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS w FROM documents
 ),
 s AS (
   SELECT doc_id,
@@ -275,8 +291,8 @@ LANG_ID_SQL = _lang_sql()
 
 def guess_lang(text: str) -> tuple[str, float]:
     """Stopword-overlap language guess; ties resolve alphabetically, no
-    overlap at all → ('und', 0.0)."""
-    words = set(text.lower().split())
+    overlap at all → ('und', 0.0). ASCII-whitespace split (see ASCII_WS)."""
+    words = set(ascii_words(text.lower()))
     best_lang, best = "und", 0.0
     for lang, prof in _SORTED_PROFILES:
         score = len(words & prof) / len(prof)

@@ -118,7 +118,10 @@ def read_rdfxml(
                         if sink.n >= ROWS_PER_OUTPUT_BATCH:
                             yield sink.table()
                 except ParseError as e:
-                    sink.emit_error(doc_id, str(e))
+                    # batches already yielded for this doc stand (streaming
+                    # can't retract); the marker below lets a consumer
+                    # anti-join the rejects doc_ids to drop the partial doc
+                    sink.emit_error(doc_id, f"partial-document error (emitted triples stand): {e}")
             else:
                 try:
                     sink.emit_triples(parse_rdfxml(data, base=doc_base, bnode_prefix=bp), doc_id)

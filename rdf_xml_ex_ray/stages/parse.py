@@ -35,11 +35,19 @@ PARSE_OUT_SCHEMA = pa.schema(
 
 class ParseDocs:
     """Stateful parse stage. ``base`` applies to documents with relative
-    IRIs (None for rendered transcripts — they are all-absolute)."""
+    IRIs (None for rendered transcripts — they are all-absolute).
 
-    def __init__(self, base: str | None = None, id_column: str = "conv_id"):
+    ``unique=False`` (default) parses into an append-only MultiGraph — no
+    per-triple set insert. Safe for the flagship because the renderer never
+    emits a duplicate triple within a conversation AND downstream
+    canonicalization dedups per bucket; pass ``unique=True`` when feeding
+    documents of unknown provenance whose consumers skip canonicalization."""
+
+    def __init__(self, base: str | None = None, id_column: str = "conv_id",
+                 unique: bool = False):
         self.base = base
         self.id_column = id_column
+        self.unique = unique
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..core.terms import BNode, Literal
@@ -52,10 +60,9 @@ class ParseDocs:
 
         for doc, doc_id in zip(docs, ids):
             try:
-                # unique=False: skip per-triple set inserts — every consumer
-                # of this stage canonicalizes (per-bucket dedup+sort), which
-                # restores set semantics globally
-                graph = parse_rdfxml(doc, base=self.base, bnode_prefix=f"{doc_id}!b", unique=False)
+                graph = parse_rdfxml(
+                    doc, base=self.base, bnode_prefix=f"{doc_id}!b", unique=self.unique
+                )
             except ParseError as e:
                 subj.append(None)
                 subj_kind.append(None)
