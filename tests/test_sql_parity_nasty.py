@@ -1,0 +1,69 @@
+"""Python/SQL operator-pair parity on hostile text: Unicode whitespace,
+ASCII control whitespace, apostrophes, empty and single-word docs. Pins the
+ASCII_WS contract (every oracle pair shares one explicit whitespace class —
+Python's \\s and str.split() would otherwise diverge from DuckDB RE2)."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NASTY_TEXTS = [
+    "plain words here",
+    "tab\tseparated\tand spaced",
+    "vertical\x0btab and form\x0cfeed",
+    "nbsp\xa0stuck together",  # NBSP: NOT a separator under ASCII_WS — both engines agree
+    "unicode em-space and line-sep",
+    "",
+    "single",
+    "it's the dog's and they're we've I'm we'll I'd",
+    "  leading and trailing  ",
+    "crlf\r\nline",
+    "punct!!! mixed, with (parens) & symbols %% end.",
+    "the quick brown fox jumps over the lazy dog",
+    "der die das und ist nicht ein mit zu für",
+    "número uno: café naïve résumé",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(NASTY_TEXTS)), pa.int64()),
+            "text": pa.array(NASTY_TEXTS, pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def nasty_duck(nasty_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{nasty_dir}/documents.parquet'")
+    return con
+
+
+TEXT_OPS = ["token_count", "lang_id", "doc_stats", "doc_fingerprint", "doc_winnow",
+            "dedup_simhash", "dedup_exact"]
+
+
+@pytest.mark.parametrize("name", TEXT_OPS)
+def test_text_operator_sql_parity_on_nasty_input(ray_session, nasty_dir, nasty_duck, name):
+    import __ray_entry__ as e
+
+    result = e.queries()[name](nasty_dir)
+    rdf = result.to_pandas() if hasattr(result, "to_pandas") else result
+    sdf = nasty_duck.execute(e.oracle_sql()[name]).fetchdf()
+    cols = sorted(rdf.columns)
+    assert cols == sorted(sdf.columns)
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = sdf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if a[c].dtype.kind == "f":
+            a[c] = a[c].round(6)
+            b[c] = b[c].round(6)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    assert a.equals(b[cols]), f"{name} diverges on nasty input\n{a}\n{b}"
