@@ -143,6 +143,19 @@ class ElemCtx:
             self.prop_attrs = {}
             return
 
+        # Fast path: attributes but none in the xml/xmlns space (the common
+        # attributed shape: one rdf:resource/rdf:about/rdf:datatype) — skip
+        # the declaration pass, context inherits unchanged
+        if not any(name.startswith("xml") for name, _ in xml_el.attrs):
+            self.ns = ns
+            self.base = base
+            self.lang = lang
+            self.uri = self._qname_uri(xml_el.qname)
+            u = str.__str__(self.uri)
+            self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
+            self._classify_plain_attrs(xml_el.attrs)
+            return
+
         # Pass 1: xml:lang / xml:base / xmlns declarations (element_node.ex:94-111)
         plain_attrs: list[tuple[str, str]] = []
         own_ns: dict[str | None, str] | None = None
@@ -175,6 +188,9 @@ class ElemCtx:
         self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
 
         # Pass 2: classify remaining attributes (element_node.ex:115-192)
+        self._classify_plain_attrs(plain_attrs)
+
+    def _classify_plain_attrs(self, plain_attrs) -> None:
         rdf: dict[str, object] = {}
         prop_attrs: dict[str, str] = {}
         at_memo = self._memo["at"]

@@ -33,7 +33,12 @@ class XmlElement:
         return [c for c in self.children if isinstance(c, XmlElement)]
 
     def text_content(self) -> str:
-        return "".join(c for c in self.children if isinstance(c, str))
+        ch = self.children
+        if not ch:
+            return ""
+        if len(ch) == 1 and type(ch[0]) is str:  # the overwhelmingly common case
+            return ch[0]
+        return "".join(c for c in ch if isinstance(c, str))
 
 
 def parse_xml(data: str | bytes) -> XmlElement:
