@@ -574,12 +574,31 @@ FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
 """
 
 
+# word → ±1 bit-vector cache (per worker process). Corpus vocabulary is
+# Zipfian, so most md5+unpackbits work repeats; ~100k words ≈ 6 MB. Cleared
+# if it ever grows past the cap (pathological vocabularies).
+_SIMHASH_VEC_CACHE: dict[str, np.ndarray] = {}
+_SIMHASH_CACHE_CAP = 2_000_000
+
+
+def _word_pm1(w: str) -> np.ndarray:
+    vec = _SIMHASH_VEC_CACHE.get(w)
+    if vec is None:
+        if len(_SIMHASH_VEC_CACHE) > _SIMHASH_CACHE_CAP:
+            _SIMHASH_VEC_CACHE.clear()
+        bits = np.unpackbits(np.frombuffer(hashlib.md5(w.encode()).digest()[:8], dtype=np.uint8))
+        vec = np.where(bits == 1, np.int8(1), np.int8(-1))
+        _SIMHASH_VEC_CACHE[w] = vec
+    return vec
+
+
 def simhash64(text: str) -> int:
+    words = ascii_words(text)  # ASCII split: matches the SQL twin's class
+    if not words:
+        return 0
     v = np.zeros(64, dtype=np.int64)
-    for w in ascii_words(text):  # ASCII split: matches the SQL twin's class
-        h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
-        bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
-        v += np.where(bits == 1, 1, -1)
+    for w in words:
+        v += _word_pm1(w)
     out = np.packbits((v > 0).astype(np.uint8))
     return struct.unpack("<Q", out.tobytes())[0]
 
