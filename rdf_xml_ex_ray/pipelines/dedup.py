@@ -21,7 +21,7 @@ Scale invariants (the round-1 review's checklist):
   filter stage) and (b) the label cardinality (O(#labels), bounded by the
   coarse quantizer).
 - every join is a bucketed map-side join over datasets that stay distributed.
-- pair emission per gram/band bucket is capped by GRAM_DF_CAP: a stop-phrase
+- pair emission per gram/band bucket is capped (GRAM_DF_CAP / LSH_BAND_CAP): a stop-phrase
   gram shared by f docs would otherwise emit f(f-1)/2 pairs in one group.
 """
 
