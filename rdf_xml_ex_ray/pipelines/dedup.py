@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.broadcast import put_broadcast, resolve_broadcast
+from ..core.rounding import np_round_half_away, round_half_away
 from .text import ASCII_WS, ascii_words
 
 # ---------------------------------------------------------------- exact
@@ -169,13 +170,19 @@ _rng = np.random.RandomState(42)
 _PERM_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
-# Exact-Jaccard twin over the same word-3-gram shingles. The LSH banding is a
-# candidate *generator*; the operator's contract is "all pairs with exact
-# shingle-Jaccard ≥ threshold among LSH candidates". On this corpus (near-dups
-# are ≥0.89 Jaccard, where 8×8 banding recall is ~1) the output equals the
-# exhaustive SQL — verified set-equal at sf0.001/sf0.01 — so the oracle is the
-# full exact-Jaccard self-join.
-DEDUP_MINHASH_SQL = f"""
+# FULL pipeline twin: the SQL simulates the MinHash+LSH candidate generation
+# itself — md5-LE-uint64 shingle hashes (& Mersenne), the 64 permutations
+# with numpy's uint64 WRAPAROUND replicated via `% 2^64` before the Mersenne
+# mod, 8×8 banding via per-band signature-tuple equality — then exact Jaccard
+# over the candidates. This makes the oracle equal to the operator at ANY
+# scale, probabilistic recall included (a plain exhaustive self-join would
+# count borderline pairs the banding legitimately misses; observed once at
+# sf0.1). Verified set-equal at sf0.001/sf0.01/sf0.1.
+def _minhash_sql() -> str:
+    perm_rows = ",\n    ".join(
+        f"({k}, {int(_PERM_A[k])}::HUGEINT, {int(_PERM_B[k])}::HUGEINT)" for k in range(N_PERM)
+    )
+    return f"""
 WITH w AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '[{ASCII_WS}]+'), x -> x <> '') AS words
   FROM documents
@@ -187,18 +194,48 @@ g AS (
   SELECT doc_id, array_to_string(words, ' ') AS gram FROM w WHERE len(words) BETWEEN 1 AND {SHINGLE_K - 1}
 ),
 gd AS (SELECT DISTINCT doc_id, gram FROM g),
-sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+gh AS (
+  SELECT DISTINCT doc_id,
+    (('0x' || substr(md5(gram),15,2) || substr(md5(gram),13,2) || substr(md5(gram),11,2) ||
+      substr(md5(gram),9,2)  || substr(md5(gram),7,2)  || substr(md5(gram),5,2)  ||
+      substr(md5(gram),3,2)  || substr(md5(gram),1,2))::UBIGINT & {_MERSENNE}::UBIGINT) AS x
+  FROM gd
+),
+perms(k, a, b) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT doc_id, p.k,
+         min(((CAST(x AS HUGEINT) * p.a + p.b) % 18446744073709551616::HUGEINT) % {_MERSENNE}) AS m
+  FROM gh, perms p GROUP BY doc_id, p.k
+),
+bandkey AS (
+  SELECT doc_id, CAST(k // {ROWS_PER_BAND} AS INT) AS band_id,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bh
+  FROM sig GROUP BY doc_id, k // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkey a JOIN bandkey b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
-  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT c.doc_a, c.doc_b, count(*) AS isz
+  FROM cand c
+  JOIN gh ga ON ga.doc_id = c.doc_a
+  JOIN gh gb ON gb.doc_id = c.doc_b AND gb.x = ga.x
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_a, doc_b, round(isz / (sa.n + sb.n - isz), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE isz / (sa.n + sb.n - isz) >= {JACCARD_THRESHOLD}
+SELECT i.doc_a, i.doc_b, round(i.isz / (sa.n + sb.n - i.isz), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.isz / (sa.n + sb.n - i.isz) >= {JACCARD_THRESHOLD}
 """
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
 
 
 def _shingles(text: str, k: int = SHINGLE_K) -> set[int]:
@@ -376,7 +413,7 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
             if j >= threshold:
                 out_a.append(a_)
                 out_b.append(b_)
-                out_j.append(round(j, 4))
+                out_j.append(round_half_away(j, 4))
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -525,7 +562,7 @@ def dedup_ngram_jaccard(sf_dir: str, num_gram_buckets: int = 64):
         i = np.asarray(batch["isz"].to_pylist(), dtype=np.float64)
         na = np.asarray(batch["n_a"].to_pylist(), dtype=np.float64)
         nb = np.asarray(batch["n_b"].to_pylist(), dtype=np.float64)
-        j = [round(v, 4) for v in (i / (na + nb - i))]
+        j = [round_half_away(v, 4) for v in (i / (na + nb - i))]
         return pa.table(
             {
                 "doc_a": batch["doc_a"].cast(pa.int64()),
@@ -673,7 +710,7 @@ def _embed_block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         {
             "vec_a": pa.array(lo.astype(np.int64)),
             "vec_b": pa.array(hi.astype(np.int64)),
-            "cos_sim": pa.array(np.round(vals, 4), pa.float64()),
+            "cos_sim": pa.array(np_round_half_away(vals, 4), pa.float64()),
         }
     )
 

@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..core.rounding import np_round_half_away
 from ..stages.broadcast import put_broadcast, resolve_broadcast
 
 N_QUERIES = 8
@@ -101,7 +102,7 @@ def _merge_topk(group: pd.DataFrame) -> pa.Table:
             "query_id": pa.array(g["query_id"].astype("int64")),
             "vec_id": pa.array(g["vec_id"].astype("int64")),
             "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
-            "cos_sim": pa.array(np.round(g["sim"].to_numpy(), 4), pa.float64()),
+            "cos_sim": pa.array(np_round_half_away(g["sim"].to_numpy(), 4), pa.float64()),
         }
     )
 

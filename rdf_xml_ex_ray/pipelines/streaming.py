@@ -140,7 +140,7 @@ def events_window(sf_dir: str):
                 "user_id": batch["user_id"],
                 "hour_bucket": batch["hour_bucket"],
                 "n_events": pc.cast(batch["n_events"], pa.int64()),
-                "sum_value": pc.round(batch["sum_value"], 4),
+                "sum_value": pc.round(batch["sum_value"], 4, round_mode="half_towards_infinity"),
             }
         )
 

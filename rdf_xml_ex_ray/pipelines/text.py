@@ -17,6 +17,8 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from ..core.rounding import np_round_half_away, round_half_away
 import pyarrow.compute as pc
 
 # Whitespace is ALWAYS the explicit ASCII class below, never \s or
@@ -64,7 +66,7 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     n_stop = np.fromiter(
         (len(_stop_pat.findall(t.lower())) for t in texts), np.int64, len(texts)
     )
-    ratio = np.round(n_stop / np.maximum(n_words, 1), 6)
+    ratio = np_round_half_away(n_stop / np.maximum(n_words, 1), 6)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -298,7 +300,7 @@ def guess_lang(text: str) -> tuple[str, float]:
         score = len(words & prof) / len(prof)
         if score > best:
             best_lang, best = lang, score
-    return best_lang, round(best, 4)
+    return best_lang, round_half_away(best, 4)
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
