@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -72,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "doc_stats": text.DOC_STATS_SQL,

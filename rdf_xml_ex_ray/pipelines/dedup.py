@@ -428,6 +428,134 @@ def dedup_minhash(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     return sh_rows.groupby("vb").map_groups(verify_bucket, batch_format="pandas")
 
 
+# ------------------------------------------------------------ dedup clusters
+
+# Connected components over the near-dup pair graph via a recursive
+# transitive closure (fine at oracle scale; the operator itself iterates).
+def _clusters_sql() -> str:
+    inner = _minhash_sql()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner}) AS mh
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+DEDUP_CLUSTERS_SQL = _clusters_sql()
+
+
+def dedup_clusters(sf_dir: str, max_iters: int = 32):
+    """Near-dup clustering: connected components over the MinHash near-dup
+    pair graph; every document gets the minimum doc_id of its component as
+    ``cluster_id`` (its own id when isolated) — the "keep one per cluster"
+    step of a dedup pipeline.
+
+    Topology (the iterative-algorithm pattern): the edge set is O(near-dup
+    pairs) — tiny next to the corpus — so adjacency broadcasts via
+    ``ray.put`` and min-label propagation iterates on a label dataset of
+    ONLY the connected docs, one small groupby per round, until a round
+    changes nothing. The corpus-sized step is a single final map attaching
+    labels to all docs."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    pairs = dedup_minhash(sf_dir).materialize()
+
+    adjacency: dict[int, list[int]] = {}
+    for bt in pairs.iter_batches(batch_format="pyarrow"):
+        for a_, b_ in zip(bt["doc_a"].to_pylist(), bt["doc_b"].to_pylist()):
+            adjacency.setdefault(a_, []).append(b_)
+            adjacency.setdefault(b_, []).append(a_)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    all_docs = rd.read_parquet(docs_path, columns=["doc_id"])
+    if not adjacency:
+        return all_docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"].cast(pa.int64()), "cluster_id": t["doc_id"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    adj_ref = put_broadcast(adjacency)
+
+    labels = rd.from_items(
+        [{"doc_id": d, "label": d} for d in sorted(adjacency)]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "label": t["label"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def propagate(batch: pa.Table) -> pa.Table:
+        adj = resolve_broadcast(adj_ref)
+        out_d, out_l = [], []
+        for d, lab in zip(batch["doc_id"].to_pylist(), batch["label"].to_pylist()):
+            out_d.append(d)
+            out_l.append(lab)
+            for nbr in adj.get(d, ()):
+                out_d.append(nbr)
+                out_l.append(lab)
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()), "label": pa.array(out_l, pa.int64())}
+        )
+
+    for _ in range(max_iters):
+        stepped = (
+            labels.map_batches(propagate, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="new_label"), Max("label", alias_name="__old_max"))
+            .materialize()
+        )
+        # converged when no doc saw a label smaller than one it already held:
+        # every doc's min equals its previous label iff nothing changed,
+        # detected by comparing against the prior labels via a tiny join-free
+        # checksum (sum of labels strictly decreases while any change remains)
+        new_labels = stepped.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"].cast(pa.int64()), "label": t["new_label"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        prev_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+
+    final = {}
+    for bt in labels.iter_batches(batch_format="pyarrow"):
+        final.update(zip(bt["doc_id"].to_pylist(), bt["label"].to_pylist()))
+    final_ref = put_broadcast(final)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = resolve_broadcast(final_ref)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array([m.get(d, d) for d in ids], pa.int64()),
+            }
+        )
+
+    return all_docs.map_batches(attach, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ ngram jaccard
 
 NGRAM_N = 5
