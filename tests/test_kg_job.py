@@ -60,3 +60,17 @@ def test_kg_job_crash_resume_discards_stale_partials(ray_session, tmp_path):
     store = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     assert "http://stale/x" not in set(store["subj"])
     assert len(store) == clean["n_triples"]
+
+
+def test_flagship_deterministic_across_runs(ray_session):
+    """Two independent executions of the flagship pipeline must produce
+    byte-identical sorted triples — determinism comes from data only (stable
+    bucketing + per-partition sort), never from task order or retries."""
+    from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+
+    a = kg_triples_dataset("/root/testdata/sf0.001", num_buckets=8).to_pandas()
+    b = kg_triples_dataset("/root/testdata/sf0.001", num_buckets=8).to_pandas()
+    cols = list(a.columns)
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and a.equals(b)
