@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- streaming-shaped (partitioned ordered log) ---
         "events_sessionize": streaming.events_sessionize,
         "events_window": streaming.events_window,
+        "events_asof_join": streaming.events_asof_join,
+        "events_range_join": streaming.events_range_join,
     }
 
 
@@ -85,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,
+        "events_asof_join": streaming.EVENTS_ASOF_SQL,
+        "events_range_join": streaming.EVENTS_RANGE_JOIN_SQL,
         # ann_ivf_topk is the one remaining rows-only check: its coarse
         # quantizer is a float Lloyd refinement (not SQL-expressible at
         # hash precision); pytest pins its recall against brute force.

@@ -95,6 +95,163 @@ def events_sessionize(sf_dir: str, num_buckets: int = 64):
     return out
 
 
+# ------------------------------------------------------------- range join
+
+# Range join: every event matched to the session window [start_us, end_us]
+# that contains it. The oracle performs the literal BETWEEN range join
+# against the sessionize output; the operator exploits that session windows
+# PARTITION each user's timeline, so containment equals the running session
+# number — one sorted pass per bucket instead of an interval join.
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH sess AS ({EVENTS_SESSIONIZE_SQL})
+SELECT ev.event_id, ev.user_id, CAST(s.session_num AS BIGINT) AS session_num
+FROM events ev
+JOIN sess s ON s.user_id = ev.user_id
+           AND epoch_us(ev.ts) BETWEEN s.start_us AND s.end_us
+"""
+
+
+def _range_join_bucket(group: pd.DataFrame) -> pa.Table:
+    g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    ts_us = g["ts_us"].to_numpy()
+    n = len(g)
+    user_change = np.empty(n, dtype=bool)
+    user_change[0] = True
+    user_change[1:] = users[1:] != users[:-1]
+    gap = np.empty(n, dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts_us[1:] - ts_us[:-1]) > SESSION_GAP_US
+    new_session = user_change | gap
+    sess_global = np.cumsum(new_session)
+    first_of_user = np.repeat(
+        sess_global[user_change], np.diff(np.append(np.flatnonzero(user_change), n))
+    )
+    session_num = sess_global - first_of_user + 1
+    return pa.table(
+        {
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "session_num": pa.array(session_num, pa.int64()),
+        }
+    )
+
+
+def events_range_join(sf_dir: str, num_buckets: int = 64):
+    """Event → containing session window (range-join semantics; see
+    EVENTS_RANGE_JOIN_SQL for the literal interval-join oracle)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "user_bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow")
+    return bucketed.groupby("user_bucket").map_groups(_range_join_bucket, batch_format="pandas")
+
+
+# ------------------------------------------------------------- as-of join
+
+# The classic attribution as-of join — an operator Ray Data has no primitive
+# for (SURVEY §2.11 custom-operator case): each purchase matched to the SAME
+# user's most recent prior click. Deterministic because (user_id, ts) is
+# unique in the events table; ordering key is (ts, event_id) everywhere.
+EVENTS_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+           OVER w AS click_ts
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_event_id,
+       CAST(click_id AS BIGINT) AS click_event_id,
+       CAST(ts_us - click_ts AS BIGINT) AS gap_us
+FROM m WHERE event_type = 'purchase'
+"""
+
+
+def _asof_bucket(group: pd.DataFrame) -> pa.Table:
+    """Backward as-of match inside one user-hash bucket, fully vectorized:
+    one sort, a forward-fill of click positions via maximum.accumulate, and
+    a per-user validity mask — no per-user Python loop."""
+    g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    ts_us = g["ts_us"].to_numpy()
+    eids = g["event_id"].to_numpy()
+    is_click = (g["event_type"] == "click").to_numpy()
+    n = len(g)
+    idx = np.where(is_click, np.arange(n), -1)
+    last_click_pos = np.maximum.accumulate(idx)
+    # positions before each user's first row are another user's clicks
+    user_change = np.empty(n, dtype=bool)
+    user_change[0] = True
+    user_change[1:] = users[1:] != users[:-1]
+    user_start = np.maximum.accumulate(np.where(user_change, np.arange(n), -1))
+    valid = last_click_pos >= user_start
+    is_purchase = ~is_click
+    sel = np.flatnonzero(is_purchase)
+    match = last_click_pos[sel]
+    ok = valid[sel]
+    click_eid = [int(eids[m]) if o else None for m, o in zip(match, ok)]
+    gap = [int(ts_us[s] - ts_us[m]) if o else None for s, m, o in zip(sel, match, ok)]
+    return pa.table(
+        {
+            "purchase_event_id": pa.array(eids[sel], pa.int64()),
+            "click_event_id": pa.array(click_eid, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+        }
+    )
+
+
+def events_asof_join(sf_dir: str, num_buckets: int = 64):
+    """Backward as-of join (purchase → latest prior click per user) over the
+    partitioned ordered log: filter to the two event types at the read, hash
+    users into fixed-cardinality buckets, match inside each sorted group.
+    The shuffle moves only the two relevant event types — at 100 TB the
+    exchange is O(clicks+purchases), not O(events)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["event_type"], value_set=pa.array(["click", "purchase"])))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "user_bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow")
+    return bucketed.groupby("user_bucket").map_groups(_asof_bucket, batch_format="pandas")
+
+
 EVENTS_WINDOW_SQL = """
 SELECT user_id,
        CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
