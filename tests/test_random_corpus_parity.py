@@ -41,8 +41,8 @@ def _make_corpus(seed: int, n_docs: int = 80):
     return texts
 
 
-OPS = ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "token_count",
-       "doc_winnow", "lang_id", "doc_stats"]
+OPS = ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
+       "token_count", "doc_winnow", "lang_id", "doc_stats"]
 
 
 @pytest.mark.parametrize("seed", [101, 202, 303])
