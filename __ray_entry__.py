@@ -24,7 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_xml_ex_ray.pipelines import dedup, kg, similarity, streaming, text
+    from rdf_xml_ex_ray.pipelines import dedup, kg, relational, similarity, streaming, text
 
     return {
         # --- knowledge-graph construction (SURVEY.md §2.1-§2.4) ---
@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_counts": kg.kg_pred_counts,
         "kg_roundtrip": kg.kg_roundtrip_dataset,
         "kg_top_entities": kg.kg_top_entities,
+        "kg_direct_mapping": relational.kg_direct_mapping,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -62,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_xml_ex_ray.pipelines import dedup, oracle, similarity, streaming, text
+    from rdf_xml_ex_ray.pipelines import dedup, oracle, relational, similarity, streaming, text
 
     return {
         "kg_triples": oracle.KG_TRIPLES_SQL,
@@ -70,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_counts": oracle.KG_PRED_COUNTS_SQL,
         "kg_roundtrip": oracle.KG_TRIPLES_NOBNODE_SQL,
         "kg_top_entities": oracle.KG_TOP_ENTITIES_SQL,
+        "kg_direct_mapping": relational.KG_DIRECT_MAPPING_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

@@ -1,0 +1,153 @@
+"""Relational → KG direct mapping (W3C Direct Mapping flavor) over the
+TPC-H-ish tables: every row becomes a subject IRI, columns become literal
+predicates, foreign keys become IRI edges — the standard way an RDF engine
+ingests relational data (reference ecosystem parity: RDF.ex's ecosystem
+ships table→RDF mappers; the semantics here are the public W3C
+direct-mapping rules, simplified to the columns present).
+
+Ray-Data-first: one column-pruned ``read_parquet`` + vectorized
+``map_batches`` per table, a 4-way union of the (already tiny per-row)
+triple streams — no shuffle at all; canonical ordering is the store's job.
+Formatting is pinned for oracle parity: floats as %.2f on both engines,
+dates as ISO 'YYYY-MM-DD'.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+NS = "urn:tpch:"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _sql_table(table: str, key: str, cls: str, lits: list[tuple[str, str]],
+               fks: list[tuple[str, str, str]]) -> str:
+    subj = f"'{NS}{table}/' || CAST({key} AS VARCHAR)"
+    parts = [
+        f"SELECT {subj} AS subj, '{RDF_TYPE}' AS pred, 'iri' AS obj_kind, "
+        f"'{NS}{cls}' AS obj_value FROM {table}"
+    ]
+    for col, expr in lits:
+        parts.append(
+            f"SELECT {subj}, '{NS}{table}#{col}', 'literal', {expr} FROM {table}"
+        )
+    for col, target, fk in fks:
+        parts.append(
+            f"SELECT {subj}, '{NS}{table}#{col}', 'iri', "
+            f"'{NS}{target}/' || CAST({fk} AS VARCHAR) FROM {table}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+KG_DIRECT_MAPPING_SQL = "\nUNION ALL\n".join(
+    [
+        _sql_table(
+            "region", "r_regionkey", "Region", [("name", "r_name")], []
+        ),
+        _sql_table(
+            "nation", "n_nationkey", "Nation", [("name", "n_name")],
+            [("region", "region", "n_regionkey")],
+        ),
+        _sql_table(
+            "customer", "c_custkey", "Customer",
+            [("name", "c_name"), ("acctbal", "printf('%.2f', c_acctbal)"),
+             ("mktsegment", "c_mktsegment")],
+            [("nation", "nation", "c_nationkey")],
+        ),
+        _sql_table(
+            "orders", "o_orderkey", "Order",
+            [("orderstatus", "o_orderstatus"),
+             ("totalprice", "printf('%.2f', o_totalprice)"),
+             ("orderdate", "CAST(o_orderdate AS VARCHAR)"),
+             ("orderpriority", "o_orderpriority")],
+            [("customer", "customer", "o_custkey")],
+        ),
+    ]
+)
+
+
+def _emit(table: str, key_vals, cls: str, lit_cols: dict, fk_cols: dict) -> pa.Table:
+    subj_base = f"{NS}{table}/"
+    subjs, preds, kinds, vals = [], [], [], []
+    for i, k in enumerate(key_vals):
+        s = f"{subj_base}{k}"
+        subjs.append(s)
+        preds.append(RDF_TYPE)
+        kinds.append("iri")
+        vals.append(f"{NS}{cls}")
+        for col, colvals in lit_cols.items():
+            subjs.append(s)
+            preds.append(f"{NS}{table}#{col}")
+            kinds.append("literal")
+            vals.append(colvals[i])
+        for col, (target, fkvals) in fk_cols.items():
+            subjs.append(s)
+            preds.append(f"{NS}{table}#{col}")
+            kinds.append("iri")
+            vals.append(f"{NS}{target}/{fkvals[i]}")
+    return pa.table(
+        {
+            "subj": pa.array(subjs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj_kind": pa.array(kinds, pa.string()),
+            "obj_value": pa.array(vals, pa.string()),
+        }
+    )
+
+
+def kg_direct_mapping(sf_dir: str):
+    """Four tables → one Dataset of (subj, pred, obj_kind, obj_value)."""
+    import ray.data as rd
+
+    def region_rows(b: pa.Table) -> pa.Table:
+        return _emit(
+            "region", b["r_regionkey"].to_pylist(), "Region",
+            {"name": b["r_name"].to_pylist()}, {},
+        )
+
+    def nation_rows(b: pa.Table) -> pa.Table:
+        return _emit(
+            "nation", b["n_nationkey"].to_pylist(), "Nation",
+            {"name": b["n_name"].to_pylist()},
+            {"region": ("region", b["n_regionkey"].to_pylist())},
+        )
+
+    def customer_rows(b: pa.Table) -> pa.Table:
+        return _emit(
+            "customer", b["c_custkey"].to_pylist(), "Customer",
+            {
+                "name": b["c_name"].to_pylist(),
+                "acctbal": [f"{x:.2f}" for x in b["c_acctbal"].to_pylist()],
+                "mktsegment": b["c_mktsegment"].to_pylist(),
+            },
+            {"nation": ("nation", b["c_nationkey"].to_pylist())},
+        )
+
+    def orders_rows(b: pa.Table) -> pa.Table:
+        return _emit(
+            "orders", b["o_orderkey"].to_pylist(), "Order",
+            {
+                "orderstatus": b["o_orderstatus"].to_pylist(),
+                "totalprice": [f"{x:.2f}" for x in b["o_totalprice"].to_pylist()],
+                "orderdate": [str(d) for d in b["o_orderdate"].to_pylist()],
+                "orderpriority": b["o_orderpriority"].to_pylist(),
+            },
+            {"customer": ("customer", b["o_custkey"].to_pylist())},
+        )
+
+    def tbl(name, fn, cols):
+        return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=cols).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    ds = tbl("region", region_rows, ["r_regionkey", "r_name"])
+    ds = ds.union(tbl("nation", nation_rows, ["n_nationkey", "n_name", "n_regionkey"]))
+    ds = ds.union(
+        tbl("customer", customer_rows, ["c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"])
+    )
+    ds = ds.union(
+        tbl("orders", orders_rows, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_custkey", "o_orderpriority"])
+    )
+    return ds
