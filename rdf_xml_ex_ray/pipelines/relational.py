@@ -64,8 +64,24 @@ KG_DIRECT_MAPPING_SQL = "\nUNION ALL\n".join(
              ("orderpriority", "o_orderpriority")],
             [("customer", "customer", "o_custkey")],
         ),
+        _sql_table(
+            "supplier", "s_suppkey", "Supplier",
+            [("name", "s_name"), ("acctbal", "printf('%.2f', s_acctbal)")],
+            [("nation", "nation", "s_nationkey")],
+        ),
+        _sql_table(
+            "part", "p_partkey", "Part",
+            [("name", "p_name"), ("brand", "p_brand"), ("type", "p_type"),
+             ("size", "CAST(p_size AS VARCHAR)"),
+             ("retailprice", "printf('%.2f', p_retailprice)")],
+            [],
+        ),
     ]
 )
+# lineitem (the fact table) is deliberately NOT mapped here: its map is the
+# identical per-row shape at ~10× the rows, which would only bloat the
+# oracle compare — the flagship pipeline already demonstrates the
+# triples-at-volume path.
 
 
 def _emit(table: str, key_vals, cls: str, lit_cols: dict, fk_cols: dict) -> pa.Table:
@@ -142,6 +158,29 @@ def kg_direct_mapping(sf_dir: str):
             fn, batch_format="pyarrow"
         )
 
+    def supplier_rows(b: pa.Table) -> pa.Table:
+        return _emit(
+            "supplier", b["s_suppkey"].to_pylist(), "Supplier",
+            {
+                "name": b["s_name"].to_pylist(),
+                "acctbal": [f"{x:.2f}" for x in b["s_acctbal"].to_pylist()],
+            },
+            {"nation": ("nation", b["s_nationkey"].to_pylist())},
+        )
+
+    def part_rows(b: pa.Table) -> pa.Table:
+        return _emit(
+            "part", b["p_partkey"].to_pylist(), "Part",
+            {
+                "name": b["p_name"].to_pylist(),
+                "brand": b["p_brand"].to_pylist(),
+                "type": b["p_type"].to_pylist(),
+                "size": [str(x) for x in b["p_size"].to_pylist()],
+                "retailprice": [f"{x:.2f}" for x in b["p_retailprice"].to_pylist()],
+            },
+            {},
+        )
+
     ds = tbl("region", region_rows, ["r_regionkey", "r_name"])
     ds = ds.union(tbl("nation", nation_rows, ["n_nationkey", "n_name", "n_regionkey"]))
     ds = ds.union(
@@ -149,5 +188,9 @@ def kg_direct_mapping(sf_dir: str):
     )
     ds = ds.union(
         tbl("orders", orders_rows, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_custkey", "o_orderpriority"])
+    )
+    ds = ds.union(tbl("supplier", supplier_rows, ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]))
+    ds = ds.union(
+        tbl("part", part_rows, ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"])
     )
     return ds
