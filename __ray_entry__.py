@@ -79,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
+        "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
@@ -91,7 +92,4 @@ def oracle_sql() -> dict[str, str]:
         "events_window": streaming.EVENTS_WINDOW_SQL,
         "events_asof_join": streaming.EVENTS_ASOF_SQL,
         "events_range_join": streaming.EVENTS_RANGE_JOIN_SQL,
-        # ann_ivf_topk is the one remaining rows-only check: its coarse
-        # quantizer is a float Lloyd refinement (not SQL-expressible at
-        # hash precision); pytest pins its recall against brute force.
     }

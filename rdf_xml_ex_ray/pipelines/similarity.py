@@ -137,39 +137,75 @@ def ann_topk(sf_dir: str):
 # ------------------------------------------------------------------ IVF
 
 N_CELLS = 16
-N_PROBE = 4
-CENTROID_SAMPLE = 1024
+N_PROBE = 6  # 6/16 cells scanned; recall 0.54-0.64 vs brute at sf0.001-0.1
+IVF_QSCALE = 1024  # power of two: v * IVF_QSCALE is EXACT in float64
+
+# Fixed integer codebook (the coarse quantizer). Integer centroid
+# coordinates + integer-quantized vectors make cell assignment EXACT integer
+# arithmetic on both engines: |round(v*1024)| <= 2^14 and |C| <= 99 < 2^7,
+# so every dot product stays far below 2^53 and float summation order
+# cannot change the result. A data-dependent Lloyd refinement (round-2
+# version) is NOT SQL-replayable from a static oracle string — the codebook
+# is data-independent by design, like ann_lsh's hyperplanes.
+_IVF_CODEBOOK = np.random.RandomState(7).randint(-99, 100, size=(16, 64)).astype(np.float64)
 
 
-def _assign_cells(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    return np.argmax(_normalize(mat) @ centroids.T, axis=1)
+def _ivf_quantize(raw_mat: np.ndarray) -> np.ndarray:
+    """round-half-away(v * 2^10) — identical to DuckDB round(x*1024)."""
+    return np_round_half_away(raw_mat * IVF_QSCALE, 0)
 
 
-def ivf_centroids(path: str) -> np.ndarray:
-    """Deterministic coarse quantizer: seed centroids from the first N_CELLS
-    vectors, one Lloyd refinement over a fixed-size sample.
+def _ivf_scores(raw_mat: np.ndarray) -> np.ndarray:
+    """(n, N_CELLS) exact-integer-valued scores: dot(quantized v, codebook)."""
+    return _ivf_quantize(raw_mat) @ _IVF_CODEBOOK.T
 
-    The sample read is BOUNDED — streamed row-group by row-group off the
-    parquet footer and stopped at CENTROID_SAMPLE rows — so at 100 TB this is
-    a constant-size driver read, never a full-table load. The refined
-    centroids then broadcast to every task."""
-    want = max(CENTROID_SAMPLE, N_CELLS * 8)
-    pf = pq.ParquetFile(path)
-    rows, have = [], 0
-    for rb in pf.iter_batches(batch_size=min(want, 4096), columns=["embedding"]):
-        rows.append(rb)
-        have += rb.num_rows
-        if have >= want:
-            break
-    tbl = pa.Table.from_batches(rows)
-    sample = np.stack(tbl["embedding"].to_pylist()[:want]).astype(np.float64)
-    centroids = _normalize(sample[:N_CELLS].copy())
-    assign = _assign_cells(sample, centroids)
-    for c in range(N_CELLS):
-        members = sample[assign == c]
-        if len(members):
-            centroids[c] = members.mean(axis=0)
-    return _normalize(centroids)
+
+def _ivf_cells(raw_mat: np.ndarray) -> np.ndarray:
+    """Cell per vector: argmax score, first-max (= lowest cell) tie-break —
+    matching SQL list_position(scores, list_max(scores)) - 1."""
+    return np.argmax(_ivf_scores(raw_mat), axis=1).astype(np.int64)
+
+
+def _int_literal(row: np.ndarray) -> str:
+    return "[" + ", ".join(str(int(x)) for x in row) + "]"
+
+
+_IVF_SCORES_EXPR = "[" + ", ".join(
+    f"list_dot_product(qv, {_int_literal(_IVF_CODEBOOK[c])})" for c in range(N_CELLS)
+) + "]"
+
+ANN_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> round(x * {IVF_QSCALE})) AS qv
+  FROM e
+),
+sc AS (SELECT vec_id, v, {_IVF_SCORES_EXPR} AS scores FROM qz),
+cells AS (
+  SELECT vec_id, v, scores,
+         list_position(scores, list_max(scores)) - 1 AS cell
+  FROM sc
+),
+q AS (SELECT vec_id AS query_id, v AS qvec, scores AS qscores
+      FROM cells WHERE vec_id < {N_QUERIES}),
+ranked_probes AS (
+  SELECT q.query_id, q.qvec, g.cell AS pc,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY q.qscores[g.cell + 1] DESC, g.cell) AS pr
+  FROM q, generate_series(0, {N_CELLS - 1}) AS g(cell)
+),
+probes AS (SELECT query_id, qvec, pc FROM ranked_probes WHERE pr <= {N_PROBE}),
+sims AS (
+  SELECT p.query_id, t.vec_id, list_cosine_similarity(p.qvec, t.v) AS sim
+  FROM probes p JOIN cells t ON t.cell = p.pc AND t.vec_id <> p.query_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       round(sim, 4) AS cos_sim
+FROM sims
+QUALIFY rank <= {TOP_K}
+"""
 
 
 # ------------------------------------------------------------ sign-LSH
@@ -257,25 +293,35 @@ def ann_lsh_topk(sf_dir: str):
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed ANN: vectors partition into coarse cells; each query
-    probes only its N_PROBE nearest cells. Same output schema as ann_topk —
-    pytest checks recall against the brute-force baseline."""
+    """IVF-bucketed ANN with a full DuckDB twin: vectors partition into
+    coarse cells by max inner product against a fixed integer codebook;
+    each query probes only its N_PROBE top-scoring cells (score DESC, cell
+    ASC). Assignment and probe selection are exact integer arithmetic on
+    both engines (see _IVF_CODEBOOK), so the whole query is value-hash
+    checked end to end; pytest additionally pins recall vs brute force."""
     import ray.data as rd
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    centroids = ivf_centroids(path)
-    q = _read_queries(path)
-    q_probes = np.argsort(-(q["mat"] @ centroids.T), axis=1)[:, :N_PROBE]
+    qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
+    qraw = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    qscores = _ivf_scores(qraw)
+    # top-N_PROBE cells by (score DESC, cell ASC): stable argsort keeps
+    # ascending cell order on exact-integer score ties
+    q_probes = np.argsort(-qscores, axis=1, kind="stable")[:, :N_PROBE]
     ref = put_broadcast(
-        {"ids": q["ids"], "mat": q["mat"], "probes": q_probes, "centroids": centroids}
+        {
+            "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
+            "mat": _normalize(qraw),
+            "probes": q_probes,
+        }
     )
 
     def ivf_partial_topk(batch: pa.Table) -> pa.Table:
         b = resolve_broadcast(ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
-        cells = _assign_cells(mat, b["centroids"])
-        sims = b["mat"] @ mat.T
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        cells = _ivf_cells(raw)
+        sims = b["mat"] @ _normalize(raw).T
         return _probed_partial_topk(b, cells, vec_ids, sims)
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
