@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from typing import Any
 
+# Most-recent-N broadcast values per worker process. Bounded (the round-2
+# advisor's finding: an unbounded cache pins every pipeline invocation's
+# broadcast objects in worker RSS for the process lifetime on a long-lived
+# cluster). Python dicts preserve insertion order, so eviction is FIFO —
+# fine here because within one pipeline run only a handful of refs are live.
 _CACHE: dict[str, Any] = {}
+_CACHE_CAP = 8
 
 
 def put_broadcast(obj: Any) -> Any:
@@ -52,6 +58,8 @@ def resolve_broadcast(ref: Any) -> Any:
         if isinstance(ref, ray.ObjectRef):
             key = ref.hex()
             if key not in _CACHE:
+                while len(_CACHE) >= _CACHE_CAP:
+                    _CACHE.pop(next(iter(_CACHE)))
                 _CACHE[key] = ray.get(ref)
             return _CACHE[key]
     except ImportError:  # pragma: no cover
