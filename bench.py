@@ -39,6 +39,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker-process stdout (e.g. Ray Data's schema-hash chatter) is not
+        # bench signal and would pollute the single-JSON-line contract
+        log_to_driver=False,
     )
     import logging
 
@@ -57,9 +60,12 @@ def run_bench() -> dict:
     for t in ("events", "documents", "embeddings"):
         pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
 
-    # warm the Ray worker pool (each worker pays ~1-2 s of Python imports on
-    # its first task; that is process-spawn cost, not pipeline throughput)
-    kg.kg_triples_dataset(SF_DIR, num_buckets=NUM_CPUS).count()
+    # warm the Ray worker pool with the SAME shape as the timed run (block
+    # count, bucket count, replica volume): a smaller warm-up leaves part of
+    # the pool cold — workers spawn lazily per block wave, and each pays
+    # ~1-2 s of Python imports on its first task (process-spawn cost, not
+    # pipeline throughput; the r2 8→32 ramp gap)
+    kg.kg_triples_dataset(SF_DIR, num_buckets=64, replicas=REPLICAS).count()
 
     timings: dict[str, float] = {}
     n_triples = 0

@@ -1,0 +1,29 @@
+"""The distributed (beyond-cap) paths of dedup_minhash and dedup_clusters
+must produce the identical answer to the bounded broadcast fast paths —
+forced here by zeroing the caps. This is what keeps the 100 TB topology
+(bucketed semi-join shingle shipping; label⋈edge join propagation)
+oracle-true even though the small-scale gate naturally takes the fast path.
+"""
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_minhash_scale_path_matches_fast_path(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.dedup import dedup_minhash
+
+    cols = ["doc_a", "doc_b"]
+    fast = _sorted(dedup_minhash(sf_dir).to_pandas(), cols)
+    scale = _sorted(dedup_minhash(sf_dir, broadcast_pair_cap=0).to_pandas(), cols)
+    assert len(fast) > 0
+    assert fast.equals(scale)
+
+
+def test_clusters_distributed_propagation_matches_broadcast(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.dedup import dedup_clusters
+
+    broad = _sorted(dedup_clusters(sf_dir).to_pandas(), ["doc_id"])
+    dist = _sorted(dedup_clusters(sf_dir, broadcast_edge_cap=0).to_pandas(), ["doc_id"])
+    assert (broad["cluster_id"] != broad["doc_id"]).any()  # real clusters exist
+    assert broad.equals(dist)
