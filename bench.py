@@ -52,7 +52,7 @@ def run_bench() -> dict:
     # keep stderr clean: schema-unification/deprecation chatter is not signal
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from rdf_xml_ex_ray.pipelines import dedup, kg, similarity, text
+    from rdf_xml_ex_ray.pipelines import dedup, kg, relational, similarity, text
 
     # warm the OS page cache so we measure compute + shuffle, not first read
     import pyarrow.parquet as pq
@@ -95,6 +95,10 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     text.doc_stats(SF_DIR).count()
     timings["doc_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    relational.kg_direct_mapping(SF_DIR).count()
+    timings["kg_direct_mapping"] = round(time.perf_counter() - t0, 3)
 
     headline = timings["kg_triples"]
     result = {

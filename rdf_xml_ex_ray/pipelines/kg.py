@@ -220,9 +220,13 @@ def kg_triples_dataset(
         parallelism = _default_parallelism()
     num_blocks = _scaled_num_blocks(sf_dir, replicas, parallelism)
     turns = replicate_turns(read_transcript_turns(sf_dir, num_blocks), replicas)
-    # ~2 conv-buckets per block: small groups pack the pool evenly (one huge
-    # bucket per slot leaves an idle tail behind the slowest straggler)
-    docs = render_documents(turns, num_conv_buckets=2 * num_blocks)
+    # ~2 conv-buckets per block for pool packing, but capped at 12×CPUs:
+    # reduce-task count must stay Θ(CPUs), not Θ(input) — the exchange moves
+    # O(map_blocks × buckets) objects, and at 512 blocks × 1024 buckets the
+    # 32-CPU leg anti-scaled ~25% vs the capped layout (measured at ×24
+    # replicas; group size growing with input is fine, conversations are
+    # uniform and render+parse is linear per group)
+    docs = render_documents(turns, num_conv_buckets=min(2 * num_blocks, 12 * parallelism))
     triples = parse_documents(docs)
     linked = link_entities(triples)
     if co_partitioned:
