@@ -162,6 +162,88 @@ def token_count(sf_dir: str):
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+# True-BPE path (pluggable merge table). The pretokenizer above is the
+# production cost estimator; when a real vocab's merge list is supplied the
+# operator reports exact token counts: classic BPE inside each pretoken
+# (merge the lowest-rank adjacent pair everywhere, repeat), merge table
+# shipped once via ray.put, per-pretoken counts cached per worker process
+# (Zipfian vocabulary — most words repeat).
+
+# id(ranks) → (ranks object, word→count cache). The strong reference to the
+# ranks object pins its id, so a recycled id can never alias a different
+# merge table; at most a handful of tables are live per process.
+_BPE_WORD_CACHE: dict[int, tuple[dict, dict[str, int]]] = {}
+_BPE_WORD_CACHE_CAP = 200_000
+
+
+def _bpe_symbol_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    symbols = list(word)
+    while len(symbols) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (symbols[i], symbols[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merged: list[str] = []
+        i = 0
+        while i < len(symbols):
+            if i < len(symbols) - 1 and symbols[i] == a and symbols[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(symbols[i])
+                i += 1
+        symbols = merged
+    return len(symbols)
+
+
+def count_bpe_tokens(text: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Exact BPE token count: pretokenize (same regex as the estimator),
+    then merge within each pretoken by ascending rank."""
+    entry = _BPE_WORD_CACHE.get(id(ranks))
+    if entry is None or entry[0] is not ranks:
+        if len(_BPE_WORD_CACHE) > 8:
+            _BPE_WORD_CACHE.clear()
+        entry = _BPE_WORD_CACHE[id(ranks)] = (ranks, {})
+    cache = entry[1]
+    total = 0
+    for w in _bpe_tok_pat.findall(text):
+        n = cache.get(w)
+        if n is None:
+            if len(cache) > _BPE_WORD_CACHE_CAP:
+                cache.clear()
+            n = cache[w] = _bpe_symbol_count(w, ranks)
+        total += n
+    return total
+
+
+def token_count_bpe(sf_dir: str, merges: list[tuple[str, str]]):
+    """token_count with a real merge table: adds exact ``n_tokens`` next to
+    the estimator columns. ``merges`` is the vocab's ordered merge list
+    (rank = list position), broadcast once and resolved per worker."""
+    import ray.data as rd
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+    ranks_ref = put_broadcast({tuple(m): i for i, m in enumerate(merges)})
+
+    def with_bpe(batch: pa.Table) -> pa.Table:
+        ranks = resolve_broadcast(ranks_ref)
+        base = token_count_batch(batch)
+        n_tok = pa.array(
+            [count_bpe_tokens(t, ranks) for t in batch["text"].to_pylist()], pa.int64()
+        )
+        return base.append_column("n_tokens", n_tok)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(with_bpe, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- winnowing
 
 WINNOW_K = 8  # character k-gram size

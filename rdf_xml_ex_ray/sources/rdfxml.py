@@ -29,6 +29,12 @@ STREAMING_THRESHOLD = 8 * 1024 * 1024
 FEED_CHUNK = 1 << 22  # 4 MiB expat feed granularity
 ROWS_PER_OUTPUT_BATCH = 50_000
 
+# Machine-checkable marker: a rejects row whose error starts with this means
+# triples of the SAME doc_id were already emitted before the failure (only
+# possible on the explicitly non-atomic paths) — consumers that require
+# all-or-nothing documents must anti-join these doc_ids out.
+PARTIAL_ERROR_PREFIX = "partial-document: "
+
 
 def _doc_id_for(path: str) -> str:
     # doc_id must be collision-free across the whole input set: two files
@@ -71,6 +77,15 @@ class _RowSink:
         cols["error"][-1] = err
         self.n += 1
 
+    def drop_last_rows(self, k: int) -> None:
+        """Retract the k most recently emitted rows (document-atomic error
+        handling: a failed doc's pending rows must not reach the output)."""
+        if k <= 0:
+            return
+        for name in PARSE_OUT_SCHEMA.names:
+            del self.cols[name][-k:]
+        self.n -= k
+
     def table(self) -> pa.Table:
         t = pa.table(self.cols, schema=PARSE_OUT_SCHEMA)
         self.cols = {name: [] for name in PARSE_OUT_SCHEMA.names}
@@ -83,6 +98,7 @@ def read_rdfxml(
     base: str | None = None,
     bnode_prefix: str = "b",
     streaming_threshold: int = STREAMING_THRESHOLD,
+    atomic_documents: bool = True,
 ):
     """Directory/glob of .rdf files → Dataset of triple rows (+ doc lineage).
 
@@ -91,11 +107,18 @@ def read_rdfxml(
     per-conversation allocation in the flagship.
 
     Files above ``streaming_threshold`` decode through the incremental parser
-    and the UDF *yields* output batches as descriptions complete, so worker
-    memory is O(file bytes + one output batch), not O(parse tree). (For such
-    a file a mid-document syntax error still appends a rejects row, but
-    batches already yielded stand — global set semantics are restored by the
-    canonicalization stage, as everywhere else.)
+    (expat + per-description pruning) so worker memory never holds a parse
+    tree.
+
+    Invalid-document contract: with ``atomic_documents=True`` (default) a
+    document either contributes ALL its triples or exactly one rejects row —
+    regardless of file size (a streamed document's rows are held until its
+    parse completes; memory is O(file bytes + that doc's triple rows)).
+    ``atomic_documents=False`` restores free-flowing yields for streamed
+    files — mid-document failures then leave already-yielded triples in the
+    output and append a rejects row whose error starts with
+    ``PARTIAL_ERROR_PREFIX``; consumers needing all-or-nothing documents
+    MUST anti-join those doc_ids out.
     """
     import ray.data as rd
 
@@ -112,16 +135,20 @@ def read_rdfxml(
             if len(data) > streaming_threshold:
                 mv = memoryview(data)
                 chunks = (bytes(mv[i : i + FEED_CHUNK]) for i in range(0, len(mv), FEED_CHUNK))
+                doc_rows = 0
                 try:
                     for triples in iter_parse_rdfxml(chunks, base=doc_base, bnode_prefix=bp):
                         sink.emit_triples(triples, doc_id)
-                        if sink.n >= ROWS_PER_OUTPUT_BATCH:
+                        doc_rows += len(triples)
+                        if not atomic_documents and sink.n >= ROWS_PER_OUTPUT_BATCH:
                             yield sink.table()
                 except ParseError as e:
-                    # batches already yielded for this doc stand (streaming
-                    # can't retract); the marker below lets a consumer
-                    # anti-join the rejects doc_ids to drop the partial doc
-                    sink.emit_error(doc_id, f"partial-document error (emitted triples stand): {e}")
+                    if atomic_documents:
+                        # nothing yielded yet for this doc — retract its rows
+                        sink.drop_last_rows(doc_rows)
+                        sink.emit_error(doc_id, str(e))
+                    else:
+                        sink.emit_error(doc_id, f"{PARTIAL_ERROR_PREFIX}{e}")
             else:
                 try:
                     sink.emit_triples(parse_rdfxml(data, base=doc_base, bnode_prefix=bp), doc_id)
@@ -145,7 +172,13 @@ def read_rdfxml_streamed(
     ``pyarrow.fs`` (local or remote URI) and fed straight into the
     incremental parser — at no point do the file bytes, the parse tree, or
     the triple set exist whole in memory. Worker RSS is O(feed chunk +
-    largest description + one output batch)."""
+    largest description + one output batch).
+
+    Constant memory forbids document-atomic buffering: a mid-document
+    failure retracts the doc's not-yet-yielded rows, and if earlier batches
+    of the doc were already yielded the rejects row's error carries
+    ``PARTIAL_ERROR_PREFIX`` — anti-join those doc_ids for all-or-nothing
+    semantics (or use :func:`read_rdfxml`, atomic by default)."""
     import ray.data as rd
 
     from ..decoder.streaming import iter_parse_rdfxml
@@ -169,15 +202,21 @@ def read_rdfxml_streamed(
                             return
                         yield data
 
+            yielded_rows = 0
             try:
                 for triples in iter_parse_rdfxml(
                     chunk_iter(), base=doc_base, bnode_prefix=f"{doc_id}!{bnode_prefix}"
                 ):
                     sink.emit_triples(triples, doc_id)
                     if sink.n >= ROWS_PER_OUTPUT_BATCH:
+                        yielded_rows += sink.n
                         yield sink.table()
             except ParseError as e:
-                sink.emit_error(doc_id, str(e))
+                sink.drop_last_rows(sink.n)  # pending rows are all this doc's
+                if yielded_rows:
+                    sink.emit_error(doc_id, f"{PARTIAL_ERROR_PREFIX}{e}")
+                else:
+                    sink.emit_error(doc_id, str(e))
             yield sink.table()
 
     items = rd.from_items([{"path": p} for p in paths])

@@ -107,3 +107,69 @@ def test_rdfxml_sink_roundtrip_of_flagship_store(ray_session, tmp_path):
     a = orig[cols].sort_values(cols).reset_index(drop=True)
     b = back_ok[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def _truncated_doc(n_descriptions: int) -> str:
+    # valid head, missing </rdf:RDF> and a broken tag at the end; sized so
+    # the streamed decoder crosses at least one 4 MiB feed-chunk boundary
+    # (and its 10k-triple drain) before hitting the error
+    descs = "\n".join(
+        f'<rdf:Description rdf:about="http://example.org/things/{i:08d}">'
+        f"<ex:p>value-{i:08d}</ex:p></rdf:Description>"
+        for i in range(n_descriptions)
+    )
+    return (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/">\n' + descs + "\n<broken"
+    )
+
+
+N_BAD_DESCS = 60_000  # ~6 MB > one FEED_CHUNK
+
+
+def test_read_rdfxml_atomic_documents_on_streamed_error(ray_session, tmp_path):
+    """A mid-document failure in a streamed (over-threshold) file must be
+    all-or-nothing by default — even after the decoder has already drained
+    tens of thousands of the doc's triples into the sink: one rejects row,
+    ZERO triples, identical semantics to the under-threshold path."""
+    from rdf_xml_ex_ray.sources.rdfxml import PARTIAL_ERROR_PREFIX, read_rdfxml
+
+    bad = tmp_path / "bad.rdf"
+    bad.write_text(_truncated_doc(N_BAD_DESCS), encoding="utf-8")
+    good = tmp_path / "good.rdf"
+    good.write_text(
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/">'
+        '<rdf:Description rdf:about="http://x/ok"><ex:p>v</ex:p></rdf:Description>'
+        "</rdf:RDF>",
+        encoding="utf-8",
+    )
+
+    df = read_rdfxml([str(bad), str(good)], streaming_threshold=100).to_pandas()
+    rejects = df[df["error"].notna()]
+    ok = df[df["error"].isna()]
+    assert len(rejects) == 1
+    assert rejects.iloc[0]["conv_id"].startswith("bad-")
+    assert not rejects.iloc[0]["error"].startswith(PARTIAL_ERROR_PREFIX)
+    # no triple of the failed doc leaked into the output
+    assert not ok["conv_id"].str.startswith("bad-").any()
+    # the good doc's triples are intact
+    assert ok["conv_id"].str.startswith("good-").sum() == 1
+
+
+def test_read_rdfxml_non_atomic_marks_partial(ray_session, tmp_path):
+    from rdf_xml_ex_ray.sources.rdfxml import PARTIAL_ERROR_PREFIX, read_rdfxml
+
+    bad = tmp_path / "bad.rdf"
+    bad.write_text(_truncated_doc(N_BAD_DESCS), encoding="utf-8")
+    df = read_rdfxml(
+        [str(bad)], streaming_threshold=100, atomic_documents=False
+    ).to_pandas()
+    rejects = df[df["error"].notna()]
+    assert len(rejects) == 1
+    # the machine-checkable partial marker names the doc to anti-join
+    assert rejects.iloc[0]["error"].startswith(PARTIAL_ERROR_PREFIX)
+    # already-drained triples stand, as documented for the non-atomic mode
+    assert (df["error"].isna()).sum() >= 10_000

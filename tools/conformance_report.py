@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Generate CONFORMANCE.md — the W3C RDF 1.1 XML suite results, the analogue
-of the reference's EARL report (/root/reference/earl_reports/rdf_xml.ttl:
-154 passed / 8 failed there).
+"""Generate CONFORMANCE.md and earl_reports/rdf_xml_ex_ray.ttl — the W3C
+RDF 1.1 XML suite results, in both the human-readable form and the
+machine-readable EARL/Turtle format the reference publishes
+(/root/reference/earl_reports/rdf_xml.ttl: 154 passed / 8 failed there;
+same @prefix set, earl:Assertion shape, and test-IRI scheme).
 
 Usage: python tools/conformance_report.py
 """
@@ -84,10 +86,68 @@ def main() -> int:
     for name, kind, ok in rows:
         out.append(f"- {'✅' if ok else '❌'} `{name}` ({kind})")
     out += ["", "</details>", ""]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CONFORMANCE.md"), "w") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "CONFORMANCE.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"{passed}/{len(rows)} passed → CONFORMANCE.md")
+    write_earl(rows, repo)
+    print(f"{passed}/{len(rows)} passed → CONFORMANCE.md + earl_reports/rdf_xml_ex_ray.ttl")
     return 0 if failed == 0 else 2
+
+
+PROJECT_IRI = "urn:rdf-xml-ex-ray:project"
+TEST_BASE = "http://www.w3.org/2013/RDFXMLTests/#"
+
+
+def write_earl(rows, repo: str) -> None:
+    """EARL/Turtle assertions, one per suite case — the reference's report
+    format (earl_reports/rdf_xml.ttl; emitted by its mix earl task,
+    mix.exs:121-125). Assertor/subject are the project IRI (software, not a
+    person); test IRIs use the suite's `<dir>-<name>` fragment scheme."""
+    from datetime import datetime, timezone
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    lines = [
+        "@prefix dc: <http://purl.org/dc/terms/> .",
+        "@prefix doap: <http://usefulinc.com/ns/doap#> .",
+        "@prefix earl: <http://www.w3.org/ns/earl#> .",
+        "@prefix foaf: <http://xmlns.com/foaf/0.1/> .",
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
+        "",
+        "<>",
+        f'    dc:issued "{stamp}"^^xsd:dateTime ;',
+        f"    foaf:primaryTopic <{PROJECT_IRI}> .",
+        "",
+        f"<{PROJECT_IRI}>",
+        "    a doap:Project, earl:Software, earl:TestSubject, earl:Assertor ;",
+        '    doap:name "rdf_xml_ex_ray" ;',
+        '    doap:shortdesc "Ray-Data-native RDF/XML engine" ;',
+        "    doap:implements <http://www.w3.org/TR/rdf-syntax-grammar/> ;",
+        '    doap:programming-language "Python" .',
+        "",
+    ]
+    for name, _, ok in rows:
+        outcome = "earl:passed" if ok else "earl:failed"
+        test_iri = TEST_BASE + name.replace("/", "-")
+        lines += [
+            "[",
+            "    a earl:Assertion ;",
+            f"    earl:assertedBy <{PROJECT_IRI}> ;",
+            "    earl:mode earl:automatic ;",
+            "    earl:result [",
+            "        a earl:TestResult ;",
+            f'        dc:date "{stamp}"^^xsd:dateTime ;',
+            f"        earl:outcome {outcome}",
+            "    ] ;",
+            f"    earl:subject <{PROJECT_IRI}> ;",
+            f"    earl:test <{test_iri}>",
+            "] .",
+            "",
+        ]
+    earl_dir = os.path.join(repo, "earl_reports")
+    os.makedirs(earl_dir, exist_ok=True)
+    with open(os.path.join(earl_dir, "rdf_xml_ex_ray.ttl"), "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
