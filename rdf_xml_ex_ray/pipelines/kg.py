@@ -178,7 +178,11 @@ TARGET_TURNS_PER_BLOCK = 25_000
 def _scaled_num_blocks(sf_dir: str, replicas: int, parallelism: int) -> int:
     """Read block count for the flagship: floor of 2×CPUs (pool packing),
     scaled up with the *actual* input size (parquet footer metadata — no
-    data read), capped at 16×CPUs (exchange-object count)."""
+    data read), capped at 8×CPUs. The cap bounds the sort exchange, which
+    moves O(map_blocks × reduce_partitions) objects and Ray's sort uses
+    reduce_partitions = map_blocks — at 16×CPUs (512×512 at 32 CPUs) the
+    exchange cost anti-scaled the wall ~25% vs 8×CPUs (measured, ×24
+    replicas)."""
     import pyarrow.parquet as pq
 
     try:
@@ -186,7 +190,7 @@ def _scaled_num_blocks(sf_dir: str, replicas: int, parallelism: int) -> int:
     except Exception:  # pragma: no cover - non-parquet/custom layouts
         base_rows = 0
     desired = (base_rows * max(1, replicas)) // TARGET_TURNS_PER_BLOCK
-    return int(max(2 * parallelism, min(desired, 16 * parallelism)))
+    return int(max(2 * parallelism, min(desired, 8 * parallelism)))
 
 
 def kg_triples_dataset(
@@ -220,13 +224,14 @@ def kg_triples_dataset(
         parallelism = _default_parallelism()
     num_blocks = _scaled_num_blocks(sf_dir, replicas, parallelism)
     turns = replicate_turns(read_transcript_turns(sf_dir, num_blocks), replicas)
-    # ~2 conv-buckets per block for pool packing, but capped at 12×CPUs:
-    # reduce-task count must stay Θ(CPUs), not Θ(input) — the exchange moves
-    # O(map_blocks × buckets) objects, and at 512 blocks × 1024 buckets the
-    # 32-CPU leg anti-scaled ~25% vs the capped layout (measured at ×24
-    # replicas; group size growing with input is fine, conversations are
-    # uniform and render+parse is linear per group)
-    docs = render_documents(turns, num_conv_buckets=min(2 * num_blocks, 12 * parallelism))
+    # 8 conv-buckets per block: Ray's sort range-partitions into
+    # reduce_partitions = map_blocks by SAMPLED key quantiles, so with only
+    # ~2 distinct bucket values per partition the integer granularity hands
+    # some tasks 1 bucket and others 3 — a measured 3.2× rows-per-task skew
+    # whose straggler set the wall. ≥8 buckets per partition bounds that
+    # skew at ~±12% (×24 replicas: 23.8 s → 17.5 s); pushing granularity
+    # further (16-32×) buys nothing and adds per-group dispatch overhead.
+    docs = render_documents(turns, num_conv_buckets=8 * num_blocks)
     triples = parse_documents(docs)
     linked = link_entities(triples)
     if co_partitioned:

@@ -99,123 +99,178 @@ KG_DIRECT_MAPPING_SQL = "\nUNION ALL\n".join(
 )
 
 
-def _emit(table: str, key_vals, cls: str, lit_cols: dict, fk_cols: dict) -> pa.Table:
-    subj_base = f"{NS}{table}/"
-    subjs, preds, kinds, vals = [], [], [], []
-    for i, k in enumerate(key_vals):
-        s = f"{subj_base}{k}"
-        subjs.append(s)
-        preds.append(RDF_TYPE)
-        kinds.append("iri")
-        vals.append(f"{NS}{cls}")
-        for col, colvals in lit_cols.items():
-            subjs.append(s)
-            preds.append(f"{NS}{table}#{col}")
-            kinds.append("literal")
-            vals.append(colvals[i])
-        for col, (target, fkvals) in fk_cols.items():
-            subjs.append(s)
-            preds.append(f"{NS}{table}#{col}")
-            kinds.append("iri")
-            vals.append(f"{NS}{target}/{fkvals[i]}")
-    return pa.table(
-        {
-            "subj": pa.array(subjs, pa.string()),
-            "pred": pa.array(preds, pa.string()),
-            "obj_kind": pa.array(kinds, pa.string()),
-            "obj_value": pa.array(vals, pa.string()),
-        }
-    )
+def _prefix_concat(prefix: str, arr: pa.Array) -> pa.Array:
+    """'prefix' || str(arr[i]) — one vectorized Arrow kernel, no Python loop."""
+    import pyarrow.compute as pc
+
+    s = arr if pa.types.is_string(arr.type) else pc.cast(arr, pa.string())
+    return pc.binary_join_element_wise(pa.repeat(pa.scalar(prefix, pa.string()), len(arr)), s, "")
+
+
+def _fmt2(arr) -> pa.Array:
+    """%.2f over a float column — np.char.mod is C-printf vectorized, the
+    same correctly-rounded conversion as Python f-strings and DuckDB printf."""
+    import numpy as np
+
+    vals = arr.to_numpy(zero_copy_only=False)
+    return pa.array(np.char.mod("%.2f", vals), pa.string())
+
+
+def _emit(table: str, subjs: pa.Array, cls: str, lit_cols: dict, fk_cols: dict) -> pa.Table:
+    """Row-set → triple rows, fully vectorized: one (pred, values) column
+    pair per predicate, concatenated. ``subjs`` is the prebuilt subject IRI
+    array; ``lit_cols`` maps col → string Array; ``fk_cols`` maps
+    col → (target_table, key Array)."""
+    n = len(subjs)
+
+    def const(v: str):
+        return pa.repeat(pa.scalar(v, pa.string()), n)  # C-level, no Python list
+
+    parts = [
+        pa.table(
+            {
+                "subj": subjs,
+                "pred": const(RDF_TYPE),
+                "obj_kind": const("iri"),
+                "obj_value": const(f"{NS}{cls}"),
+            }
+        )
+    ]
+    for col, vals in lit_cols.items():
+        parts.append(
+            pa.table(
+                {
+                    "subj": subjs,
+                    "pred": const(f"{NS}{table}#{col}"),
+                    "obj_kind": const("literal"),
+                    "obj_value": vals,
+                }
+            )
+        )
+    for col, (target, fkvals) in fk_cols.items():
+        parts.append(
+            pa.table(
+                {
+                    "subj": subjs,
+                    "pred": const(f"{NS}{table}#{col}"),
+                    "obj_kind": const("iri"),
+                    "obj_value": _prefix_concat(f"{NS}{target}/", fkvals),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
 
 
 def kg_direct_mapping(sf_dir: str):
     """Seven tables → one Dataset of (subj, pred, obj_kind, obj_value)."""
     import ray.data as rd
 
+    import pyarrow.compute as pc
+
     def region_rows(b: pa.Table) -> pa.Table:
         return _emit(
-            "region", b["r_regionkey"].to_pylist(), "Region",
-            {"name": b["r_name"].to_pylist()}, {},
+            "region", _prefix_concat(f"{NS}region/", b["r_regionkey"]), "Region",
+            {"name": b["r_name"]}, {},
         )
 
     def nation_rows(b: pa.Table) -> pa.Table:
         return _emit(
-            "nation", b["n_nationkey"].to_pylist(), "Nation",
-            {"name": b["n_name"].to_pylist()},
-            {"region": ("region", b["n_regionkey"].to_pylist())},
+            "nation", _prefix_concat(f"{NS}nation/", b["n_nationkey"]), "Nation",
+            {"name": b["n_name"]},
+            {"region": ("region", b["n_regionkey"])},
         )
 
     def customer_rows(b: pa.Table) -> pa.Table:
         return _emit(
-            "customer", b["c_custkey"].to_pylist(), "Customer",
+            "customer", _prefix_concat(f"{NS}customer/", b["c_custkey"]), "Customer",
             {
-                "name": b["c_name"].to_pylist(),
-                "acctbal": [f"{x:.2f}" for x in b["c_acctbal"].to_pylist()],
-                "mktsegment": b["c_mktsegment"].to_pylist(),
+                "name": b["c_name"],
+                "acctbal": _fmt2(b["c_acctbal"]),
+                "mktsegment": b["c_mktsegment"],
             },
-            {"nation": ("nation", b["c_nationkey"].to_pylist())},
+            {"nation": ("nation", b["c_nationkey"])},
         )
 
     def orders_rows(b: pa.Table) -> pa.Table:
         return _emit(
-            "orders", b["o_orderkey"].to_pylist(), "Order",
+            "orders", _prefix_concat(f"{NS}orders/", b["o_orderkey"]), "Order",
             {
-                "orderstatus": b["o_orderstatus"].to_pylist(),
-                "totalprice": [f"{x:.2f}" for x in b["o_totalprice"].to_pylist()],
-                "orderdate": [str(d) for d in b["o_orderdate"].to_pylist()],
-                "orderpriority": b["o_orderpriority"].to_pylist(),
+                "orderstatus": b["o_orderstatus"],
+                "totalprice": _fmt2(b["o_totalprice"]),
+                # whole-second timestamps; cast to [s] first — Arrow's %S
+                # prints fractional digits for sub-second units, while the
+                # twin's CAST(.. AS VARCHAR) and python str(datetime) don't
+                "orderdate": pc.strftime(
+                    pc.cast(b["o_orderdate"], pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S"
+                ),
+                "orderpriority": b["o_orderpriority"],
             },
-            {"customer": ("customer", b["o_custkey"].to_pylist())},
+            {"customer": ("customer", b["o_custkey"])},
         )
 
     def tbl(name, fn, cols):
-        return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=cols).map_batches(
+        # block count scaled to the TABLE's rows — without the override Ray
+        # auto-splits even a 5-row table into ~CPUs blocks, and 7 tables ×
+        # 64 near-empty tasks is pure scheduling overhead (measured 15→4 s
+        # at sf0.1); the fact table still fans wide
+        import pyarrow.parquet as pq
+
+        from ..stages.broadcast import cluster_cpus
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        rows = pq.ParquetFile(path).metadata.num_rows
+        blocks = int(max(1, min(rows // 25_000 + 1, 2 * cluster_cpus())))
+        return rd.read_parquet(path, columns=cols, override_num_blocks=blocks).map_batches(
             fn, batch_format="pyarrow"
         )
 
     def supplier_rows(b: pa.Table) -> pa.Table:
         return _emit(
-            "supplier", b["s_suppkey"].to_pylist(), "Supplier",
+            "supplier", _prefix_concat(f"{NS}supplier/", b["s_suppkey"]), "Supplier",
             {
-                "name": b["s_name"].to_pylist(),
-                "acctbal": [f"{x:.2f}" for x in b["s_acctbal"].to_pylist()],
+                "name": b["s_name"],
+                "acctbal": _fmt2(b["s_acctbal"]),
             },
-            {"nation": ("nation", b["s_nationkey"].to_pylist())},
+            {"nation": ("nation", b["s_nationkey"])},
         )
 
     def part_rows(b: pa.Table) -> pa.Table:
         return _emit(
-            "part", b["p_partkey"].to_pylist(), "Part",
+            "part", _prefix_concat(f"{NS}part/", b["p_partkey"]), "Part",
             {
-                "name": b["p_name"].to_pylist(),
-                "brand": b["p_brand"].to_pylist(),
-                "type": b["p_type"].to_pylist(),
-                "size": [str(x) for x in b["p_size"].to_pylist()],
-                "retailprice": [f"{x:.2f}" for x in b["p_retailprice"].to_pylist()],
+                "name": b["p_name"],
+                "brand": b["p_brand"],
+                "type": b["p_type"],
+                "size": pc.cast(b["p_size"], pa.string()),
+                "retailprice": _fmt2(b["p_retailprice"]),
             },
             {},
         )
 
     def lineitem_rows(b: pa.Table) -> pa.Table:
-        keys = [
-            f"{ok}-{ln}"
-            for ok, ln in zip(b["l_orderkey"].to_pylist(), b["l_linenumber"].to_pylist())
-        ]
+        keys = pc.binary_join_element_wise(
+            pc.cast(b["l_orderkey"], pa.string()),
+            pc.cast(b["l_linenumber"], pa.string()),
+            "-",
+        )
+        subjs = pc.binary_join_element_wise(
+            pa.array([f"{NS}lineitem/"] * len(b), pa.string()), keys, ""
+        )
         return _emit(
-            "lineitem", keys, "Lineitem",
+            "lineitem", subjs, "Lineitem",
             {
-                "quantity": [f"{x:.2f}" for x in b["l_quantity"].to_pylist()],
-                "extendedprice": [f"{x:.2f}" for x in b["l_extendedprice"].to_pylist()],
-                "discount": [f"{x:.2f}" for x in b["l_discount"].to_pylist()],
-                "tax": [f"{x:.2f}" for x in b["l_tax"].to_pylist()],
-                "returnflag": b["l_returnflag"].to_pylist(),
-                "linestatus": b["l_linestatus"].to_pylist(),
-                "shipdate": [d.strftime("%Y-%m-%d") for d in b["l_shipdate"].to_pylist()],
+                "quantity": _fmt2(b["l_quantity"]),
+                "extendedprice": _fmt2(b["l_extendedprice"]),
+                "discount": _fmt2(b["l_discount"]),
+                "tax": _fmt2(b["l_tax"]),
+                "returnflag": b["l_returnflag"],
+                "linestatus": b["l_linestatus"],
+                "shipdate": pc.strftime(b["l_shipdate"], format="%Y-%m-%d"),
             },
             {
-                "order": ("orders", b["l_orderkey"].to_pylist()),
-                "part": ("part", b["l_partkey"].to_pylist()),
-                "supplier": ("supplier", b["l_suppkey"].to_pylist()),
+                "order": ("orders", b["l_orderkey"]),
+                "part": ("part", b["l_partkey"]),
+                "supplier": ("supplier", b["l_suppkey"]),
             },
         )
 
