@@ -224,14 +224,14 @@ def kg_triples_dataset(
         parallelism = _default_parallelism()
     num_blocks = _scaled_num_blocks(sf_dir, replicas, parallelism)
     turns = replicate_turns(read_transcript_turns(sf_dir, num_blocks), replicas)
-    # 8 conv-buckets per block: Ray's sort range-partitions into
-    # reduce_partitions = map_blocks by SAMPLED key quantiles, so with only
-    # ~2 distinct bucket values per partition the integer granularity hands
-    # some tasks 1 bucket and others 3 — a measured 3.2× rows-per-task skew
-    # whose straggler set the wall. ≥8 buckets per partition bounds that
-    # skew at ~±12% (×24 replicas: 23.8 s → 17.5 s); pushing granularity
-    # further (16-32×) buys nothing and adds per-group dispatch overhead.
-    docs = render_documents(turns, num_conv_buckets=8 * num_blocks)
+    # ~2 conv-buckets per block. Ray's sort range-partitions into
+    # reduce_partitions = map_blocks, so bucket count must NEVER drop below
+    # the block count — a round-3 experiment that capped buckets at 12×CPUs
+    # (0.75 buckets/partition at ×24 replicas) left partitions empty and
+    # anti-scaled the wall 36%. Finer granularity (8×blocks) trades the
+    # ~±50% per-task quantile skew for per-group dispatch + sampling cost
+    # and measures NET SLOWER in fresh runs (9.0 vs 8.0 s at ×12) — keep 2×.
+    docs = render_documents(turns, num_conv_buckets=2 * num_blocks)
     triples = parse_documents(docs)
     linked = link_entities(triples)
     if co_partitioned:
