@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_filtered_topk": similarity.ann_filtered_topk,
+        "embedding_centroids": similarity.embedding_centroids,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -81,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
+        "ann_filtered_topk": similarity.ANN_FILTERED_TOPK_SQL,
+        "embedding_centroids": similarity.EMBEDDING_CENTROIDS_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,

@@ -292,6 +292,136 @@ def ann_lsh_topk(sf_dir: str):
     return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
 
 
+# ------------------------------------------------- filtered vector search
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       round(sim, 4) AS cos_sim
+FROM sims
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_filtered_topk(sf_dir: str):
+    """Metadata-filtered vector search (the 'where label = X' ANN every
+    training-data store needs): each query's top-k is taken only over
+    vectors sharing its label. Same broadcast + partial-top-k topology as
+    ann_topk — the filter is a vectorized mask inside the batch, so the
+    excluded rows cost one compare, not a shuffle."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(
+        path, columns=["vec_id", "embedding", "label"], filters=[("vec_id", "<", N_QUERIES)]
+    )
+    ref = put_broadcast(
+        {
+            "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
+            "mat": _normalize(np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)),
+            "labels": np.asarray(qtbl["label"].to_pylist(), dtype=np.int64),
+        }
+    )
+
+    def filtered_partial_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = resolve_broadcast(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        sims = b["mat"] @ _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64)).T
+        sims = np.where(b["labels"][:, None] == labels[None, :], sims, -np.inf)
+        out = _partial_topk(b["ids"], sims, vec_ids)
+        return out.filter(pc.greater(out["sim"], -np.inf))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+    partials = ds.map_batches(filtered_partial_topk, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
+
+
+# ------------------------------------------------- per-label centroids
+
+EMBED_QSCALE = 1024  # power of two — v * EMBED_QSCALE is exact in float64
+
+EMBEDDING_CENTROIDS_SQL = f"""
+WITH q AS (
+  SELECT label, t.i - 1 AS dim,
+         round(CAST(embedding[t.i] AS DOUBLE) * {EMBED_QSCALE}) AS qv
+  FROM embeddings, UNNEST(range(1, {LSH_DIM} + 1)) AS t(i)
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(qv) / ({EMBED_QSCALE}.0 * count(*)), 4) AS centroid
+FROM q GROUP BY label, dim
+"""
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label mean embedding — the distributed vector-aggregate shape:
+    a vectorized combiner inside ``map_batches`` (per-batch per-label
+    integer sums), ONE small exchange of O(labels × dims) rows, then an
+    exact merge. Arithmetic is integer-exact on both engines (the
+    ann_ivf_topk quantization pattern: round-half-away(v·2^10) sums stay
+    below 2^53, and the single closing division runs on identical exact
+    integers), so the oracle is value-hash equality, not tolerance."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        q = np_round_half_away(
+            np.stack(batch["embedding"].to_pylist()).astype(np.float64) * EMBED_QSCALE, 0
+        ).astype(np.int64)
+        dims = q.shape[1]
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.extend([int(lab)] * dims)
+            out_d.extend(range(dims))
+            out_s.extend(q[m].sum(axis=0).tolist())
+            out_n.extend([int(m.sum())] * dims)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "qsum": pa.array(out_s, pa.int64()),
+                "n_part": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum_t"), Sum("n_part", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        qsum = np.asarray(batch["qsum_t"].to_pylist(), dtype=np.float64)
+        n = np.asarray(batch["n"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "label": batch["label"].cast(pa.int64()),
+                "dim": batch["dim"].cast(pa.int64()),
+                "n": batch["n"].cast(pa.int64()),
+                "centroid": pa.array(np_round_half_away(qsum / (EMBED_QSCALE * n), 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN with a full DuckDB twin: vectors partition into
     coarse cells by max inner product against a fixed integer codebook;
