@@ -75,6 +75,11 @@ class ParseDocs:
                 error.append(str(e))
                 continue
             n0 = len(subj)
+            # single interpreted pass with 8 appends — measured FASTER (4-6×)
+            # than the "vectorized" zip(*graph) + per-column comprehensions
+            # the r2 review suggested trying (each comprehension re-walks the
+            # o-column with a type test + attribute access; 200k-triple
+            # microbench: 0.05 s loop vs 0.22-0.30 s comprehensions)
             for s, p, o in graph:
                 subj.append(s)  # IRI/BNode are str subclasses; no copy
                 subj_kind.append("bnode" if type(s) is BNode else "iri")
