@@ -85,6 +85,9 @@ class BnodeGen:
         return node
 
 
+_EMPTY_DICT: dict = {}  # shared by attribute-less contexts (never mutated)
+
+
 class ElemCtx:
     """Resolved element context: the analogue of the reference's ElementNode
     (element_node.ex:5-28) — namespace/base/lang inheritance + attribute
@@ -136,11 +139,9 @@ class ElemCtx:
             self.ns = ns
             self.base = base
             self.lang = lang
-            self.uri = self._qname_uri(xml_el.qname)
-            u = str.__str__(self.uri)
-            self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
-            self.rdf = {}
-            self.prop_attrs = {}
+            self.uri, self._rdf_local = self._resolve_elem_name(xml_el.qname)
+            self.rdf = _EMPTY_DICT  # read-only past init; shared, no alloc
+            self.prop_attrs = _EMPTY_DICT
             return
 
         # Fast path: attributes but none in the xml/xmlns space (the common
@@ -150,9 +151,7 @@ class ElemCtx:
             self.ns = ns
             self.base = base
             self.lang = lang
-            self.uri = self._qname_uri(xml_el.qname)
-            u = str.__str__(self.uri)
-            self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
+            self.uri, self._rdf_local = self._resolve_elem_name(xml_el.qname)
             self._classify_plain_attrs(xml_el.attrs)
             return
 
@@ -183,9 +182,7 @@ class ElemCtx:
         self.lang = lang
 
         # Element name → IRI
-        self.uri = self._qname_uri(xml_el.qname)
-        u = str.__str__(self.uri)
-        self._rdf_local = u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None
+        self.uri, self._rdf_local = self._resolve_elem_name(xml_el.qname)
 
         # Pass 2: classify remaining attributes (element_node.ex:115-192)
         self._classify_plain_attrs(plain_attrs)
@@ -238,19 +235,24 @@ class ElemCtx:
                 return ("rdf", key)
         return ("prop", uri)
 
-    def _qname_uri(self, qname: str) -> IRI:
+    def _resolve_elem_name(self, qname: str) -> tuple[IRI, str | None]:
+        """(IRI, rdf-namespace local name) for an element qname — memoized
+        per (ns dict, qname) so the startswith/slice classification runs
+        once per distinct name, not once per element."""
         el_memo = self._memo["el"]
         key = (id(self.ns), qname)
-        uri = el_memo.get(key)
-        if uri is None:
+        entry = el_memo.get(key)
+        if entry is None:
             prefix, local = split_qname(qname)
             ns_uri = self.ns.get(prefix)
             if ns_uri is None:
                 raise ParseError(f"can't resolve name {qname} to URI reference")
             uri = IRI(ns_uri + local)
-            el_memo[key] = uri
+            u = str.__str__(uri)
+            entry = (uri, u[_RDF_NS_LEN:] if u.startswith(RDF_NS) else None)
+            el_memo[key] = entry
             self._keepalive_ns()
-        return uri
+        return entry
 
     _RDF_ATTR_KEYS = {
         "ID": "id",

@@ -57,7 +57,11 @@ def parse_xml(data: str | bytes) -> XmlElement:
     stack: list[XmlElement] = []
 
     def start(name: str, attr_list: list):
-        attrs = list(zip(attr_list[::2], attr_list[1::2])) if attr_list else attr_list
+        if attr_list:
+            it = iter(attr_list)
+            attrs = list(zip(it, it))  # one pass, no [::2] slice copies
+        else:
+            attrs = attr_list
         el = XmlElement(name, attrs)
         if stack:
             stack[-1].children.append(el)
