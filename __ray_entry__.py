@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "token_count": text.token_count,
         "doc_winnow": text.doc_winnow,
+        "doc_pii_scrub": text.doc_pii_scrub,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "token_count": text.TOKEN_COUNT_SQL,
         "doc_winnow": text.DOC_WINNOW_SQL,
+        "doc_pii_scrub": text.DOC_PII_SCRUB_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

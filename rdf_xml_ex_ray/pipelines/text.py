@@ -352,6 +352,71 @@ def doc_winnow(sf_dir: str):
     return ds.map_batches(doc_winnow_batch, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- PII scrub
+
+# ASCII-explicit patterns shared verbatim with the DuckDB twin. Python
+# compiles them with re.ASCII so \b is the same ASCII word boundary RE2
+# uses; classes are spelled out ([0-9], [A-Za-z]) because Python's \d/\w
+# are unicode-aware while RE2's are ASCII — the same parity discipline as
+# the tokenizer (text.py:_BPE_PATTERN).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_LONGNUM = r"\b[0-9]{9,}\b"  # account/phone-shaped digit runs
+
+_pii_email_pat = re.compile(PII_EMAIL, re.ASCII)
+_pii_ipv4_pat = re.compile(PII_IPV4, re.ASCII)
+_pii_longnum_pat = re.compile(PII_LONGNUM, re.ASCII)
+
+# DuckDB single-quoted literals do NOT process backslash escapes, so the
+# patterns embed verbatim ('\b' stays a word boundary for RE2)
+DOC_PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_LONGNUM}', '<NUM>', 'g')) AS scrub_digest
+FROM documents
+"""
+
+
+def doc_pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Task-stage UDF: PII redaction + per-kind counts. Replacement order
+    (email → ip → longnum) is fixed and identical in the SQL twin — order
+    matters because a redacted span can destroy a later pattern's match."""
+    n_e, n_i, n_n, digests = [], [], [], []
+    for t in batch["text"].to_pylist():
+        n_e.append(len(_pii_email_pat.findall(t)))
+        n_i.append(len(_pii_ipv4_pat.findall(t)))
+        n_n.append(len(_pii_longnum_pat.findall(t)))
+        s = _pii_email_pat.sub("<EMAIL>", t)
+        s = _pii_ipv4_pat.sub("<IP>", s)
+        s = _pii_longnum_pat.sub("<NUM>", s)
+        digests.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_emails": pa.array(n_e, pa.int64()),
+            "n_ips": pa.array(n_i, pa.int64()),
+            "n_longnums": pa.array(n_n, pa.int64()),
+            "scrub_digest": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII scrubbing over the corpus — redact emails / IPv4s / long digit
+    runs, count each kind, and digest the scrubbed text (the digest is what
+    the oracle hash-checks, so the full redacted output is pinned, not just
+    the counts)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(doc_pii_scrub_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- lang_id
 
 # tiny stopword profiles per language; heuristic stopword-overlap scoring.

@@ -42,7 +42,7 @@ def _make_corpus(seed: int, n_docs: int = 80):
 
 
 OPS = ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
-       "token_count", "doc_winnow", "lang_id", "doc_stats"]
+       "token_count", "doc_winnow", "lang_id", "doc_stats", "doc_pii_scrub"]
 
 
 @pytest.mark.parametrize("seed", [101, 202, 303])

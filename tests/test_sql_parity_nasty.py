@@ -23,6 +23,12 @@ NASTY_TEXTS = [
     "the quick brown fox jumps over the lazy dog",
     "der die das und ist nicht ein mit zu für",
     "número uno: café naïve résumé",
+    # PII-shaped inputs (doc_pii_scrub: \b is the ASCII boundary both sides)
+    "mail a@b.co or x.y+z@sub.domain.org today",
+    "hosts 10.0.0.1 and 192.168.255.254, bogus 999.999.999.999x",
+    "acct 123456789 vs short 12345678 and café9123456789 touch",
+    "a@b.c edge, v4-ish 1.2.3.4.5 run-on, id00000000017",
+    "email@domain.org.12.34.56.78 adjacency test 0x123456789",
 ]
 
 
@@ -46,7 +52,7 @@ def nasty_duck(nasty_dir):
     return con
 
 
-TEXT_OPS = ["token_count", "lang_id", "doc_stats", "doc_fingerprint", "doc_winnow",
+TEXT_OPS = ["token_count", "lang_id", "doc_stats", "doc_fingerprint", "doc_winnow", "doc_pii_scrub",
             "dedup_simhash", "dedup_exact"]
 
 
