@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,
         "doc_winnow": text.doc_winnow,
         "doc_pii_scrub": text.doc_pii_scrub,
+        "doc_sample": text.doc_sample,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": text.TOKEN_COUNT_SQL,
         "doc_winnow": text.DOC_WINNOW_SQL,
         "doc_pii_scrub": text.DOC_PII_SCRUB_SQL,
+        "doc_sample": text.DOC_SAMPLE_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

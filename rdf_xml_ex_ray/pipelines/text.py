@@ -352,6 +352,55 @@ def doc_winnow(sf_dir: str):
     return ds.map_batches(doc_winnow_batch, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- sampling
+
+SAMPLE_RATE = 0.2
+SAMPLE_SALT = "s1"
+# keep iff first-8-hex-chars-of-md5(doc_id:salt) < rate * 2^32 — a
+# deterministic, data-independent bernoulli sample: reproducible across
+# runs/engines, stable under repartitioning, no RNG state anywhere
+_SAMPLE_THRESHOLD = int(SAMPLE_RATE * (1 << 32))
+
+DOC_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 8))::UBIGINT AS BIGINT) AS sample_key,
+       md5(text) AS text_hash
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 8))::UBIGINT < {_SAMPLE_THRESHOLD}
+"""
+
+
+def doc_sample(sf_dir: str, rate: float = SAMPLE_RATE, salt: str = SAMPLE_SALT):
+    """Deterministic hash-bernoulli corpus sample (the reproducible
+    train/eval split primitive): a doc is kept iff md5(doc_id:salt)'s first
+    32 bits fall under rate·2^32. Salt changes give independent samples;
+    the same (rate, salt) always selects the same docs on any engine."""
+    import ray.data as rd
+
+    threshold = int(rate * (1 << 32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [
+            int(hashlib.md5(f"{d}:{salt}".encode()).hexdigest()[:8], 16) for d in ids
+        ]
+        mask = pa.array([k < threshold for k in keys])
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "sample_key": pa.array(keys, pa.int64()),
+                "text_hash": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+        return out.filter(mask)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- PII scrub
 
 # ASCII-explicit patterns shared verbatim with the DuckDB twin. Python
