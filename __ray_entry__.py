@@ -24,7 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_xml_ex_ray.pipelines import dedup, kg, relational, similarity, streaming, text
+    from rdf_xml_ex_ray.pipelines import dedup, graph, kg, relational, similarity, streaming, text
 
     return {
         # --- knowledge-graph construction (SURVEY.md §2.1-§2.4) ---
@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_roundtrip": kg.kg_roundtrip_dataset,
         "kg_top_entities": kg.kg_top_entities,
         "kg_direct_mapping": relational.kg_direct_mapping,
+        "kg_reachability": graph.kg_reachability,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -67,7 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_xml_ex_ray.pipelines import dedup, oracle, relational, similarity, streaming, text
+    from rdf_xml_ex_ray.pipelines import dedup, graph, oracle, relational, similarity, streaming, text
 
     return {
         "kg_triples": oracle.KG_TRIPLES_SQL,
@@ -76,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip": oracle.KG_TRIPLES_NOBNODE_SQL,
         "kg_top_entities": oracle.KG_TOP_ENTITIES_SQL,
         "kg_direct_mapping": relational.KG_DIRECT_MAPPING_SQL,
+        "kg_reachability": graph.KG_REACHABILITY_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

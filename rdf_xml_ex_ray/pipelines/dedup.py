@@ -93,15 +93,21 @@ NUM_JOIN_BUCKETS = 32
 
 
 def _doc_bucket(ids, num_buckets: int) -> np.ndarray:
-    """Deterministic int64-id → bucket (Knuth multiplicative mix so
-    sequential ids spread)."""
-    arr = np.asarray(ids, dtype=np.uint64)
+    """Deterministic key → bucket: Knuth multiplicative mix over int64 ids
+    (sequential ids spread) or crc32 over string keys (IRI nodes)."""
+    if len(ids) and isinstance(ids[0], str):
+        arr = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in ids), dtype=np.uint64, count=len(ids)
+        )
+    else:
+        arr = np.asarray(ids, dtype=np.uint64)
     return ((arr * np.uint64(0x9E3779B1)) % np.uint64(num_buckets)).astype(np.int32)
 
 
 def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
                      out_col: str, pair_fields: list[tuple[str, pa.DataType]],
-                     num_buckets: int = NUM_JOIN_BUCKETS):
+                     num_buckets: int = NUM_JOIN_BUCKETS,
+                     key_type: pa.DataType = pa.int64()):
     """Map-side bucketed join: attach ``docs_ds``'s payload (schema
     (doc_id:int64, payload)) to each row of ``pairs_ds`` via its ``key_col``.
 
@@ -116,7 +122,7 @@ def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
         n = batch.num_rows
         cols = {name: batch[name].cast(typ) for name, typ in pair_fields}
         cols[out_col] = pa.nulls(n, payload_type)
-        cols["__docid"] = pa.nulls(n, pa.int64())
+        cols["__docid"] = pa.nulls(n, key_type)
         cols["__bucket"] = pa.array(_doc_bucket(batch[key_col].to_pylist(), num_buckets))
         return pa.table(cols)
 
@@ -124,19 +130,22 @@ def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
         n = batch.num_rows
         cols = {name: pa.nulls(n, typ) for name, typ in pair_fields}
         cols[out_col] = batch["payload"].cast(payload_type)
-        cols["__docid"] = batch["doc_id"].cast(pa.int64())
+        cols["__docid"] = batch["doc_id"].cast(key_type)
         cols["__bucket"] = pa.array(_doc_bucket(batch["doc_id"].to_pylist(), num_buckets))
         return pa.table(cols)
 
     out_schema = pa.schema(pair_fields + [(out_col, payload_type)])
 
+    key_is_int = pa.types.is_integer(key_type)
+
     def attach(group: pd.DataFrame) -> pa.Table:
         # typed-Arrow return: pandas floatifies int columns through the union
         # nulls, and empty/object pandas blocks trip Ray's schema unification
         is_doc = group["__docid"].notna()
-        lookup = dict(
-            zip(group.loc[is_doc, "__docid"].astype("int64"), group.loc[is_doc, out_col])
-        )
+        doc_keys = group.loc[is_doc, "__docid"]
+        if key_is_int:
+            doc_keys = doc_keys.astype("int64")
+        lookup = dict(zip(doc_keys, group.loc[is_doc, out_col]))
         p = group.loc[~is_doc]
         arrays = []
         for name, typ in pair_fields:
@@ -144,7 +153,10 @@ def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
             if pa.types.is_integer(typ):
                 s = s.astype("int64")
             arrays.append(pa.array(s, type=typ))
-        vals = [lookup.get(k) for k in p[key_col].astype("int64")]
+        pair_keys = p[key_col]
+        if key_is_int:
+            pair_keys = pair_keys.astype("int64")
+        vals = [lookup.get(k) for k in pair_keys]
         if pa.types.is_integer(payload_type):
             vals = [None if v is None else int(v) for v in vals]
         arrays.append(pa.array(vals, type=payload_type))

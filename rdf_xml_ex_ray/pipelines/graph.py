@@ -1,0 +1,170 @@
+"""Graph analytics over the constructed KG: BFS reachability.
+
+``kg_reachability`` computes min-hop depth from a seed entity over the
+UNDIRECTED entity graph (iri→iri triples of the flagship KG) — the
+"everything within k hops of X" primitive of KG curation (subgraph
+extraction, blast-radius checks, entity neighborhoods).
+
+Topology is the iterative-frontier pattern shared with
+``dedup_clusters``: a (node, depth) label dataset grows by one hop per
+round — ``min(depth)`` per node — for at most ``max_depth`` rounds, with
+the adjacency broadcast only under an explicit edge cap and a fully
+distributed label⋈edge join beyond it. Depth semantics are exact set/min
+operations (no floats), so the DuckDB twin — a recursive CTE with UNION
+set-semantics over (node, depth) pairs — is value-hash equality.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .oracle import KG_TRIPLES_SQL
+from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+SEED = "http://example.org/conv/c0"
+MAX_DEPTH = 6
+GRAPH_BROADCAST_EDGE_CAP = 1_000_000
+
+KG_REACHABILITY_SQL = f"""
+WITH RECURSIVE kt AS (
+  SELECT subj, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+  WHERE subj_kind = 'iri' AND obj_kind = 'iri'
+),
+edges AS (
+  SELECT subj AS a, obj_value AS b FROM kt
+  UNION
+  SELECT obj_value AS a, subj AS b FROM kt
+),
+reach(node, depth) AS (
+  SELECT '{SEED}' AS node, 0 AS depth
+  UNION
+  SELECT e.b, r.depth + 1
+  FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.depth < {MAX_DEPTH}
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node
+"""
+
+
+def _sym_iri_edges(batch: pa.Table) -> pa.Table:
+    t = batch.filter(
+        pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))
+    )
+    src = pa.chunked_array(t["subj"].chunks + t["obj_value"].chunks)
+    dst = pa.chunked_array(t["obj_value"].chunks + t["subj"].chunks)
+    return pa.table({"src": src.cast(pa.string()), "dst": dst.cast(pa.string())})
+
+
+def _depth_table(nodes: list, depths: list) -> pa.Table:
+    return pa.table(
+        {"node": pa.array(nodes, pa.string()), "depth": pa.array(depths, pa.int64())}
+    )
+
+
+def kg_reachability(
+    sf_dir: str,
+    seed: str = SEED,
+    max_depth: int = MAX_DEPTH,
+    broadcast_edge_cap: int = GRAPH_BROADCAST_EDGE_CAP,
+):
+    """(node, min-hop depth ≤ max_depth) over the undirected KG entity
+    graph from ``seed``. Unreached nodes are absent (the seed itself is
+    depth 0 even when isolated)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir)
+    edges = triples.map_batches(_sym_iri_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+
+    labels = rd.from_items([{"node": seed, "depth": 0}]).map_batches(
+        lambda t: pa.table(
+            {"node": t["node"].cast(pa.string()), "depth": t["depth"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    if n_edges == 0:
+        return labels
+
+    use_broadcast = n_edges <= broadcast_edge_cap
+    if use_broadcast:
+        adjacency: dict[str, list[str]] = {}
+        for bt in edges.iter_batches(batch_format="pyarrow"):
+            for a, b in zip(bt["src"].to_pylist(), bt["dst"].to_pylist()):
+                adjacency.setdefault(a, []).append(b)
+        adj_ref = put_broadcast(adjacency)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            adj = resolve_broadcast(adj_ref)
+            out_n, out_d = [], []
+            for node, depth in zip(batch["node"].to_pylist(), batch["depth"].to_pylist()):
+                out_n.append(node)
+                out_d.append(depth)
+                if depth < max_depth:
+                    for nbr in adj.get(node, ()):
+                        out_n.append(nbr)
+                        out_d.append(depth + 1)
+            return _depth_table(out_n, out_d)
+
+    # one round per hop; the frontier can't extend past max_depth, so
+    # max_depth rounds reach the fixpoint by construction (plus the early
+    # break when a round changes nothing)
+    for _ in range(max_depth):
+        if use_broadcast:
+            cand = labels.map_batches(propagate, batch_format="pyarrow")
+        else:
+            from .dedup import NUM_JOIN_BUCKETS, _bucketed_attach
+
+            lab_payload = labels.map_batches(
+                lambda t: pa.table({"doc_id": t["node"], "payload": t["depth"]}),
+                batch_format="pyarrow",
+            )
+            edge_lab = _bucketed_attach(
+                edges,
+                lab_payload,
+                key_col="src",
+                payload_type=pa.int64(),
+                out_col="d",
+                pair_fields=[("src", pa.string()), ("dst", pa.string())],
+                num_buckets=NUM_JOIN_BUCKETS,
+                key_type=pa.string(),  # node IRIs join by crc32 bucket
+            )
+
+            def step(batch: pa.Table) -> pa.Table:
+                t = batch.filter(
+                    pc.and_(
+                        pc.is_valid(batch["d"]), pc.less(batch["d"], max_depth)
+                    )
+                )
+                return pa.table(
+                    {
+                        "node": t["dst"].cast(pa.string()),
+                        "depth": pc.add(t["d"].cast(pa.int64()), 1),
+                    }
+                )
+
+            cand = edge_lab.map_batches(step, batch_format="pyarrow").union(labels)
+        new_labels = (
+            cand.groupby("node")
+            .aggregate(Min("depth", alias_name="min_depth"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].cast(pa.string()),
+                        "depth": t["min_depth"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        prev_count, prev_sum = labels.count(), labels.sum("depth")
+        new_count, new_sum = new_labels.count(), new_labels.sum("depth")
+        labels = new_labels
+        if new_count == prev_count and new_sum == prev_sum:
+            break
+    return labels

@@ -27,3 +27,12 @@ def test_clusters_distributed_propagation_matches_broadcast(ray_session, sf_dir)
     dist = _sorted(dedup_clusters(sf_dir, broadcast_edge_cap=0).to_pandas(), ["doc_id"])
     assert (broad["cluster_id"] != broad["doc_id"]).any()  # real clusters exist
     assert broad.equals(dist)
+
+
+def test_reachability_distributed_matches_broadcast(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.graph import kg_reachability
+
+    broad = _sorted(kg_reachability(sf_dir).to_pandas(), ["node"])
+    dist = _sorted(kg_reachability(sf_dir, broadcast_edge_cap=0).to_pandas(), ["node"])
+    assert len(broad) > 1 and broad["depth"].max() >= 2
+    assert broad.equals(dist)
