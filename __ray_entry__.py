@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_entities": kg.kg_top_entities,
         "kg_direct_mapping": relational.kg_direct_mapping,
         "kg_reachability": graph.kg_reachability,
+        "kg_degrees": graph.kg_degrees,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- streaming-shaped (partitioned ordered log) ---
         "events_sessionize": streaming.events_sessionize,
         "events_window": streaming.events_window,
+        "events_hopping_window": streaming.events_hopping_window,
         "events_asof_join": streaming.events_asof_join,
         "events_range_join": streaming.events_range_join,
     }
@@ -78,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_entities": oracle.KG_TOP_ENTITIES_SQL,
         "kg_direct_mapping": relational.KG_DIRECT_MAPPING_SQL,
         "kg_reachability": graph.KG_REACHABILITY_SQL,
+        "kg_degrees": graph.KG_DEGREES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
@@ -100,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,
+        "events_hopping_window": streaming.EVENTS_HOPPING_WINDOW_SQL,
         "events_asof_join": streaming.EVENTS_ASOF_SQL,
         "events_range_join": streaming.EVENTS_RANGE_JOIN_SQL,
     }

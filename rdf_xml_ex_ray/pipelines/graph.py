@@ -48,6 +48,78 @@ FROM reach GROUP BY node
 """
 
 
+KG_DEGREES_SQL = f"""
+WITH kt AS (
+  SELECT subj, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+  WHERE subj_kind = 'iri' AND obj_kind = 'iri'
+),
+outd AS (SELECT subj AS entity, count(*) AS out_degree FROM kt GROUP BY subj),
+ind AS (SELECT obj_value AS entity, count(*) AS in_degree FROM kt GROUP BY obj_value)
+SELECT coalesce(outd.entity, ind.entity) AS entity,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree
+FROM outd FULL OUTER JOIN ind ON outd.entity = ind.entity
+"""
+
+
+def kg_degrees(sf_dir: str):
+    """Per-entity in/out degree over the KG's iri→iri edges — the basic
+    KG-health profile (hub detection, degree distribution). In-batch
+    partial counts for both directions flow through ONE groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "out_part": pa.array([], pa.int64()),
+                    "in_part": pa.array([], pa.int64()),
+                }
+            )
+        outs = t.group_by("subj").aggregate([("subj", "count")])
+        ins = t.group_by("obj_value").aggregate([("obj_value", "count")])
+        return pa.table(
+            {
+                "entity": pa.chunked_array(
+                    outs["subj"].chunks + ins["obj_value"].chunks
+                ).cast(pa.string()),
+                "out_part": pa.chunked_array(
+                    outs["subj_count"].cast(pa.int64()).chunks
+                    + pc.multiply(ins["obj_value_count"], 0).cast(pa.int64()).chunks
+                ),
+                "in_part": pa.chunked_array(
+                    pc.multiply(outs["subj_count"], 0).cast(pa.int64()).chunks
+                    + ins["obj_value_count"].cast(pa.int64()).chunks
+                ),
+            }
+        )
+
+    agg = (
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(Sum("out_part", alias_name="out_degree"), Sum("in_part", alias_name="in_degree"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "entity": t["entity"].cast(pa.string()),
+                "out_degree": t["out_degree"].cast(pa.int64()),
+                "in_degree": t["in_degree"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _sym_iri_edges(batch: pa.Table) -> pa.Table:
     t = batch.filter(
         pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))

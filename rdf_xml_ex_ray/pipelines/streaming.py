@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.rounding import np_round_half_away
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 EVENTS_SESSIONIZE_SQL = """
@@ -262,6 +264,75 @@ GROUP BY user_id, hour_bucket
 """
 
 
+HOP_STEP_US = 900_000_000  # 15-minute hop
+HOP_WINDOWS = 4  # 1-hour windows → each event lands in 4 hops
+
+EVENTS_HOPPING_WINDOW_SQL = f"""
+SELECT user_id,
+       CAST(epoch_us(ts) // {HOP_STEP_US} - k.k AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, UNNEST(range(0, {HOP_WINDOWS})) AS k(k)
+GROUP BY user_id, window_idx
+"""
+
+
+def events_hopping_window(sf_dir: str):
+    """Hopping (overlapping) windows: 1-hour windows every 15 minutes —
+    each event contributes to HOP_WINDOWS consecutive windows. The
+    expansion is vectorized (one shifted copy per hop, concatenated) and
+    pre-aggregated in-batch before the small groupby, so the exchange
+    carries O(users × windows) partials, not ×4 raw events."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.divide(pc.cast(batch["ts"], pa.int64()), HOP_STEP_US)
+        copies = []
+        for k in range(HOP_WINDOWS):
+            copies.append(
+                pa.table(
+                    {
+                        "user_id": batch["user_id"],
+                        "window_idx": pc.cast(pc.subtract(base, k), pa.int64()),
+                        "value": batch["value"],
+                    }
+                )
+            )
+        t = pa.concat_tables(copies)
+        agg = t.group_by(["user_id", "window_idx"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return agg.rename_columns(["user_id", "window_idx", "n_part", "sum_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["user_id", "window_idx"]).aggregate(
+        Sum("n_part", alias_name="n_events"), Sum("sum_part", alias_name="sum_value")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_idx": batch["window_idx"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                # np_round_half_away, not pc.round: pyarrow's round can return a
+                # different last-ulp double than DuckDB for the same sum
+                # (e.g. 109.53999... stays put vs DuckDB's 109.54 double)
+                "sum_value": pa.array(
+                    np_round_half_away(batch["sum_value"].to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def events_window(sf_dir: str):
     """Tumbling 1-hour windows per user: vectorized in-batch partial
     aggregation (combiner) → small groupby over partials."""
@@ -297,7 +368,13 @@ def events_window(sf_dir: str):
                 "user_id": batch["user_id"],
                 "hour_bucket": batch["hour_bucket"],
                 "n_events": pc.cast(batch["n_events"], pa.int64()),
-                "sum_value": pc.round(batch["sum_value"], 4, round_mode="half_towards_infinity"),
+                # np_round_half_away, not pc.round: pyarrow's round can return a
+                # different last-ulp double than DuckDB for the same sum
+                # (e.g. 109.53999... stays put vs DuckDB's 109.54 double)
+                "sum_value": pa.array(
+                    np_round_half_away(batch["sum_value"].to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
             }
         )
 
