@@ -140,15 +140,31 @@ def run_scaling() -> dict:
     evidence the pipeline's own scalability.
     """
     levels = [int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")]
-    results = {n: _run_level(n) for n in levels}
+    # Interleaved repeats (A,B,C, A,B,C, …) with per-level best: on the
+    # shared host a noise burst hits whichever leg is running — a single
+    # sweep's pair mixes two different host states, while interleaving
+    # exposes every level to every state and best-of picks the clean draws
+    # (probe history in BASELINE.md: ±60% same-day drift).
+    sweeps = int(os.environ.get("GRAFT_SCALING_SWEEPS", "1"))
+    results: dict[int, dict] = {}
+    reps: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(sweeps):
+        for n in levels:
+            r = _run_level(n)
+            reps[n].append(r["value"])
+            if n not in results or r["value"] < results[n]["value"]:
+                results[n] = r
     tp = {n: results[n]["triples_per_sec"] for n in levels}
     out = {
         "metric": "throughput scaling efficiency (N vs 4N CPUs, same input)",
         "sf": SF_DIR,
+        "sweeps": sweeps,
     }
     for n in levels:
         out[f"sec_{n}"] = results[n]["value"]
         out[f"triples_per_sec_{n}"] = tp[n]
+        if sweeps > 1:
+            out[f"sec_{n}_all"] = reps[n]
     pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
     for a, b in pairs:
         out[f"scaling_efficiency_{a}_{b}"] = round((tp[b] / tp[a]) / 4, 3)
