@@ -411,6 +411,8 @@ def dedup_minhash(
     pairs_vb = pairs.map_batches(assign_vb, batch_format="pyarrow")
 
     def emit_needs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # pa.chunked_array([]) raises without a type
+            return pa.table({"doc_id": pa.array([], pa.int64()), "vb": pa.array([], pa.int32())})
         vb2 = pa.chunked_array(batch["vb"].chunks * 2)
         ids = pa.chunked_array(batch["doc_a"].chunks + batch["doc_b"].chunks)
         return pa.table({"doc_id": ids, "vb": vb2})
@@ -604,7 +606,7 @@ DEDUP_CLUSTERS_SQL = _clusters_sql()
 BROADCAST_EDGE_CAP = 1_000_000  # edges beyond this propagate distributed
 
 
-def _min_label_broadcast(rd, pairs, n_pairs: int):
+def _min_label_broadcast(rd, pairs):
     """Min-label propagation with the adjacency BROADCAST — valid only for
     edge sets under BROADCAST_EDGE_CAP (guarded by the caller). Iterates
     until a round changes nothing; the iteration count is provably bounded
@@ -643,6 +645,7 @@ def _min_label_broadcast(rd, pairs, n_pairs: int):
             {"doc_id": pa.array(out_d, pa.int64()), "label": pa.array(out_l, pa.int64())}
         )
 
+    prev_sum = labels.sum("label")
     for _ in range(n_connected + 1):
         new_labels = (
             labels.map_batches(propagate, batch_format="pyarrow")
@@ -660,12 +663,13 @@ def _min_label_broadcast(rd, pairs, n_pairs: int):
             .materialize()
         )
         # the label sum strictly decreases while any doc still sees a
-        # smaller label; equality == fixpoint
-        prev_sum = labels.sum("label")
+        # smaller label; equality == fixpoint. One aggregation per round:
+        # this round's sum is next round's previous.
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         "dedup_clusters: min-label propagation failed to converge within "
         f"{n_connected + 1} rounds over {n_connected} connected docs (bug)"
@@ -680,6 +684,8 @@ def _min_label_distributed(rd, pairs, doc_buckets: int):
     from ray.data.aggregate import Count, Min
 
     def sym_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # pa.chunked_array([]) raises without a type
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         src = pa.chunked_array(batch["doc_a"].chunks + batch["doc_b"].chunks)
         dst = pa.chunked_array(batch["doc_b"].chunks + batch["doc_a"].chunks)
         return pa.table({"src": src.cast(pa.int64()), "dst": dst.cast(pa.int64())})
@@ -698,6 +704,7 @@ def _min_label_distributed(rd, pairs, doc_buckets: int):
         .materialize()
     )
     n_connected = labels.count()
+    prev_sum = labels.sum("label")
 
     for _ in range(n_connected + 1):
         lab_payload = labels.map_batches(
@@ -731,11 +738,11 @@ def _min_label_distributed(rd, pairs, doc_buckets: int):
             )
             .materialize()
         )
-        prev_sum = labels.sum("label")
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         "dedup_clusters: distributed min-label propagation failed to "
         f"converge within {n_connected + 1} rounds (bug)"
@@ -775,7 +782,7 @@ def dedup_clusters(sf_dir: str, broadcast_edge_cap: int = BROADCAST_EDGE_CAP):
     n_docs = all_docs.count()
     doc_buckets = max(NUM_JOIN_BUCKETS, min(n_docs // 2048 + 1, 65536))
     if n_pairs <= broadcast_edge_cap:
-        labels = _min_label_broadcast(rd, pairs, n_pairs)
+        labels = _min_label_broadcast(rd, pairs)
     else:
         labels = _min_label_distributed(rd, pairs, doc_buckets)
 

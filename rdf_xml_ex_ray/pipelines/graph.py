@@ -124,6 +124,8 @@ def _sym_iri_edges(batch: pa.Table) -> pa.Table:
     t = batch.filter(
         pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))
     )
+    if t.num_rows == 0:  # pa.chunked_array([]) raises without a type
+        return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
     src = pa.chunked_array(t["subj"].chunks + t["obj_value"].chunks)
     dst = pa.chunked_array(t["obj_value"].chunks + t["subj"].chunks)
     return pa.table({"src": src.cast(pa.string()), "dst": dst.cast(pa.string())})
@@ -185,6 +187,7 @@ def kg_reachability(
     # one round per hop; the frontier can't extend past max_depth, so
     # max_depth rounds reach the fixpoint by construction (plus the early
     # break when a round changes nothing)
+    prev_count, prev_sum = labels.count(), labels.sum("depth")
     for _ in range(max_depth):
         if use_broadcast:
             cand = labels.map_batches(propagate, batch_format="pyarrow")
@@ -234,9 +237,9 @@ def kg_reachability(
             )
             .materialize()
         )
-        prev_count, prev_sum = labels.count(), labels.sum("depth")
         new_count, new_sum = new_labels.count(), new_labels.sum("depth")
         labels = new_labels
         if new_count == prev_count and new_sum == prev_sum:
             break
+        prev_count, prev_sum = new_count, new_sum
     return labels

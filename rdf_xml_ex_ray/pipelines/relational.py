@@ -253,9 +253,7 @@ def kg_direct_mapping(sf_dir: str):
             pc.cast(b["l_linenumber"], pa.string()),
             "-",
         )
-        subjs = pc.binary_join_element_wise(
-            pa.array([f"{NS}lineitem/"] * len(b), pa.string()), keys, ""
-        )
+        subjs = _prefix_concat(f"{NS}lineitem/", keys)
         return _emit(
             "lineitem", subjs, "Lineitem",
             {

@@ -385,17 +385,25 @@ def doc_sample(sf_dir: str, rate: float = SAMPLE_RATE, salt: str = SAMPLE_SALT):
             int(hashlib.md5(f"{d}:{salt}".encode()).hexdigest()[:8], 16) for d in ids
         ]
         mask = pa.array([k < threshold for k in keys])
-        out = pa.table(
+        # filter BEFORE hashing text: at rate=0.2 hashing all rows would
+        # spend ~5× the operator's dominant cost on discarded docs
+        kept = pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "sample_key": pa.array(keys, pa.int64()),
+                "text": batch["text"],
+            }
+        ).filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "sample_key": kept["sample_key"],
                 "text_hash": pa.array(
-                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()],
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in kept["text"].to_pylist()],
                     pa.string(),
                 ),
             }
         )
-        return out.filter(mask)
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(keep, batch_format="pyarrow")
