@@ -24,7 +24,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rdf_xml_ex_ray.pipelines import dedup, graph, kg, relational, similarity, streaming, text
+    from rdf_xml_ex_ray.pipelines import (
+        corpus,
+        dedup,
+        graph,
+        kg,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
 
     return {
         # --- knowledge-graph construction (SURVEY.md §2.1-§2.4) ---
@@ -36,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_direct_mapping": relational.kg_direct_mapping,
         "kg_reachability": graph.kg_reachability,
         "kg_degrees": graph.kg_degrees,
+        "kg_pattern_join": graph.kg_pattern_join,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -43,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_keep": corpus.dedup_keep,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -57,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": text.doc_winnow,
         "doc_pii_scrub": text.doc_pii_scrub,
         "doc_sample": text.doc_sample,
+        # --- corpus-level: joins / vocabulary / sketches / quantiles ---
+        "doc_embed_join": corpus.doc_embed_join,
+        "vocab_topk": corpus.vocab_topk,
+        "distinct_kmv": corpus.distinct_kmv,
+        "group_quantiles": corpus.group_quantiles,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -70,7 +86,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdf_xml_ex_ray.pipelines import dedup, graph, oracle, relational, similarity, streaming, text
+    from rdf_xml_ex_ray.pipelines import (
+        corpus,
+        dedup,
+        graph,
+        oracle,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
 
     return {
         "kg_triples": oracle.KG_TRIPLES_SQL,
@@ -81,12 +106,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_direct_mapping": relational.KG_DIRECT_MAPPING_SQL,
         "kg_reachability": graph.KG_REACHABILITY_SQL,
         "kg_degrees": graph.KG_DEGREES_SQL,
+        "kg_pattern_join": graph.KG_PATTERN_JOIN_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "dedup_keep": corpus.DEDUP_KEEP_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
@@ -99,6 +126,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": text.DOC_WINNOW_SQL,
         "doc_pii_scrub": text.DOC_PII_SCRUB_SQL,
         "doc_sample": text.DOC_SAMPLE_SQL,
+        "doc_embed_join": corpus.DOC_EMBED_JOIN_SQL,
+        "vocab_topk": corpus.VOCAB_TOPK_SQL,
+        "distinct_kmv": corpus.DISTINCT_KMV_SQL,
+        "group_quantiles": corpus.GROUP_QUANTILES_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

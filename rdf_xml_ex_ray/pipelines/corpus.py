@@ -1,0 +1,395 @@
+"""Corpus-level training-data operators: joins, vocabulary, sketches,
+quantiles, and the end-to-end dedup "keep one per cluster" materialization.
+
+All five queries here are fully SQL-oracled (column-name-exact DuckDB
+twins); every float that crosses the compare boundary is either absent or
+derived from the same two integers on both engines (IEEE-deterministic).
+
+Scale notes per operator live in the docstrings; the shared building
+blocks are the bucketed many-to-many hash join (stages/join.py) and the
+partial-aggregate → small-groupby combiner pattern used across the repo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import ASCII_WS
+
+# --------------------------------------------------------------- shared SQL
+
+# Little-endian uint64 of the first 8 md5 bytes — the same byte-swizzle the
+# minhash oracle uses (dedup.py), so both engines hash identically.
+
+
+def _md5_le_uint64_sql(expr: str) -> str:
+    parts = " || ".join(f"substr(md5({expr}),{i},2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"(('0x' || {parts})::UBIGINT)"
+
+
+def _md5_le_uint64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+# ------------------------------------------------------------ doc_embed_join
+
+DOC_EMBED_JOIN_SQL = """
+SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+       e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+       CAST(len(e.embedding) AS BIGINT) AS emb_dim
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+"""
+
+
+def doc_embed_join(sf_dir: str):
+    """Large×large equi-join (documents ⋈ embeddings on doc_id = vec_id)
+    through the generic bucketed hash join: ONE all-to-all exchange, a
+    vectorized pandas merge per key bucket, no driver state. The pattern a
+    100 TB corpus uses to marry text shards to an embedding store when
+    neither side fits in (or should transit) one node."""
+    import ray.data as rd
+
+    from ..stages.join import bucketed_equijoin
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def emb_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "label": batch["label"].cast(pa.int64()),
+                "emb_dim": pc.list_value_length(batch["embedding"]).cast(pa.int64()),
+            }
+        )
+
+    embs = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label", "embedding"]
+    ).map_batches(emb_proj, batch_format="pyarrow")
+
+    i, s = pa.int64(), pa.string()
+    return bucketed_equijoin(
+        docs,
+        embs,
+        left_key="doc_id",
+        right_key="vec_id",
+        left_fields=[("doc_id", i), ("lang", s), ("n_chars", i)],
+        right_fields=[("vec_id", i), ("label", i), ("emb_dim", i)],
+    )
+
+
+# --------------------------------------------------------------- vocab_topk
+
+VOCAB_TOPK_K = 100
+
+VOCAB_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOPK_K}
+"""
+
+
+def vocab_topk(sf_dir: str, k: int = VOCAB_TOPK_K):
+    """Corpus vocabulary: global token frequencies, top-k by count with a
+    deterministic (n DESC, token ASC) tiebreak. Fully vectorized Arrow
+    tokenize (utf8_lower + split_pattern_regex — no Python loop), in-batch
+    partial counts, ONE groupby over the partials, then an EXACT per-block
+    top-k prune before the final tiny sort: post-groupby blocks hold
+    disjoint tokens, so pruning each block to its own top-k loses nothing
+    while the global sort input shrinks from |vocab| to blocks×k."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    split_re = f"[{ASCII_WS}]+"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch["text"].cast(pa.string())), split_re)
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        agg = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {"token": agg["token"], "n_part": agg["token_count"].cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = pa.table({"token": batch["token"].cast(pa.string()), "n": batch["n"].cast(pa.int64())})
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    return (
+        counts.map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------- distinct_kmv
+
+KMV_K = 32
+_TWO64 = "18446744073709551616.0"
+
+DISTINCT_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    {_md5_le_uint64_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type,
+       CAST(least(nd, {KMV_K}) AS BIGINT) AS n_mins,
+       CAST(hv AS VARCHAR) AS kth_hash,
+       CAST(CASE WHEN nd < {KMV_K} THEN nd
+                 ELSE floor(CAST({KMV_K - 1} AS DOUBLE) * {_TWO64} / CAST(hv AS DOUBLE))
+            END AS BIGINT) AS est_distinct
+FROM r WHERE rn = least(nd, {KMV_K})
+"""
+
+
+def distinct_kmv(sf_dir: str, k: int = KMV_K):
+    """K-minimum-values distinct-count sketch: per event_type, the k
+    smallest distinct md5-LE-uint64 user hashes; estimate = floor((k-1) ·
+    2⁶⁴ / kth_min) once the sketch is full, exact count below k. Unlike
+    HLL this is exactly SQL-replayable (the estimate divides the same two
+    integers on both engines), while keeping the sketch property that
+    matters at 100 TB: each batch contributes at most k rows per group, so
+    the exchange is O(blocks · k), never O(distinct users).
+
+    md5 here is the oracle-parity choice (one Python call per row, same
+    trade as doc_fingerprint); a production run would swap in a vectorized
+    64-bit hash — the merge topology is unchanged."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "hv": np.fromiter(
+                    (_md5_le_uint64(str(u)) for u in batch["user_id"].to_pylist()),
+                    dtype=np.uint64,
+                    count=batch.num_rows,
+                ),
+            }
+        ).drop_duplicates()
+        pruned = df.sort_values(["event_type", "hv"]).groupby("event_type", sort=False).head(k)
+        return pa.table(
+            {
+                "event_type": pa.array(pruned["event_type"], pa.string()),
+                "hv": pa.array(pruned["hv"].to_numpy(), pa.uint64()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        et = group["event_type"].iloc[0]
+        mins = np.sort(np.unique(group["hv"].to_numpy().astype(np.uint64)))[:k]
+        n_mins = len(mins)
+        kth = int(mins[-1])
+        if n_mins < k:
+            est = n_mins
+        else:
+            est = int(np.floor(float(k - 1) * 2.0**64 / float(kth)))
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n_mins": pa.array([n_mins], pa.int64()),
+                "kth_hash": pa.array([str(kth)], pa.string()),
+                "est_distinct": pa.array([est], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------- group_quantiles
+
+# integer-exact quantile definition shared by both engines: the smallest
+# value whose cumulative count reaches ceil(p·N/100), with the ceiling as
+# pure integer arithmetic — no float thresholds anywhere.
+GROUP_QUANTILES_SQL = """
+WITH c AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars
+),
+w AS (
+  SELECT lang, n_chars,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM c
+)
+SELECT lang,
+  CAST(min(CASE WHEN cum >= (50*total + 99)//100 THEN n_chars END) AS BIGINT) AS p50,
+  CAST(min(CASE WHEN cum >= (90*total + 99)//100 THEN n_chars END) AS BIGINT) AS p90,
+  CAST(min(CASE WHEN cum >= (99*total + 99)//100 THEN n_chars END) AS BIGINT) AS p99
+FROM w GROUP BY lang
+"""
+
+
+def group_quantiles(sf_dir: str):
+    """Exact distributed percentiles (p50/p90/p99 of n_chars per lang) via
+    the histogram route: in-batch (lang, value) partial counts, one
+    groupby(lang), then a cumulative scan over the per-group histogram.
+    The exchange carries O(distinct values) rows per group — for bounded
+    integer measures (lengths, token counts) that is tiny at any corpus
+    size, which is why histogram-percentile is the 100 TB shape while
+    sort-based percentile is not."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["lang", "n_chars"]).aggregate([("lang", "count")])
+        return pa.table(
+            {
+                "lang": agg["lang"].cast(pa.string()),
+                "n_chars": agg["n_chars"].cast(pa.int64()),
+                "cnt": agg["lang_count"].cast(pa.int64()),
+            }
+        )
+
+    def quantiles(group: pd.DataFrame) -> pa.Table:
+        hist = group.groupby("n_chars", sort=True)["cnt"].sum()
+        cum = hist.cumsum()
+        total = int(cum.iloc[-1])
+        vals = hist.index.to_numpy()
+
+        def pick(p: int) -> int:
+            thresh = (p * total + 99) // 100
+            return int(vals[np.searchsorted(cum.to_numpy(), thresh, side="left")])
+
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"].iloc[0]], pa.string()),
+                "p50": pa.array([pick(50)], pa.int64()),
+                "p90": pa.array([pick(90)], pa.int64()),
+                "p99": pa.array([pick(99)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- dedup_keep
+
+
+def _dedup_keep_sql() -> str:
+    from .dedup import DEDUP_CLUSTERS_SQL
+
+    return f"""
+WITH cl AS ( {DEDUP_CLUSTERS_SQL} ),
+keep AS (SELECT cluster_id, min(doc_id) AS keep_id FROM cl GROUP BY cluster_id)
+SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars
+FROM documents d
+JOIN cl ON cl.doc_id = d.doc_id
+JOIN keep k ON k.cluster_id = cl.cluster_id
+WHERE d.doc_id = k.keep_id
+"""
+
+
+def dedup_keep(sf_dir: str):
+    """End-to-end dedup materialization: MinHash near-dup clusters → keep
+    the min-doc_id representative per cluster → surviving documents with
+    their metadata. This is the step a training-data pipeline actually
+    ships — the cleaned corpus, not the pair list. Representative choice
+    is a groupby(min); both attach steps are bucketed hash joins, so no
+    cluster map ever lands on the driver."""
+    from ray.data.aggregate import Min
+
+    import ray.data as rd
+
+    from ..stages.join import bucketed_equijoin
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(sf_dir).materialize()  # (doc_id, cluster_id), all docs
+    reps = clusters.groupby("cluster_id").aggregate(Min("doc_id", alias_name="keep_id"))
+
+    i, s = pa.int64(), pa.string()
+    labeled = bucketed_equijoin(
+        clusters,
+        reps.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id2": t["cluster_id"].cast(pa.int64()),
+                    "keep_id": t["keep_id"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        left_key="cluster_id",
+        right_key="cluster_id2",
+        left_fields=[("doc_id", i), ("cluster_id", i)],
+        right_fields=[("cluster_id2", i), ("keep_id", i)],
+    )
+    survivors = labeled.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.equal(t["doc_id"], t["keep_id"]))["doc_id"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id2": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"].cast(pa.string()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_equijoin(
+        survivors,
+        docs,
+        left_key="doc_id",
+        right_key="doc_id2",
+        left_fields=[("doc_id", i)],
+        right_fields=[("doc_id2", i), ("lang", s), ("n_chars", i)],
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_chars": t["n_chars"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DEDUP_KEEP_SQL = _dedup_keep_sql()

@@ -120,6 +120,114 @@ def kg_degrees(sf_dir: str):
     )
 
 
+P_TURN = "http://example.org/convo#turn"
+P_TOOLUSE = "http://example.org/convo#toolUse"
+P_TOOL = "http://example.org/convo#tool"
+
+# SPARQL-style basic-graph-pattern over the constructed KG:
+#   ?conv convo#turn ?turn . ?turn convo#toolUse ?b . ?b convo#tool ?tool
+# aggregated to (conv, tool, n_uses) — "which tools does each conversation
+# use, how often", the canonical star/path query a KG exists to answer.
+KG_PATTERN_JOIN_SQL = f"""
+WITH kt AS ( {KG_TRIPLES_SQL} ),
+turns AS (
+  SELECT subj AS conv, obj_value AS turn FROM kt WHERE pred = '{P_TURN}'
+),
+tooluse AS (
+  SELECT subj AS turn, obj_value AS bnode FROM kt WHERE pred = '{P_TOOLUSE}'
+),
+tools AS (
+  SELECT subj AS bnode, obj_value AS tool FROM kt WHERE pred = '{P_TOOL}'
+)
+SELECT t.conv AS conv, tl.tool AS tool, CAST(count(*) AS BIGINT) AS n_uses
+FROM turns t
+JOIN tooluse u ON u.turn = t.turn
+JOIN tools tl ON tl.bnode = u.bnode
+GROUP BY t.conv, tl.tool
+"""
+
+
+def _pred_edge(pred: str, a_name: str, b_name: str):
+    """Projection of one triple pattern (?a pred ?b) to a 2-column edge table."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], pred))
+        return pa.table(
+            {a_name: t["subj"].cast(pa.string()), b_name: t["obj_value"].cast(pa.string())}
+        )
+
+    return project
+
+
+def kg_pattern_join(sf_dir: str):
+    """Multi-hop graph-pattern match (conv —turn→ ?t —toolUse→ ?b —tool→
+    ?tool) executed as two distributed bucketed hash joins over the triple
+    dataset, then a partial-count aggregate to (conv, tool, n_uses).
+
+    The triple scan runs ONCE (materialized) and the three pattern branches
+    are cheap filters over the cached blocks; each join is one bucketed
+    exchange (stages/join.py), so the whole pattern is 3 shuffles total —
+    the textbook partitioned-hash-join plan for a BGP, not a driver loop."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_equijoin
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir).materialize()
+    turns = triples.map_batches(_pred_edge(P_TURN, "conv", "turn"), batch_format="pyarrow")
+    tooluse = triples.map_batches(
+        _pred_edge(P_TOOLUSE, "turn2", "bnode"), batch_format="pyarrow"
+    )
+    tools = triples.map_batches(_pred_edge(P_TOOL, "bnode2", "tool"), batch_format="pyarrow")
+
+    s = pa.string()
+    turn_tool = bucketed_equijoin(
+        tooluse,
+        tools,
+        left_key="bnode",
+        right_key="bnode2",
+        left_fields=[("turn2", s), ("bnode", s)],
+        right_fields=[("bnode2", s), ("tool", s)],
+        key_type=s,
+    ).map_batches(
+        lambda t: pa.table({"turn2": t["turn2"], "tool": t["tool"]}), batch_format="pyarrow"
+    )
+    conv_tool = bucketed_equijoin(
+        turns,
+        turn_tool,
+        left_key="turn",
+        right_key="turn2",
+        left_fields=[("conv", s), ("turn", s)],
+        right_fields=[("turn2", s), ("tool", s)],
+        key_type=s,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["conv", "tool"]).aggregate([("conv", "count")])
+        key = pc.binary_join_element_wise(
+            agg["conv"].cast(pa.string()), agg["tool"].cast(pa.string()), "\x00"
+        )
+        return pa.table({"ct": key, "n_part": agg["conv_count"].cast(pa.int64())})
+
+    agg = (
+        conv_tool.map_batches(partial, batch_format="pyarrow")
+        .groupby("ct")
+        .aggregate(Sum("n_part", alias_name="n_uses"))
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["ct"].cast(pa.string()), "\x00")
+        return pa.table(
+            {
+                "conv": pc.list_element(parts, 0),
+                "tool": pc.list_element(parts, 1),
+                "n_uses": batch["n_uses"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 def _sym_iri_edges(batch: pa.Table) -> pa.Table:
     t = batch.filter(
         pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))
