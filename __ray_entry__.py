@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": corpus.vocab_topk,
         "distinct_kmv": corpus.distinct_kmv,
         "group_quantiles": corpus.group_quantiles,
+        "doc_pack": corpus.doc_pack,
+        "tfidf": corpus.tfidf,
+        "doc_stratified_sample": corpus.doc_stratified_sample,
+        "token_postings": corpus.token_postings,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -130,6 +134,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "distinct_kmv": corpus.DISTINCT_KMV_SQL,
         "group_quantiles": corpus.GROUP_QUANTILES_SQL,
+        "doc_pack": corpus.DOC_PACK_SQL,
+        "tfidf": corpus.TFIDF_SQL,
+        "doc_stratified_sample": corpus.DOC_STRATIFIED_SAMPLE_SQL,
+        "token_postings": corpus.TOKEN_POSTINGS_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

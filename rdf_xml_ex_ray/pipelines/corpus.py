@@ -393,3 +393,347 @@ def dedup_keep(sf_dir: str):
 
 
 DEDUP_KEEP_SQL = _dedup_keep_sql()
+
+
+# ------------------------------------------------------------------ doc_pack
+
+PACK_BUDGET = 1024  # tokens per training shard
+PACK_NUM_BUCKETS = 32
+
+_WS_TOKEN_PATTERN = f"[^{ASCII_WS}]+"
+
+DOC_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_WS_TOKEN_PATTERN}')) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS shard_id
+FROM w
+"""
+
+
+def doc_pack(sf_dir: str, budget: int = PACK_BUDGET, num_buckets: int = PACK_NUM_BUCKETS):
+    """Sequence packing: assign documents (in doc_id order) to fixed-budget
+    training shards — shard_id = floor(exclusive-prefix-token-sum / budget),
+    the step that turns a corpus into pretraining batches.
+
+    A global ordered cumulative sum is inherently sequential, so this runs
+    the classic two-pass distributed prefix-sum: range-bucket by doc_id,
+    (1) per-bucket token totals → tiny driver-side exclusive offsets
+    (num_buckets rows, O(buckets) not O(docs)), (2) per-bucket local cumsum
+    + broadcast offset inside one groupby. Token counting is the vectorized
+    Arrow regex count (same expression as token_count's ws tokens)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    max_id = ds.max("doc_id")
+    span = int(max_id) + 1
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        n_tok = pc.count_substring_regex(
+            batch["text"].cast(pa.string()), _WS_TOKEN_PATTERN
+        ).cast(pa.int64())
+        bucket = pc.divide(pc.multiply(ids, num_buckets), span)
+        return pa.table({"doc_id": ids, "n_tokens": n_tok, "bucket": bucket.cast(pa.int32())})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    totals = {
+        int(r["bucket"]): int(r["sum(n_tokens)"])
+        for r in tagged.groupby("bucket").sum("n_tokens").take_all()
+    }
+    offsets, acc = {}, 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+
+    def pack(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id")
+        base = offsets[int(g["bucket"].iloc[0])]
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        cum_before = base + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "n_tokens": pa.array(n),
+                "shard_id": pa.array(cum_before // budget),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+# --------------------------------------------- exploded-token shared helper
+
+
+def _explode_lower_tokens(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """(doc_id repeated per token, lower-cased ws tokens) for a batch of
+    whole documents — vectorized split, no Python loop. Each document is a
+    single row, so per-(doc, token) aggregates computed inside one batch
+    are already final (no cross-batch combine needed for tf)."""
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"].cast(pa.string())), f"[{ASCII_WS}]+"
+    )
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False), lens)
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    return doc_ids[mask], flat.filter(keep)
+
+
+# --------------------------------------------------------------------- tfidf
+
+TFIDF_K = 3
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+s AS (
+  SELECT t.doc_id, t.token, t.tf, df.df,
+         CAST(t.tf AS DOUBLE) * n.nd / df.df AS score
+  FROM tf t JOIN df ON df.token = t.token CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM s
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM r WHERE rn <= {TFIDF_K}
+"""
+
+
+def tfidf(sf_dir: str, k: int = TFIDF_K):
+    """Per-document top-k most-distinctive terms by tf·(N/df) — the
+    linear-idf variant, chosen because tf·N/df divides the same two
+    integers on both engines (IEEE-deterministic) where ln(N/df) would
+    hinge on libm equality. Monotone in tf and 1/df, so the selected terms
+    match classic tf-idf for fixed tf.
+
+    Topology: in-batch final tf (documents are row-atomic, see
+    _explode_lower_tokens), df via partial counts + one groupby(token),
+    tf⋈df through the generic bucketed hash join, then one groupby(doc_id)
+    for the per-doc top-k — O(doc-term pairs) through 3 exchanges, nothing
+    driver-side but the scalar N."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_equijoin
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _explode_lower_tokens(batch)
+        t = (
+            pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "token": toks})
+            .group_by(["doc_id", "token"])
+            .aggregate([("doc_id", "count")])
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "token": t["token"].cast(pa.string()),
+                "tf": t["doc_id_count"].cast(pa.int64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {"token2": t["token"].cast(pa.string()), "df_part": t["token_count"].cast(pa.int64())}
+        )
+
+    df_ds = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token2")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .map_batches(
+            lambda t: pa.table(
+                {"token2": t["token2"].cast(pa.string()), "df": t["df"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    i, s = pa.int64(), pa.string()
+    joined = bucketed_equijoin(
+        tf_ds,
+        df_ds,
+        left_key="token",
+        right_key="token2",
+        left_fields=[("doc_id", i), ("token", s), ("tf", i)],
+        right_fields=[("token2", s), ("df", i)],
+        key_type=s,
+    )
+
+    def topk(group: pd.DataFrame) -> pa.Table:
+        g = group.copy()
+        g["score"] = g["tf"].astype(float) * n_docs / g["df"].astype(float)
+        g = g.sort_values(["score", "token"], ascending=[False, True]).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "token": pa.array(g["token"], pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+                "df": pa.array(g["df"].to_numpy(dtype=np.int64)),
+                "score": pa.array(g["score"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+# -------------------------------------------------------- stratified sample
+
+STRAT_SALT = "strat1"
+STRAT_DEFAULT_RATE = 0.05
+STRAT_RATES = {"en": 0.30, "de": 0.15, "fr": 0.10}
+
+
+def _strat_thresholds() -> dict[str, int]:
+    out = {lang: int(rate * (1 << 32)) for lang, rate in STRAT_RATES.items()}
+    out["__default__"] = int(STRAT_DEFAULT_RATE * (1 << 32))
+    return out
+
+
+_STRAT_T = _strat_thresholds()
+
+_STRAT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lang}' THEN {_STRAT_T[lang]}" for lang in sorted(STRAT_RATES))
+    + f" ELSE {_STRAT_T['__default__']} END"
+)
+
+DOC_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{STRAT_SALT}'), 1, 8))::UBIGINT AS BIGINT) AS sample_key
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{STRAT_SALT}'), 1, 8))::UBIGINT
+      < ({_STRAT_CASE})
+"""
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum hash-bernoulli sample: each language gets
+    its own keep rate (the data-mixture lever of a pretraining corpus —
+    upsample rare strata, downsample dominant ones) with doc_sample's
+    reproducible md5 keying. Pure per-row filter: no shuffle at any scale."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    default_thr = _STRAT_T["__default__"]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keys = [
+            int(hashlib.md5(f"{d}:{STRAT_SALT}".encode()).hexdigest()[:8], 16) for d in ids
+        ]
+        mask = pa.array(
+            [k < _STRAT_T.get(lang, default_thr) for k, lang in zip(keys, langs)]
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "lang": batch["lang"].cast(pa.string()),
+                "sample_key": pa.array(keys, pa.int64()),
+            }
+        ).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ token_postings
+
+POSTINGS_CAP = 20
+
+TOKEN_POSTINGS_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS token
+  FROM documents
+),
+t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+agg AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+r AS (
+  SELECT token, doc_id, row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM t
+),
+p AS (
+  SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM r WHERE rn <= {POSTINGS_CAP} GROUP BY token
+)
+SELECT a.token AS token, CAST(a.df AS BIGINT) AS df, p.postings AS postings
+FROM agg a JOIN p ON p.token = a.token
+"""
+
+
+def token_postings(sf_dir: str, cap: int = POSTINGS_CAP):
+    """Inverted-index construction: token → (document frequency, first
+    ``cap`` posting doc_ids as a comma string). Postings are truncated to
+    the cap so a stop-word's list can't blow up a row; the per-batch
+    partial keeps only each token's cap smallest doc_ids plus a count, so
+    the exchange is O(tokens·cap) per block — the same bounded-merge
+    argument as the KMV sketch (min-k of a union = min-k of per-part
+    min-ks)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _explode_lower_tokens(batch)
+        df = pd.DataFrame({"token": toks.to_pandas(), "doc_id": doc_ids}).drop_duplicates()
+        df = df.sort_values(["token", "doc_id"])
+        g = df.groupby("token", sort=False)
+        counts = g.size()
+        pruned = g.head(cap).copy()
+        # exactly ONE row per (token, batch) carries the batch's full df
+        # contribution (rest carry 0), so the merge can just sum df_part
+        first = (~pruned["token"].duplicated()).to_numpy()
+        dfp = np.zeros(len(pruned), dtype=np.int64)
+        dfp[first] = counts.loc[pruned.loc[first, "token"]].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "token": pa.array(pruned["token"], pa.string()),
+                "doc_id": pa.array(pruned["doc_id"].to_numpy(dtype=np.int64)),
+                "df_part": pa.array(dfp),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        tok = group["token"].iloc[0]
+        # (token, doc_id) pairs are unique across batches (a doc lives in
+        # one batch); min-cap of the union = min-cap of per-batch min-caps
+        doc_ids = np.sort(np.unique(group["doc_id"].to_numpy(dtype=np.int64)))[:cap]
+        df_total = int(group["df_part"].sum())
+        postings = ",".join(str(d) for d in doc_ids)
+        return pa.table(
+            {
+                "token": pa.array([tok], pa.string()),
+                "df": pa.array([df_total], pa.int64()),
+                "postings": pa.array([postings], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -183,3 +183,77 @@ def test_kg_pattern_join_matches_manual(ray_session, sf_dir):
         .reset_index(drop=True)[["conv", "tool", "n_uses"]]
     )
     pd.testing.assert_frame_equal(got, exp[["conv", "tool", "n_uses"]], check_dtype=False)
+
+
+def test_doc_pack_shard_boundaries(ray_session):
+    import os
+    import tempfile
+
+    from rdf_xml_ex_ray.pipelines.corpus import doc_pack
+
+    # 5 docs × 3 ws-tokens each, budget 4 → cum_before 0,3,6,9,12 → shards 0,0,1,2,3
+    docs = pd.DataFrame({"doc_id": range(5), "text": ["a b c"] * 5})
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        out = (
+            doc_pack(td, budget=4, num_buckets=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert out["n_tokens"].tolist() == [3, 3, 3, 3, 3]
+    assert out["shard_id"].tolist() == [0, 0, 1, 2, 3]
+
+
+def test_doc_pack_matches_sequential(ray_session, sf_dir):
+    """Distributed two-pass prefix-sum == single-process cumsum."""
+    import os
+    import re
+
+    from rdf_xml_ex_ray.pipelines.corpus import PACK_BUDGET, _WS_TOKEN_PATTERN, doc_pack
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_values("doc_id")
+    pat = re.compile(_WS_TOKEN_PATTERN)
+    n = docs["text"].map(lambda t: len(pat.findall(t))).to_numpy()
+    exp_shard = (np.cumsum(n) - n) // PACK_BUDGET
+    out = doc_pack(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == n.tolist()
+    assert out["shard_id"].tolist() == exp_shard.tolist()
+
+
+def test_token_postings_cap(ray_session):
+    import os
+    import tempfile
+
+    from rdf_xml_ex_ray.pipelines.corpus import token_postings
+
+    docs = pd.DataFrame({"doc_id": range(30), "text": ["common"] * 30})
+    docs.loc[7, "text"] = "common rare"
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        out = token_postings(td, cap=5).to_pandas().set_index("token")
+    assert out.loc["common", "df"] == 30  # df counts ALL docs…
+    assert out.loc["common", "postings"] == "0,1,2,3,4"  # …postings truncate
+    assert out.loc["rare", "df"] == 1
+    assert out.loc["rare", "postings"] == "7"
+
+
+def test_stratified_sample_rates(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.corpus import (
+        STRAT_DEFAULT_RATE,
+        STRAT_RATES,
+        doc_stratified_sample,
+    )
+
+    import os
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    out = doc_stratified_sample(sf_dir).to_pandas()
+    # per-stratum keep fraction tracks its configured rate (binomial 4σ)
+    for lang, total in docs.groupby("lang").size().items():
+        rate = STRAT_RATES.get(lang, STRAT_DEFAULT_RATE)
+        kept = (out["lang"] == lang).sum()
+        sigma = (total * rate * (1 - rate)) ** 0.5
+        assert abs(kept - total * rate) <= 4 * sigma + 1, (lang, kept, total)
