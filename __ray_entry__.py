@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": corpus.tfidf,
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "token_postings": corpus.token_postings,
+        "corpus_clean": corpus.corpus_clean,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": streaming.events_hopping_window,
         "events_asof_join": streaming.events_asof_join,
         "events_range_join": streaming.events_range_join,
+        "events_funnel": streaming.events_funnel,
     }
 
 
@@ -138,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": corpus.TFIDF_SQL,
         "doc_stratified_sample": corpus.DOC_STRATIFIED_SAMPLE_SQL,
         "token_postings": corpus.TOKEN_POSTINGS_SQL,
+        "corpus_clean": corpus.CORPUS_CLEAN_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
@@ -145,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": streaming.EVENTS_HOPPING_WINDOW_SQL,
         "events_asof_join": streaming.EVENTS_ASOF_SQL,
         "events_range_join": streaming.EVENTS_RANGE_JOIN_SQL,
+        "events_funnel": streaming.EVENTS_FUNNEL_SQL,
     }

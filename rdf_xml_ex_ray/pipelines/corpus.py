@@ -737,3 +737,102 @@ def token_postings(sf_dir: str, cap: int = POSTINGS_CAP):
         .groupby("token")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# -------------------------------------------------------------- corpus_clean
+
+CLEAN_MIN_WORDS = 20
+CLEAN_MIN_STOPWORD_RATIO = 0.02
+
+
+def _corpus_clean_sql() -> str:
+    from .text import DOC_STATS_SQL, LANG_ID_SQL
+
+    return f"""
+WITH stats AS ( {DOC_STATS_SQL} ),
+langs AS ( {LANG_ID_SQL} ),
+kept AS ( {DEDUP_KEEP_SQL} )
+SELECT s.doc_id AS doc_id, l.pred_lang AS pred_lang, s.n_chars AS n_chars,
+       s.n_words AS n_words, s.stopword_ratio AS stopword_ratio
+FROM stats s
+JOIN langs l ON l.doc_id = s.doc_id
+JOIN kept k ON k.doc_id = s.doc_id
+WHERE s.n_words >= {CLEAN_MIN_WORDS}
+  AND s.stopword_ratio >= {CLEAN_MIN_STOPWORD_RATIO}
+  AND l.pred_lang <> 'und'
+"""
+
+
+CORPUS_CLEAN_SQL = _corpus_clean_sql()
+
+
+def corpus_clean(sf_dir: str):
+    """The composite C4-style cleaning pipeline — what a user actually runs
+    end-to-end: quality heuristics (word count, stopword ratio) AND
+    language-ID confidence AND near-dup survival, emitting the cleaned
+    corpus with its quality features. Stats + lang-ID run fused in ONE
+    map over the documents (both are per-row, so they pipeline with the
+    read); the dedup-survivor condition is a bucketed semi-join against
+    dedup_keep's output. Thresholds compare the same already-rounded
+    values the oracled doc_stats/lang_id queries emit, so the filter
+    decisions are engine-identical by construction."""
+    import ray.data as rd
+
+    from ..stages.join import bucketed_equijoin
+    from .text import doc_stats_batch, lang_id_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def stats_lang(batch: pa.Table) -> pa.Table:
+        stats = doc_stats_batch(batch)
+        langs = lang_id_batch(batch)
+        t = pa.table(
+            {
+                "doc_id": stats["doc_id"].cast(pa.int64()),
+                "pred_lang": langs["pred_lang"],
+                "n_chars": stats["n_chars"],
+                "n_words": stats["n_words"],
+                "stopword_ratio": stats["stopword_ratio"],
+            }
+        )
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_words"], CLEAN_MIN_WORDS),
+                pc.greater_equal(t["stopword_ratio"], CLEAN_MIN_STOPWORD_RATIO),
+            ),
+            pc.not_equal(t["pred_lang"], "und"),
+        )
+        return t.filter(mask)
+
+    quality = ds.map_batches(stats_lang, batch_format="pyarrow")
+    survivors = dedup_keep(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id2": t["doc_id"].cast(pa.int64())}), batch_format="pyarrow"
+    )
+
+    i, s, f = pa.int64(), pa.string(), pa.float64()
+    joined = bucketed_equijoin(
+        quality,
+        survivors,
+        left_key="doc_id",
+        right_key="doc_id2",
+        left_fields=[
+            ("doc_id", i),
+            ("pred_lang", s),
+            ("n_chars", i),
+            ("n_words", i),
+            ("stopword_ratio", f),
+        ],
+        right_fields=[("doc_id2", i)],
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_lang": t["pred_lang"],
+                "n_chars": t["n_chars"],
+                "n_words": t["n_words"],
+                "stopword_ratio": t["stopword_ratio"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

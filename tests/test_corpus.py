@@ -257,3 +257,62 @@ def test_stratified_sample_rates(ray_session, sf_dir):
         kept = (out["lang"] == lang).sum()
         sigma = (total * rate * (1 - rate)) ** 0.5
         assert abs(kept - total * rate) <= 4 * sigma + 1, (lang, kept, total)
+
+
+def test_events_funnel_strict_ordering(ray_session):
+    """A click BEFORE the first view must not count; a purchase before the
+    first qualifying click must not count."""
+    import os
+    import tempfile
+
+    from rdf_xml_ex_ray.pipelines.streaming import events_funnel
+
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 1, 1, 2, 2, 2, 3, 3],
+            "ts": [
+                base + pd.Timedelta(minutes=m) for m in [5, 1, 10, 1, 2, 0, 3, 4]
+            ],
+            "event_type": [
+                "view", "click", "purchase",      # u1: click@1 < view@5 → stage 1... purchase@10 needs click AFTER view
+                "view", "purchase", "click",      # u2: click@0 < view@1, purchase@2 > view but needs click → stage 1
+                "click", "view",                  # u3: no view-first click → stage 1
+            ],
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    with tempfile.TemporaryDirectory() as td:
+        ev.to_parquet(os.path.join(td, "events.parquet"))
+        out = events_funnel(td).to_pandas().set_index("user_id")
+    assert out.loc[1, "funnel_stage"] == 1  # click precedes first view
+    assert out.loc[2, "funnel_stage"] == 1
+    assert out.loc[3, "funnel_stage"] == 1
+    assert out.loc[3, "t_click_us"] == -1 and out.loc[3, "t_purchase_us"] == -1
+
+
+def test_corpus_clean_is_conjunction(ray_session, sf_dir):
+    """Every emitted doc passes all three conditions; every doc passing all
+    three is emitted."""
+    from rdf_xml_ex_ray.pipelines.corpus import (
+        CLEAN_MIN_STOPWORD_RATIO,
+        CLEAN_MIN_WORDS,
+        corpus_clean,
+        dedup_keep,
+    )
+    from rdf_xml_ex_ray.pipelines.text import doc_stats, lang_id
+
+    out = corpus_clean(sf_dir).to_pandas()
+    stats = doc_stats(sf_dir).to_pandas().set_index("doc_id")
+    langs = lang_id(sf_dir).to_pandas().set_index("doc_id")
+    kept = set(dedup_keep(sf_dir).to_pandas()["doc_id"])
+    expected = {
+        d
+        for d in stats.index
+        if stats.loc[d, "n_words"] >= CLEAN_MIN_WORDS
+        and stats.loc[d, "stopword_ratio"] >= CLEAN_MIN_STOPWORD_RATIO
+        and langs.loc[d, "pred_lang"] != "und"
+        and d in kept
+    }
+    assert set(out["doc_id"]) == expected
