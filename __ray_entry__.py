@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": text.doc_winnow,
         "doc_pii_scrub": text.doc_pii_scrub,
         "doc_sample": text.doc_sample,
+        "doc_repetition": text.doc_repetition,
+        "doc_quality_logreg": text.doc_quality_logreg,
         # --- corpus-level: joins / vocabulary / sketches / quantiles ---
         "doc_embed_join": corpus.doc_embed_join,
         "vocab_topk": corpus.vocab_topk,
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "token_postings": corpus.token_postings,
         "corpus_clean": corpus.corpus_clean,
+        "doc_decontaminate": corpus.doc_decontaminate,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -132,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": text.DOC_WINNOW_SQL,
         "doc_pii_scrub": text.DOC_PII_SCRUB_SQL,
         "doc_sample": text.DOC_SAMPLE_SQL,
+        "doc_repetition": text.DOC_REPETITION_SQL,
+        "doc_quality_logreg": text.DOC_QUALITY_LOGREG_SQL,
         "doc_embed_join": corpus.DOC_EMBED_JOIN_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "distinct_kmv": corpus.DISTINCT_KMV_SQL,
@@ -141,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": corpus.DOC_STRATIFIED_SAMPLE_SQL,
         "token_postings": corpus.TOKEN_POSTINGS_SQL,
         "corpus_clean": corpus.CORPUS_CLEAN_SQL,
+        "doc_decontaminate": corpus.DOC_DECONTAMINATE_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

@@ -836,3 +836,93 @@ def corpus_clean(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------- doc_decontaminate
+
+# Benchmark decontamination (the GPT-3 appendix-C / FLAN "n-gram overlap"
+# pass): before training, drop or flag corpus documents that share a word
+# n-gram with the evaluation set, so benchmark answers don't leak into
+# training data. The "benchmark" here is the deterministic doc_id % 25 == 0
+# slice of the corpus itself — same shape as shipping a real eval set in.
+DECON_N = 3
+DECON_BENCH_MOD = 25
+DECON_NUM_BUCKETS = 64
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+bench AS (SELECT DISTINCT gram FROM gd WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT gd.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM gd JOIN bench USING (gram)
+WHERE gd.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY gd.doc_id
+"""
+
+
+def doc_decontaminate(sf_dir: str, num_gram_buckets: int = DECON_NUM_BUCKETS):
+    """Per non-benchmark doc: how many of its distinct word-3-grams appear
+    anywhere in the benchmark slice (n_shared >= 1 == contaminated).
+
+    Topology — ONE all-to-all exchange, like dedup_ngram_jaccard: distinct
+    (doc, gram) rows bucketed by gram hash, so every occurrence of a gram
+    (benchmark and corpus alike) lands in the same bucket group; the
+    contaminated-gram test is then bucket-local (a vectorized pandas isin
+    against the bucket's benchmark grams), and per-doc partial hit counts
+    sum through a tiny groupby. The benchmark side is NOT broadcast: a real
+    eval set can be millions of grams, and the semi-join keeps it
+    distributed. Reference analogue: set-membership over graph terms,
+    graph.ex via rdf-ex (semantics only; topology is Ray's)."""
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, grams, buckets, is_bench = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = text.split(" ")
+            bench = doc_id % DECON_BENCH_MOD == 0
+            for gm in {
+                " ".join(words[i : i + DECON_N]) for i in range(len(words) - DECON_N + 1)
+            }:
+                doc_ids.append(doc_id)
+                grams.append(gm)
+                buckets.append(zlib.crc32(gm.encode()) % num_gram_buckets)
+                is_bench.append(bench)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "gram_bucket": pa.array(buckets, pa.int32()),
+                "is_bench": pa.array(is_bench, pa.bool_()),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def bucket_pass(group: pd.DataFrame) -> pa.Table:
+        bench_grams = group.loc[group["is_bench"], "gram"]
+        hits = group[~group["is_bench"] & group["gram"].isin(set(bench_grams))]
+        counts = hits.groupby("doc_id", sort=False).size()
+        return pa.table(
+            {
+                "doc_id": pa.array(counts.index.to_numpy(np.int64), pa.int64()),
+                "n_part": pa.array(counts.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    partials = grams.groupby("gram_bucket").map_groups(bucket_pass, batch_format="pandas")
+    agg = partials.groupby("doc_id").aggregate(Sum("n_part", alias_name="n_shared"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "n_shared": t["n_shared"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

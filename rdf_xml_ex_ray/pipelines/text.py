@@ -708,3 +708,121 @@ def mm_media_meta(sf_dir: str):
         # autoscaling actor pool sized to the cluster, not a constant cap
         concurrency=(1, cluster_cpus()),
     )
+
+
+# ------------------------------------------------------------ doc_repetition
+
+# Gopher-style within-document repetition filter: the fraction of word
+# bigrams that are repeats. A doc whose gram stream is dominated by repeats
+# is boilerplate / generation-loop junk regardless of its vocabulary. The
+# reference's per-document transform unit (one description at a time,
+# decoder.ex:52-53) is the same shape: per-row, no shuffle.
+REP_N = 2
+
+DOC_REPETITION_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       round((count(*) - count(DISTINCT gram)) / count(*), 4) AS rep_ratio
+FROM g GROUP BY doc_id
+"""
+
+
+def doc_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-row metric — embarrassingly parallel, fuses with the read; the
+    only float is derived from the same two integers on both engines."""
+    doc_ids, n_grams, n_distinct = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = text.split(" ")
+        n = len(words) - (REP_N - 1)
+        if n <= 0:
+            continue  # no grams -> no row on either engine
+        distinct = len({(words[i], words[i + 1]) for i in range(n)})
+        doc_ids.append(doc_id)
+        n_grams.append(n)
+        n_distinct.append(distinct)
+    ng = np.asarray(n_grams, np.float64)
+    nd = np.asarray(n_distinct, np.float64)
+    ratio = np_round_half_away((ng - nd) / np.maximum(ng, 1.0), 4)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "rep_ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+def doc_repetition(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(doc_repetition_batch, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- doc_quality_logreg
+
+# Fixed-point linear quality classifier: integer weights x integer features,
+# so score and decision are bit-identical on both engines (no sigmoid/float
+# crosses the compare boundary — the decision z >= 0 is the same either
+# way). The weights ship once per worker via the broadcast cache: the exact
+# topology a real (float, multi-MB) quality model would use, where
+# re-shipping per batch is what kills a 100 TB scoring pass.
+QUALITY_WEIGHTS = {"bias": -900, "n_words": 5, "n_chars": 1, "n_distinct": 10}
+
+DOC_QUALITY_LOGREG_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       ({QUALITY_WEIGHTS["bias"]}
+        + {QUALITY_WEIGHTS["n_words"]} * n_words
+        + {QUALITY_WEIGHTS["n_chars"]} * n_chars
+        + {QUALITY_WEIGHTS["n_distinct"]} * n_distinct) AS score,
+       CAST(({QUALITY_WEIGHTS["bias"]}
+        + {QUALITY_WEIGHTS["n_words"]} * n_words
+        + {QUALITY_WEIGHTS["n_chars"]} * n_chars
+        + {QUALITY_WEIGHTS["n_distinct"]} * n_distinct) >= 0 AS BIGINT) AS keep
+FROM f
+"""
+
+
+def doc_quality_logreg(sf_dir: str):
+    """Model-scoring stage: broadcast weight vector + vectorized per-batch
+    scoring. ``ray.put`` ships the model once to the object store; every
+    worker resolves it once per process (stages/broadcast.py cache), so at
+    100 TB the model transits the wire O(workers) times, not O(batches)."""
+    import ray.data as rd
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+    w_ref = put_broadcast(dict(QUALITY_WEIGHTS))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = resolve_broadcast(w_ref)
+        texts = batch["text"].to_pylist()
+        words = [t.split(" ") for t in texts]
+        n_words = np.fromiter((len(ws) for ws in words), np.int64, len(words))
+        n_dist = np.fromiter((len(set(ws)) for ws in words), np.int64, len(words))
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        z = w["bias"] + w["n_words"] * n_words + w["n_chars"] * n_chars + w["n_distinct"] * n_dist
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "score": pa.array(z, pa.int64()),
+                "keep": pa.array((z >= 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
