@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": corpus.token_postings,
         "corpus_clean": corpus.corpus_clean,
         "doc_decontaminate": corpus.doc_decontaminate,
+        "token_bigram_lm": corpus.token_bigram_lm,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": streaming.events_asof_join,
         "events_range_join": streaming.events_range_join,
         "events_funnel": streaming.events_funnel,
+        "events_retention": streaming.events_retention,
     }
 
 
@@ -147,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "token_postings": corpus.TOKEN_POSTINGS_SQL,
         "corpus_clean": corpus.CORPUS_CLEAN_SQL,
         "doc_decontaminate": corpus.DOC_DECONTAMINATE_SQL,
+        "token_bigram_lm": corpus.TOKEN_BIGRAM_LM_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
@@ -155,4 +158,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": streaming.EVENTS_ASOF_SQL,
         "events_range_join": streaming.EVENTS_RANGE_JOIN_SQL,
         "events_funnel": streaming.EVENTS_FUNNEL_SQL,
+        "events_retention": streaming.EVENTS_RETENTION_SQL,
     }

@@ -926,3 +926,90 @@ def doc_decontaminate(sf_dir: str, num_gram_buckets: int = DECON_NUM_BUCKETS):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------- token_bigram_lm
+
+# Bigram language-model counts: the adjacency statistics an n-gram LM (or a
+# BPE-merge/tokenizer-training pass) is built from. Top-k by count with a
+# deterministic (n DESC, w1, w2) tiebreak.
+BIGRAM_TOPK_K = 100
+
+TOKEN_BIGRAM_LM_SQL = f"""
+WITH w AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+g AS (
+  SELECT words[i] AS w1, words[i+1] AS w2
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY w1, w2
+ORDER BY n DESC, w1, w2 LIMIT {BIGRAM_TOPK_K}
+"""
+
+
+def token_bigram_lm(sf_dir: str, k: int = BIGRAM_TOPK_K):
+    """Corpus bigram counts, fully vectorized: split once per batch (Arrow
+    kernel), build (w1, w2) adjacency from the FLATTENED token array plus
+    its list offsets (a boolean mask knocks out the doc-boundary pairs —
+    no per-document Python loop), partial-count in-batch, ONE groupby over
+    the partials, exact per-block top-k prune (post-groupby blocks hold
+    disjoint pairs), tiny final sort. Identical topology to vocab_topk with
+    a composite key."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"].cast(pa.string())), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = la.flatten()
+        nf = len(flat)
+        if nf < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        mask = np.ones(nf - 1, dtype=bool)
+        ends = offs[1:] - 1  # last-token index of each doc: no pair starts here
+        ends = ends[(ends >= 0) & (ends < nf - 1)]
+        mask[ends] = False
+        t = (
+            pa.table({"w1": flat.slice(0, nf - 1), "w2": flat.slice(1)})
+            .filter(pa.array(mask))
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "n_part": t["count_all"].cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "w1": batch["w1"].cast(pa.string()),
+                "w2": batch["w2"].cast(pa.string()),
+                "n": batch["n"].cast(pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("n", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        )[:k]
+        return t.take(idx)
+
+    return (
+        counts.map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

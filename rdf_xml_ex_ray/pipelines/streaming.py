@@ -491,3 +491,94 @@ def events_funnel(sf_dir: str, num_buckets: int = 64):
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
     return bucketed.groupby("user_bucket").map_groups(_funnel_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------- events_retention
+
+# Classic cohort retention: cohort = the user's first active day, offset =
+# days since cohort; cell value = distinct users from that cohort active at
+# that offset. The growth-analytics table every event log gets rolled into.
+DAY_US = 86_400_000_000
+
+EVENTS_RETENTION_SQL = f"""
+WITH d AS (
+  SELECT user_id, CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+a AS (
+  SELECT DISTINCT d.user_id, c.cohort_day, d.day - c.cohort_day AS day_offset
+  FROM d JOIN c USING (user_id)
+)
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_day, day_offset
+"""
+
+
+def _retention_bucket(group: pd.DataFrame) -> pa.Table:
+    d = group[["user_id", "day"]].drop_duplicates()
+    cohort = d.groupby("user_id")["day"].transform("min")
+    cells = (
+        pd.DataFrame({"cohort_day": cohort, "day_offset": d["day"] - cohort})
+        .groupby(["cohort_day", "day_offset"], sort=False)
+        .size()
+    )
+    idx = cells.index
+    return pa.table(
+        {
+            "cohort_day": pa.array(idx.get_level_values(0).to_numpy(np.int64), pa.int64()),
+            "day_offset": pa.array(idx.get_level_values(1).to_numpy(np.int64), pa.int64()),
+            "n_part": pa.array(cells.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def events_retention(sf_dir: str, num_buckets: int = 64):
+    """Cohort/offset matrix in ONE user-bucket exchange + one tiny groupby:
+    the map stage collapses each batch to distinct (user, day) pairs (the
+    exchange carries O(users x active-days), not O(events)); each user's
+    whole history co-locates in its hash bucket, so cohort (min day) and
+    the distinct-offset set are bucket-local; per-bucket partial cell
+    counts then sum through a groupby whose cardinality is the cohort
+    matrix itself (~days^2) — trivially small at any event volume."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        )
+        t = (
+            pa.table(
+                {
+                    "user_id": pa.array(uid, pa.int64()),
+                    "day": pa.array(day, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        uid2 = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "user_bucket", pa.array((uid2 % num_buckets).astype(np.int32))
+        )
+
+    bucketed = ds.map_batches(day_pairs, batch_format="pyarrow")
+    partials = bucketed.groupby("user_bucket").map_groups(
+        _retention_bucket, batch_format="pandas"
+    )
+    agg = partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_part", alias_name="n_users")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_day": t["cohort_day"].cast(pa.int64()),
+                "day_offset": t["day_offset"].cast(pa.int64()),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

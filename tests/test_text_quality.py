@@ -79,3 +79,34 @@ def test_decontaminate_bench_docs_never_emitted(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [1]
     # 3 distinct word-3-grams in a 5-word doc, all shared
     assert out["n_shared"].tolist() == [3]
+
+
+def test_bigram_lm_no_cross_doc_pairs(ray_session, tmp_path):
+    from rdf_xml_ex_ray.pipelines.corpus import token_bigram_lm
+
+    # "b a" would only exist as a cross-document pair — it must not appear
+    pq.write_table(_doc_table(["a b", "a b"]), tmp_path / "documents.parquet")
+    out = token_bigram_lm(str(tmp_path)).to_pandas()
+    assert out[["w1", "w2", "n"]].values.tolist() == [["a", "b", 2]]
+
+
+def test_retention_same_day_events_dedup(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from rdf_xml_ex_ray.pipelines.streaming import DAY_US, events_retention
+
+    # user 1: three events on day 0, one on day 2 -> cells (0,0)=1, (0,2)=1
+    # user 2: first seen day 2 -> cohort 2, cell (2,0)=1
+    ts = pa.array(
+        [10, 20, 30, 2 * DAY_US + 5, 2 * DAY_US + 7], pa.timestamp("us")
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": ts,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_retention(str(tmp_path)).to_pandas()
+    got = sorted(map(tuple, out[["cohort_day", "day_offset", "n_users"]].values.tolist()))
+    assert got == [(0, 0, 1), (0, 2, 1), (2, 0, 1)]
