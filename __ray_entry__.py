@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reachability": graph.kg_reachability,
         "kg_degrees": graph.kg_degrees,
         "kg_pattern_join": graph.kg_pattern_join,
+        "kg_pagerank": graph.kg_pagerank,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": graph.KG_REACHABILITY_SQL,
         "kg_degrees": graph.KG_DEGREES_SQL,
         "kg_pattern_join": graph.KG_PATTERN_JOIN_SQL,
+        "kg_pagerank": graph.KG_PAGERANK_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

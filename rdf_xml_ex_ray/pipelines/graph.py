@@ -228,6 +228,234 @@ def kg_pattern_join(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+# -------------------------------------------------------------- kg_pagerank
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000  # fixed-point micro-units: pr starts at 1.0 = 1e6
+PR_BASE = 150_000  # (1 - d) * PR_SCALE with damping d = 0.85 = 17/20
+PR_BROADCAST_NODE_CAP = 1_000_000
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-iteration PageRank, all-integer.
+
+    Per-edge contribution of source u with score pr and out-degree d is
+    round_half_away(0.85 * pr / d) computed in exact integer arithmetic:
+    (2*17*pr + 20*d) // (2*20*d) = (17*pr + 10*d) // (20*d). Every quantity
+    is a BIGINT, every sum is integer (order-independent), so the Ray and
+    DuckDB engines agree bit-for-bit — no float summation order to diverge.
+    Multi-edges keep their multiplicity (same convention as kg_degrees)."""
+    iters = []
+    prev = "pr0"
+    for t in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""pr{t} AS (
+  SELECT nodes.n AS n,
+         CAST({PR_BASE} + coalesce(sum((17 * p.pr + 10 * o.d) // (20 * o.d)), 0) AS BIGINT) AS pr
+  FROM nodes
+  LEFT JOIN kt e ON e.dst = nodes.n
+  LEFT JOIN {prev} p ON p.n = e.src
+  LEFT JOIN outd o ON o.n = e.src
+  GROUP BY nodes.n
+)"""
+        )
+        prev = f"pr{t}"
+    chain = ",\n".join(iters)
+    # plain WITH — under WITH RECURSIVE DuckDB evaluates the chained pr{{t}}
+    # CTEs with recursive-union semantics and the unrolled scores explode
+    return f"""
+WITH kt AS (
+  SELECT subj AS src, obj_value AS dst FROM ( {KG_TRIPLES_SQL} ) AS base
+  WHERE subj_kind = 'iri' AND obj_kind = 'iri'
+),
+nodes AS (SELECT src AS n FROM kt UNION SELECT dst AS n FROM kt),
+outd AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM kt GROUP BY src),
+pr0 AS (SELECT n, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
+{chain}
+SELECT n AS entity, pr AS pr_micro FROM pr{PR_ITERS}
+"""
+
+
+KG_PAGERANK_SQL = _pagerank_sql()
+
+
+def _dir_iri_edges(batch: pa.Table) -> pa.Table:
+    t = batch.filter(
+        pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))
+    )
+    return pa.table(
+        {"src": t["subj"].cast(pa.string()), "dst": t["obj_value"].cast(pa.string())}
+    )
+
+
+def kg_pagerank(
+    sf_dir: str,
+    iters: int = PR_ITERS,
+    broadcast_node_cap: int = PR_BROADCAST_NODE_CAP,
+):
+    """Fixed-point PageRank over the KG's directed iri→iri edges — the
+    iterative label-update workhorse of KG curation (entity importance,
+    crawl prioritization, sampling weights).
+
+    Scale shape: edges stay a dataset end-to-end; out-degrees attach via the
+    bucketed map-side join; each iteration is one partial-count exchange
+    (per-edge contributions → groupby(node) sum). The per-iteration score
+    lookup broadcasts the (node → pr) map only below
+    ``broadcast_node_cap`` — above it the same ``_bucketed_attach`` join
+    runs fully distributed, so no O(nodes) driver/worker dict at 100 TB.
+    All arithmetic is int64 (see ``_pagerank_sql``), so results are exactly
+    reproducible across engines and cluster sizes."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import NUM_JOIN_BUCKETS, _bucketed_attach
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir)
+    edges = triples.map_batches(_dir_iri_edges, batch_format="pyarrow").materialize()
+
+    def outd_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("src").aggregate([("src", "count")])
+        return pa.table(
+            {"node": agg["src"].cast(pa.string()), "d_part": agg["src_count"].cast(pa.int64())}
+        )
+
+    outd = (
+        edges.map_batches(outd_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d_part", alias_name="d"))
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["node"].cast(pa.string()), "payload": t["d"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    s = pa.string()
+    edges_d = _bucketed_attach(
+        edges,
+        outd,
+        key_col="src",
+        payload_type=pa.int64(),
+        out_col="d",
+        pair_fields=[("src", s), ("dst", s)],
+        num_buckets=NUM_JOIN_BUCKETS,
+        key_type=s,
+    ).materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        both = pa.chunked_array(batch["src"].chunks + batch["dst"].chunks)
+        agg = pa.table({"node": both}).group_by("node").aggregate([("node", "count")])
+        return pa.table(
+            {
+                "node": agg["node"].cast(pa.string()),
+                "n_part": agg["node_count"].cast(pa.int64()),
+            }
+        )
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n_part", alias_name="__n"))
+        .map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.string())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    use_broadcast = n_nodes <= broadcast_node_cap
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.string()),
+                "c_part": pa.repeat(pa.scalar(0, pa.int64()), batch.num_rows),
+            }
+        )
+
+    pr = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.string()),
+                "pr": pa.repeat(pa.scalar(PR_SCALE, pa.int64()), t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_table(dst, pr_vals, d_vals) -> pa.Table:
+        c = (17 * pr_vals + 10 * d_vals) // (20 * d_vals)
+        return pa.table({"node": dst.cast(pa.string()), "c_part": pa.array(c, pa.int64())})
+
+    for _ in range(iters):
+        if use_broadcast:
+            pr_map: dict[str, int] = {}
+            for bt in pr.iter_batches(batch_format="pyarrow"):
+                pr_map.update(zip(bt["node"].to_pylist(), bt["pr"].to_pylist()))
+            pr_ref = put_broadcast(pr_map)
+
+            def contrib(batch: pa.Table) -> pa.Table:
+                import pandas as pd
+
+                lut = resolve_broadcast(pr_ref)
+                pr_vals = (
+                    pd.Series(batch["src"].to_pylist()).map(lut).to_numpy(dtype=np.int64)
+                )
+                d_vals = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return contrib_table(batch["dst"], pr_vals, d_vals)
+
+            cand = edges_d.map_batches(contrib, batch_format="pyarrow")
+        else:
+            pr_payload = pr.map_batches(
+                lambda t: pa.table({"doc_id": t["node"], "payload": t["pr"]}),
+                batch_format="pyarrow",
+            )
+            edge_pr = _bucketed_attach(
+                edges_d,
+                pr_payload,
+                key_col="src",
+                payload_type=pa.int64(),
+                out_col="pr",
+                pair_fields=[("src", s), ("dst", s), ("d", pa.int64())],
+                num_buckets=NUM_JOIN_BUCKETS,
+                key_type=s,
+            )
+            cand = edge_pr.map_batches(
+                lambda batch: contrib_table(
+                    batch["dst"],
+                    batch["pr"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch["d"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ),
+                batch_format="pyarrow",
+            )
+        from ray.data.aggregate import Sum as _Sum
+
+        pr = (
+            cand.union(nodes.map_batches(zeros, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(_Sum("c_part", alias_name="c_sum"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].cast(pa.string()),
+                        "pr": pc.add(t["c_sum"].cast(pa.int64()), PR_BASE),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return pr.map_batches(
+        lambda t: pa.table(
+            {"entity": t["node"].cast(pa.string()), "pr_micro": t["pr"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _sym_iri_edges(batch: pa.Table) -> pa.Table:
     t = batch.filter(
         pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))

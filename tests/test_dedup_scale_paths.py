@@ -36,3 +36,12 @@ def test_reachability_distributed_matches_broadcast(ray_session, sf_dir):
     dist = _sorted(kg_reachability(sf_dir, broadcast_edge_cap=0).to_pandas(), ["node"])
     assert len(broad) > 1 and broad["depth"].max() >= 2
     assert broad.equals(dist)
+
+
+def test_pagerank_distributed_matches_broadcast(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.graph import kg_pagerank
+
+    broad = _sorted(kg_pagerank(sf_dir).to_pandas(), ["entity"])
+    dist = _sorted(kg_pagerank(sf_dir, broadcast_node_cap=0).to_pandas(), ["entity"])
+    assert len(broad) > 1 and (broad["pr_micro"] > 1_000_000).any()  # mass moved
+    assert broad.equals(dist)
