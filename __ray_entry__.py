@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": corpus.corpus_clean,
         "doc_decontaminate": corpus.doc_decontaminate,
         "token_bigram_lm": corpus.token_bigram_lm,
+        "token_heavy_hitters": corpus.token_heavy_hitters,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": corpus.CORPUS_CLEAN_SQL,
         "doc_decontaminate": corpus.DOC_DECONTAMINATE_SQL,
         "token_bigram_lm": corpus.TOKEN_BIGRAM_LM_SQL,
+        "token_heavy_hitters": corpus.TOKEN_HEAVY_HITTERS_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

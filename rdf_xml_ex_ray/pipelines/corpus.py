@@ -1013,3 +1013,179 @@ def token_bigram_lm(sf_dir: str, k: int = BIGRAM_TOPK_K):
         .sort(["n", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------- token_heavy_hitters
+
+HH_K = 20
+# Frequency-threshold divisor for candidate generation: a block keeps a token
+# iff block_count * HH_M > block_total. Any token with global count > N/HH_M
+# must clear that bar in at least one block (pigeonhole), so the union of
+# per-block survivors is a superset of every global heavy hitter.
+HH_M = 2048
+HH_BROADCAST_CANDIDATE_CAP = 2_000_000
+
+# The oracle is the EXACT top-k — the operator's two-pass sketch is required
+# to reproduce it or raise (see the provability guard in the function).
+TOKEN_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {HH_K}
+"""
+
+
+def token_heavy_hitters(
+    sf_dir: str,
+    k: int = HH_K,
+    m: int = HH_M,
+    broadcast_candidate_cap: int = HH_BROADCAST_CANDIDATE_CAP,
+):
+    """Exact top-k frequent tokens via the two-pass heavy-hitters pattern:
+    a threshold-pruned candidate sweep, then an exact count of candidates
+    only. This is how top-k works when the FULL vocabulary is too large to
+    shuffle (vocab_topk's plan): pass 1 never ships more than ~m tokens per
+    block, pass 2's groupby runs over candidate tokens only.
+
+    Guarantee (and self-check): a token that survives no block has global
+    count <= N // m; the operator verifies the k-th result clears that bound
+    and raises otherwise, so it can never silently return a wrong top-k.
+    The candidate set is broadcast below ``broadcast_candidate_cap`` and
+    attached via the distributed bucketed semi-join above it."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    split_re = f"[{ASCII_WS}]+"
+
+    def tokenize(batch: pa.Table) -> pa.Array:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch["text"].cast(pa.string())), split_re)
+        )
+        return toks.filter(pc.not_equal(toks, ""))
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        toks = tokenize(batch)
+        total = len(toks)
+        if total == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n_total": pa.array([], pa.int64())}
+            )
+        agg = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+        keep = pc.greater(pc.multiply(agg["token_count"].cast(pa.int64()), m), total)
+        cand = agg.filter(keep)
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [cand["token"].combine_chunks().cast(pa.string()), pa.array([""], pa.string())]
+                ),
+                "n_total": pa.concat_arrays(
+                    [
+                        pa.repeat(pa.scalar(0, pa.int64()), cand.num_rows),
+                        pa.array([total], pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    pass1 = (
+        rd.read_parquet(path, columns=["text"])
+        .map_batches(sweep, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_total", alias_name="n_total"))
+        .materialize()
+    )
+    n_tokens = pass1.sum("n_total")  # only the "" marker rows carry totals
+    candidates = pass1.filter(lambda r: r["token"] != "")
+    n_candidates = candidates.count()
+
+    if n_candidates <= broadcast_candidate_cap:
+        cand_set = set()
+        for bt in candidates.iter_batches(batch_format="pyarrow"):
+            cand_set.update(bt["token"].to_pylist())
+        cand_ref = put_broadcast(pa.array(sorted(cand_set), pa.string()))
+
+        def exact_partial(batch: pa.Table) -> pa.Table:
+            toks = tokenize(batch)
+            toks = toks.filter(pc.is_in(toks, value_set=resolve_broadcast(cand_ref)))
+            agg = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+            return pa.table(
+                {"token": agg["token"].cast(pa.string()), "n_part": agg["token_count"].cast(pa.int64())}
+            )
+
+        counts = (
+            rd.read_parquet(path, columns=["text"])
+            .map_batches(exact_partial, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("n_part", alias_name="n"))
+        )
+    else:
+        # distributed semi-join: full per-block counts bucket-joined against
+        # the candidate set, non-candidates dropped before the global groupby
+        from .dedup import NUM_JOIN_BUCKETS, _bucketed_attach
+
+        def all_partial(batch: pa.Table) -> pa.Table:
+            toks = tokenize(batch)
+            agg = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+            return pa.table(
+                {"token": agg["token"].cast(pa.string()), "n_part": agg["token_count"].cast(pa.int64())}
+            )
+
+        cand_payload = candidates.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["token"].cast(pa.string()),
+                    "payload": pa.repeat(pa.scalar(1, pa.int64()), t.num_rows),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = _bucketed_attach(
+            rd.read_parquet(path, columns=["text"]).map_batches(
+                all_partial, batch_format="pyarrow"
+            ),
+            cand_payload,
+            key_col="token",
+            payload_type=pa.int64(),
+            out_col="__is_cand",
+            pair_fields=[("token", pa.string()), ("n_part", pa.int64())],
+            num_buckets=NUM_JOIN_BUCKETS,
+            key_type=pa.string(),
+        )
+        counts = (
+            tagged.map_batches(
+                lambda t: t.filter(pc.is_valid(t["__is_cand"])).select(["token", "n_part"]),
+                batch_format="pyarrow",
+            )
+            .groupby("token")
+            .aggregate(Sum("n_part", alias_name="n"))
+        )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = pa.table({"token": batch["token"].cast(pa.string()), "n": batch["n"].cast(pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"), ("token", "ascending")])[:k]
+        return t.take(idx)
+
+    top = (
+        counts.map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .materialize()
+    )
+    rows = top.take(k)
+    if len(rows) < k:
+        raise ValueError(
+            f"token_heavy_hitters: only {len(rows)} candidates for top-{k} — "
+            "the pruned sweep cannot prove completeness; lower m"
+        )
+    if rows[-1]["n"] <= n_tokens // m:
+        raise ValueError(
+            f"token_heavy_hitters: top-{k} not provably exact — k-th count "
+            f"{rows[-1]['n']} <= N/m bound {n_tokens // m}; lower m or raise k"
+        )
+    return top
