@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_filtered_topk": similarity.ann_filtered_topk,
+        "ann_range_search": similarity.ann_range_search,
         "embedding_centroids": similarity.embedding_centroids,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": corpus.doc_decontaminate,
         "token_bigram_lm": corpus.token_bigram_lm,
         "token_heavy_hitters": corpus.token_heavy_hitters,
+        "group_topk": corpus.group_topk,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -132,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_filtered_topk": similarity.ANN_FILTERED_TOPK_SQL,
+        "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "embedding_centroids": similarity.EMBEDDING_CENTROIDS_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
@@ -154,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": corpus.DOC_DECONTAMINATE_SQL,
         "token_bigram_lm": corpus.TOKEN_BIGRAM_LM_SQL,
         "token_heavy_hitters": corpus.TOKEN_HEAVY_HITTERS_SQL,
+        "group_topk": corpus.GROUP_TOPK_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

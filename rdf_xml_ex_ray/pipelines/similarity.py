@@ -457,3 +457,62 @@ def ann_ivf_topk(sf_dir: str):
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(ivf_partial_topk, batch_format="pyarrow", batch_size=4096)
     return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------- ann_range_search
+
+RANGE_THRESH = 0.30  # nearest sim sits 4.5e-4 from this boundary at sf0.001-0.1
+
+ANN_RANGE_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, round(sim, 4) AS cos_sim
+FROM sims WHERE sim >= {RANGE_THRESH}
+"""
+
+
+def ann_range_search(sf_dir: str, thresh: float = RANGE_THRESH):
+    """Radius search: every vector within cosine ``thresh`` of each query —
+    the recall-complete sibling of ann_topk (candidate harvesting for
+    clustering, decontamination sweeps, near-dup audits).
+
+    Topology is even simpler than top-k: broadcast query matrix, one float64
+    matmul per batch, a vectorized threshold filter — NO shuffle or merge
+    stage at all, so the operator's cost is exactly one pass over the
+    embedding shards at any corpus size. Output floats are rounded to 4 dp
+    through the shared half-away rule; the threshold compares the RAW sim on
+    both engines and the corpus margin to the boundary (>=4e-4 across
+    scales) is ~12 orders above any float-summation-order divergence."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    queries_ref = put_broadcast(_read_queries(path))
+
+    def batch_range(batch: pa.Table) -> pa.Table:
+        q = resolve_broadcast(queries_ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        sims = q["mat"] @ _normalize(mat).T  # (n_queries, batch)
+        qi, vi = np.nonzero(sims >= thresh)
+        qids = q["ids"][qi]
+        vids = vec_ids[vi]
+        keep = qids != vids  # self-matches excluded, same as the SQL join
+        return pa.table(
+            {
+                "query_id": pa.array(qids[keep], pa.int64()),
+                "vec_id": pa.array(vids[keep], pa.int64()),
+                "cos_sim": pa.array(
+                    np_round_half_away(sims[qi[keep], vi[keep]], 4), pa.float64()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(batch_range, batch_format="pyarrow", batch_size=4096)
