@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_lm": corpus.token_bigram_lm,
         "token_heavy_hitters": corpus.token_heavy_hitters,
         "group_topk": corpus.group_topk,
+        "doc_chunk": corpus.doc_chunk,
+        "token_collocations": corpus.token_collocations,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -158,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "token_bigram_lm": corpus.TOKEN_BIGRAM_LM_SQL,
         "token_heavy_hitters": corpus.TOKEN_HEAVY_HITTERS_SQL,
         "group_topk": corpus.GROUP_TOPK_SQL,
+        "doc_chunk": corpus.DOC_CHUNK_SQL,
+        "token_collocations": corpus.TOKEN_COLLOCATIONS_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

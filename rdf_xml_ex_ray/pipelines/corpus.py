@@ -1294,3 +1294,229 @@ def group_topk(sf_dir: str, k: int = GROUP_TOPK_K):
         .groupby("lang")
         .map_groups(rank_group, batch_format="pandas")
     )
+
+
+# ----------------------------------------------------------------- doc_chunk
+
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 100  # 20-char overlap between consecutive chunks
+
+DOC_CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * {CHUNK_STRIDE} AS BIGINT) + 1, {CHUNK_SIZE}) AS chunk
+FROM documents,
+     UNNEST(range(0, CAST(ceil(greatest(length(text), 1) / {CHUNK_STRIDE}.0) AS BIGINT))) AS t(i)
+"""
+
+
+def doc_chunk(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """Overlapping fixed-window chunking (doc → (chunk_idx, chunk_start,
+    chunk) rows) — the fan-out step that precedes embedding / context
+    packing in a training pipeline. Every document yields
+    ceil(max(len, 1) / stride) chunks of up to ``size`` chars starting at
+    stride multiples, so consecutive chunks overlap by size - stride.
+
+    Vectorized flat_map: one pandas ``str.slice`` per chunk ordinal (the
+    loop runs max-chunks-per-batch times, never per row), emitted as typed
+    Arrow. Output grows ~size/stride × input — at 100 TB the stage stays a
+    pure streaming map (no shuffle), so blocks fan out and flow on."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype=object).astype(str)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        n = s.str.len().to_numpy(dtype=np.int64)
+        n_chunks = -(-np.maximum(n, 1) // stride)  # ceil
+        parts = []
+        for i in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = n_chunks > i
+            sub = s[mask].str.slice(i * stride, i * stride + size)
+            m = int(mask.sum())
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[mask], pa.int64()),
+                        "chunk_idx": pa.repeat(pa.scalar(i, pa.int64()), m),
+                        "chunk_start": pa.repeat(pa.scalar(i * stride, pa.int64()), m),
+                        "chunk": pa.array(sub, pa.string()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_start": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- token_collocations
+
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 50
+
+# Lift in parts-per-million, exact integer arithmetic: n_xy * N_bigrams *
+# 1e6 // (n_x * n_y). HUGEINT in SQL; Python's arbitrary-precision ints on
+# the Ray side (the stage runs over count-filtered PAIRS, not tokens, so the
+# per-row Python cost is off the hot path). Tokenization matches
+# token_bigram_lm (lower + single-space split, empties kept).
+TOKEN_COLLOCATIONS_SQL = f"""
+WITH w AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(words) AS tok FROM w) GROUP BY tok
+),
+g AS (
+  SELECT words[i] AS w1, words[i+1] AS w2
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM g GROUP BY w1, w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM g)
+SELECT b.w1, b.w2, b.n_xy,
+       CAST(CAST(b.n_xy AS HUGEINT) * t.nb * 1000000
+            // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS lift_ppm
+FROM big b
+CROSS JOIN tot t
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2
+WHERE b.n_xy >= {COLLOC_MIN_COUNT}
+ORDER BY lift_ppm DESC, b.w1, b.w2 LIMIT {COLLOC_K}
+"""
+
+
+def token_collocations(
+    sf_dir: str, min_count: int = COLLOC_MIN_COUNT, k: int = COLLOC_K
+):
+    """Collocation extraction: top-k token bigrams by PMI-style lift
+    (n_xy·N / (n_x·n_y), reported in exact integer ppm) — the phrase-mining
+    pass of corpus analysis (multi-word expressions, named-entity cues).
+
+    Plan: one bigram-count exchange and one unigram-count exchange (both
+    partial-aggregated in-batch), the count-filtered pair stream then picks
+    up n_x and n_y through two bucketed map-side joins — no driver dict, no
+    broadcast of the vocabulary. Lift is integer-exact on both engines, so
+    ranking ties and values reproduce bit-for-bit at any scale."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import NUM_JOIN_BUCKETS, _bucketed_attach
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"].cast(pa.string())), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = la.flatten()
+        nf = len(flat)
+        if nf < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        mask = np.ones(nf - 1, dtype=bool)
+        ends = offs[1:] - 1
+        ends = ends[(ends >= 0) & (ends < nf - 1)]
+        mask[ends] = False
+        t = (
+            pa.table({"w1": flat.slice(0, nf - 1), "w2": flat.slice(1)})
+            .filter(pa.array(mask))
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "n_part": t["count_all"].cast(pa.int64())}
+        )
+
+    big = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_part", alias_name="n_xy"))
+        .materialize()
+    )
+    nb = big.sum("n_xy")
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(batch["text"].cast(pa.string())), " ")
+        )
+        agg = pa.table({"tok": toks}).group_by("tok").aggregate([("tok", "count")])
+        return pa.table(
+            {"tok": agg["tok"].cast(pa.string()), "n_part": agg["tok_count"].cast(pa.int64())}
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["tok"].cast(pa.string()), "payload": t["n"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    s, i = pa.string(), pa.int64()
+    filtered = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_xy"], min_count)), batch_format="pyarrow"
+    )
+    with_nx = _bucketed_attach(
+        filtered,
+        uni,
+        key_col="w1",
+        payload_type=i,
+        out_col="n_x",
+        pair_fields=[("w1", s), ("w2", s), ("n_xy", i)],
+        num_buckets=NUM_JOIN_BUCKETS,
+        key_type=s,
+    )
+    with_ny = _bucketed_attach(
+        with_nx,
+        uni,
+        key_col="w2",
+        payload_type=i,
+        out_col="n_y",
+        pair_fields=[("w1", s), ("w2", s), ("n_xy", i), ("n_x", i)],
+        num_buckets=NUM_JOIN_BUCKETS,
+        key_type=s,
+    )
+
+    def lift(batch: pa.Table) -> pa.Table:
+        lifts = [
+            (int(nxy) * int(nb) * 1_000_000) // (int(nx) * int(ny))
+            for nxy, nx, ny in zip(
+                batch["n_xy"].to_pylist(), batch["n_x"].to_pylist(), batch["n_y"].to_pylist()
+            )
+        ]
+        t = pa.table(
+            {
+                "w1": batch["w1"].cast(s),
+                "w2": batch["w2"].cast(s),
+                "n_xy": batch["n_xy"].cast(i),
+                "lift_ppm": pa.array(lifts, i),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("lift_ppm", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        )[:k]
+        return t.take(idx)
+
+    return (
+        with_ny.map_batches(lift, batch_format="pyarrow")
+        .sort(["lift_ppm", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
