@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": graph.kg_degrees,
         "kg_pattern_join": graph.kg_pattern_join,
         "kg_pagerank": graph.kg_pagerank,
+        "kg_incremental": kg.kg_incremental,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": text.doc_sample,
         "doc_repetition": text.doc_repetition,
         "doc_quality_logreg": text.doc_quality_logreg,
+        "corpus_split": text.corpus_split,
         # --- corpus-level: joins / vocabulary / sketches / quantiles ---
         "doc_embed_join": corpus.doc_embed_join,
         "vocab_topk": corpus.vocab_topk,
@@ -125,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": graph.KG_DEGREES_SQL,
         "kg_pattern_join": graph.KG_PATTERN_JOIN_SQL,
         "kg_pagerank": graph.KG_PAGERANK_SQL,
+        "kg_incremental": oracle.KG_TRIPLES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
@@ -147,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": text.DOC_SAMPLE_SQL,
         "doc_repetition": text.DOC_REPETITION_SQL,
         "doc_quality_logreg": text.DOC_QUALITY_LOGREG_SQL,
+        "corpus_split": text.CORPUS_SPLIT_SQL,
         "doc_embed_join": corpus.DOC_EMBED_JOIN_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "distinct_kmv": corpus.DISTINCT_KMV_SQL,

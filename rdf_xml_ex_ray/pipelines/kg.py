@@ -200,6 +200,7 @@ def kg_triples_dataset(
     replicas: int = 1,
     parallelism: int | None = None,
     co_partitioned: bool = True,
+    turn_filter=None,
 ):
     """The full pipeline as a lazy Dataset of canonical triple rows.
 
@@ -224,6 +225,11 @@ def kg_triples_dataset(
         parallelism = _default_parallelism()
     num_blocks = _scaled_num_blocks(sf_dir, replicas, parallelism)
     turns = replicate_turns(read_transcript_turns(sf_dir, num_blocks), replicas)
+    if turn_filter is not None:
+        # conversation-partition selector (whole convs only — subjects are
+        # conv-scoped, so any conv-complete subset keeps canonical output
+        # per conversation identical); powers kg_incremental
+        turns = turns.map_batches(turn_filter, batch_format="pyarrow")
     # ~2 conv-buckets per block. Ray's sort range-partitions into
     # reduce_partitions = map_blocks, so bucket count must NEVER drop below
     # the block count — a round-3 experiment that capped buckets at 12×CPUs
@@ -548,3 +554,37 @@ def run_kg_job(
     with open(success, "w") as f:
         f.write("ok\n")
     return lineage
+
+
+# ------------------------------------------------------------ kg_incremental
+
+INCR_DELTA_MOD = 10  # user_id % 10 == 0 conversations form the "delta"
+
+
+def kg_incremental(sf_dir: str, delta_mod: int = INCR_DELTA_MOD):
+    """Partition-level incremental maintenance: the triple store rebuilt as
+    BASE (conversations whose user_id % delta_mod != 0) plus an
+    independently-processed DELTA partition (the rest), unioned — byte-equal
+    to one full build, which is exactly what lets a 100 TB store re-ingest a
+    changed conversation subset by deleting + rebuilding only its
+    partitions (the ``rdf_xml_ex_ray kg`` job's checkpoint/resume relies on
+    the same conversation-separability invariant).
+
+    Oracle: the flagship KG_TRIPLES_SQL itself — equality IS the
+    incremental-correctness statement."""
+    import pyarrow as pa
+
+    def _part(keep_delta: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            uid = np.asarray(
+                [int(c[1:].split("!", 1)[0]) for c in batch["conv_id"].to_pylist()],
+                dtype=np.int64,
+            )
+            mask = (uid % delta_mod == 0) if keep_delta else (uid % delta_mod != 0)
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    base = kg_triples_dataset(sf_dir, turn_filter=_part(False))
+    delta = kg_triples_dataset(sf_dir, turn_filter=_part(True))
+    return base.union(delta)

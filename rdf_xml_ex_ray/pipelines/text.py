@@ -826,3 +826,75 @@ def doc_quality_logreg(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- corpus_split
+
+SPLIT_SALT = "split1"
+_SPLIT_TRAIN = int(0.90 * (1 << 32))
+_SPLIT_VALID = int(0.95 * (1 << 32))
+
+_SPLIT_HV = f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 8))::UBIGINT"
+
+CORPUS_SPLIT_SQL = f"""
+WITH h AS (SELECT doc_id, n_chars, {_SPLIT_HV} AS hv FROM documents)
+SELECT CASE WHEN hv < {_SPLIT_TRAIN} THEN 'train'
+            WHEN hv < {_SPLIT_VALID} THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM h GROUP BY 1
+"""
+
+
+def corpus_split(sf_dir: str, salt: str = SPLIT_SALT):
+    """Deterministic 90/5/5 train/valid/test assignment (hash-range split on
+    md5(doc_id:salt), the reproducible-split convention shared with
+    doc_sample) reported as per-split document and char totals. The
+    assignment itself is a pure map — a training run materializes it as a
+    `split` partition column; this query reduces it to the audit counts.
+    In-batch partial sums per split feed ONE 3-row groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hv = np.fromiter(
+            (int(hashlib.md5(f"{d}:{salt}".encode()).hexdigest()[:8], 16) for d in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(hv < _SPLIT_TRAIN, "train", np.where(hv < _SPLIT_VALID, "valid", "test"))
+        t = pa.table(
+            {"split": pa.array(split, pa.string()), "n_chars": batch["n_chars"].cast(pa.int64())}
+        )
+        agg = t.group_by("split").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table(
+            {
+                "split": agg["split"],
+                "docs_part": agg["n_chars_count"].cast(pa.int64()),
+                "chars_part": agg["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("docs_part", alias_name="n_docs"), Sum("chars_part", alias_name="n_chars_sum")
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "split": t["split"].cast(pa.string()),
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "n_chars_sum": t["n_chars_sum"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
