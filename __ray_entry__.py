@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": similarity.ann_filtered_topk,
         "ann_range_search": similarity.ann_range_search,
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_pq": similarity.embedding_pq,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": streaming.events_range_join,
         "events_funnel": streaming.events_funnel,
         "events_retention": streaming.events_retention,
+        "events_latest_state": streaming.events_latest_state,
     }
 
 
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered_topk": similarity.ANN_FILTERED_TOPK_SQL,
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "embedding_centroids": similarity.EMBEDDING_CENTROIDS_SQL,
+        "embedding_pq": similarity.EMBEDDING_PQ_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,
@@ -175,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": streaming.EVENTS_RANGE_JOIN_SQL,
         "events_funnel": streaming.EVENTS_FUNNEL_SQL,
         "events_retention": streaming.EVENTS_RETENTION_SQL,
+        "events_latest_state": streaming.EVENTS_LATEST_STATE_SQL,
     }

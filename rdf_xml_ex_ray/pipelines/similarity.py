@@ -516,3 +516,90 @@ def ann_range_search(sf_dir: str, thresh: float = RANGE_THRESH):
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     return ds.map_batches(batch_range, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------------------- embedding_pq
+
+PQ_M = 8  # subspaces (64-dim embedding → 8 dims each)
+PQ_K = 16  # codewords per subspace → one nibble per subspace, 32-bit code
+PQ_SUB = LSH_DIM // PQ_M
+
+# Fixed integer codebook, data-independent like the IVF coarse quantizer:
+# |round(v*1024)| <= 2^14 and |c| <= 99, so each squared-diff term and every
+# 8-term subspace distance is an exact integer in float64 on both engines.
+_PQ_CODEBOOK = np.random.RandomState(13).randint(-99, 100, size=(PQ_M, PQ_K, PQ_SUB)).astype(np.float64)
+
+
+def _pq_dist_expr(m: int, c: int) -> str:
+    base = m * PQ_SUB
+    return " + ".join(
+        f"(qv[{base + i + 1}] - {int(_PQ_CODEBOOK[m, c, i])})"
+        f" * (qv[{base + i + 1}] - {int(_PQ_CODEBOOK[m, c, i])})"
+        for i in range(PQ_SUB)
+    )
+
+
+_PQ_DISTS_EXPRS = [
+    "[" + ", ".join(f"({_pq_dist_expr(m, c)})" for c in range(PQ_K)) + "]"
+    for m in range(PQ_M)
+]
+
+_PQ_CODE_EXPR = " + ".join(
+    f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS BIGINT) * {PQ_K ** m}"
+    for m in range(PQ_M)
+)
+_PQ_ERR_EXPR = " + ".join(f"list_min(d{m})" for m in range(PQ_M))
+
+EMBEDDING_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (SELECT vec_id, list_transform(v, x -> round(x * {IVF_QSCALE})) AS qv FROM e),
+d AS (
+  SELECT vec_id,
+         {", ".join(f"{_PQ_DISTS_EXPRS[m]} AS d{m}" for m in range(PQ_M))}
+  FROM qz
+)
+SELECT vec_id,
+       CAST({_PQ_CODE_EXPR} AS BIGINT) AS pq_code,
+       CAST({_PQ_ERR_EXPR} AS BIGINT) AS pq_err
+FROM d
+"""
+
+
+def embedding_pq(sf_dir: str):
+    """Product quantization: each embedding compressed to an 8-nibble code
+    (one 16-codeword argmin per 8-dim subspace) plus its total squared
+    reconstruction error — the vector-compression step that turns a 100 TB
+    float store into a RAM-resident ANN index.
+
+    Pure streaming map (no shuffle): one (batch × K × sub) numpy broadcast
+    per subspace, argmin with the same first-min tie-break the SQL's
+    list_position uses. Quantized inputs and the integer codebook keep every
+    distance an exact float64 integer, so codes and errors are bit-equal
+    across engines and cluster sizes."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        qv = _ivf_quantize(raw)
+        code = np.zeros(len(raw), dtype=np.int64)
+        err = np.zeros(len(raw), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = qv[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (n, 8)
+            # (n, K): exact integer-valued distances
+            d = ((sub[:, None, :] - _PQ_CODEBOOK[m][None, :, :]) ** 2).sum(axis=2)
+            cm = np.argmin(d, axis=1)  # first min = lowest codeword, as in SQL
+            code += cm.astype(np.int64) * (PQ_K**m)
+            err += d[np.arange(len(raw)), cm].astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "pq_code": pa.array(code, pa.int64()),
+                "pq_err": pa.array(err, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)

@@ -582,3 +582,77 @@ def events_retention(sf_dir: str, num_buckets: int = 64):
         ),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------------------- events_latest_state
+
+EVENTS_LATEST_STATE_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+def _latest_in_frame(g: pd.DataFrame) -> pd.DataFrame:
+    return (
+        g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .groupby("user_id", sort=False)
+        .tail(1)
+    )
+
+
+def events_latest_state(sf_dir: str, num_buckets: int = 64):
+    """CDC-style log compaction: the latest event per user (deterministic
+    (ts, event_id) tiebreak) — the snapshot/upsert-materialization primitive
+    of a streaming ingest path.
+
+    Each block first reduces to its own per-user latest rows (so the
+    exchange carries at most one row per (block, user), never the raw log),
+    then the standard user-hash bucket shuffle picks the global winner per
+    user with one vectorized sort + tail(1) per bucket — no per-user groups,
+    no driver state."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        best = _latest_in_frame(batch.to_pandas())
+        uid = best["user_id"].to_numpy(dtype=np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts": pa.array(best["ts"]),
+                "event_id": pa.array(best["event_id"].astype("int64")),
+                "event_type": pa.array(best["event_type"], pa.string()),
+                "value": pa.array(best["value"].astype("float64")),
+            }
+        )
+        return t.append_column(
+            "user_bucket", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        best = _latest_in_frame(g)
+        return pd.DataFrame(
+            {
+                "user_id": best["user_id"].astype("int64"),
+                "last_ts": best["ts"],
+                "last_event_id": best["event_id"].astype("int64"),
+                "last_event_type": best["event_type"].astype(str),
+                "last_value": best["value"].astype("float64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+    )
