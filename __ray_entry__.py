@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": streaming.events_funnel,
         "events_retention": streaming.events_retention,
         "events_latest_state": streaming.events_latest_state,
+        "events_rate_limit": streaming.events_rate_limit,
     }
 
 
@@ -179,4 +180,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": streaming.EVENTS_FUNNEL_SQL,
         "events_retention": streaming.EVENTS_RETENTION_SQL,
         "events_latest_state": streaming.EVENTS_LATEST_STATE_SQL,
+        "events_rate_limit": streaming.EVENTS_RATE_LIMIT_SQL,
     }

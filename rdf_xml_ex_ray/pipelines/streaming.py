@@ -656,3 +656,74 @@ def events_latest_state(sf_dir: str, num_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(final_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------- events_rate_limit
+
+RATE_WINDOW_US = 60 * 60 * 1_000_000  # 1-hour sliding window
+RATE_LIMIT = 2  # allowed iff <= RATE_LIMIT events (incl. self) in the window
+
+EVENTS_RATE_LIMIT_SQL = f"""
+SELECT event_id, user_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_in_window,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) <= {RATE_LIMIT} AS allowed
+FROM events
+"""
+
+
+def _rate_limit_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket of users, vectorized: sort once, then two
+    searchsorted sweeps per user segment give each event its sliding-window
+    population (RANGE semantics — ts peers count together, so the result is
+    well-defined under duplicate timestamps, matching SQL)."""
+    g = group.sort_values(["user_id", "ts"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    ts_us = g["ts"].astype("int64").to_numpy()
+    n = len(g)
+    starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+    bounds = np.append(starts, n)
+    counts = np.empty(n, dtype=np.int64)
+    for a, b in zip(bounds[:-1], bounds[1:]):  # per-user segment, O(seg log seg)
+        seg = ts_us[a:b]
+        hi = np.searchsorted(seg, seg, side="right")
+        lo = np.searchsorted(seg, seg - RATE_WINDOW_US, side="left")
+        counts[a:b] = hi - lo
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "n_in_window": counts,
+            "allowed": counts <= RATE_LIMIT,
+        }
+    )
+
+
+def events_rate_limit(sf_dir: str, num_buckets: int = 64):
+    """Sliding-window rate limiting: each event tagged with its user's
+    event count over the trailing hour and an allowed/throttled flag — the
+    admission-control / abuse-throttling primitive of an ingest path.
+    Same user-hash bucket shuffle as sessionize; inside a bucket the sweep
+    is one sort + two binary-search passes per user segment."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "user_bucket", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(_rate_limit_bucket, batch_format="pandas")
+    )
