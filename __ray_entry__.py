@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": streaming.events_retention,
         "events_latest_state": streaming.events_latest_state,
         "events_rate_limit": streaming.events_rate_limit,
+        "events_transitions": streaming.events_transitions,
     }
 
 
@@ -181,4 +182,5 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": streaming.EVENTS_RETENTION_SQL,
         "events_latest_state": streaming.EVENTS_LATEST_STATE_SQL,
         "events_rate_limit": streaming.EVENTS_RATE_LIMIT_SQL,
+        "events_transitions": streaming.EVENTS_TRANSITIONS_SQL,
     }

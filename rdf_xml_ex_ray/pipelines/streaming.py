@@ -727,3 +727,84 @@ def events_rate_limit(sf_dir: str, num_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(_rate_limit_bucket, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------- events_transitions
+
+EVENTS_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+FROM ordered WHERE nxt IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def _transitions_bucket(group: pd.DataFrame) -> pa.Table:
+    """Per-bucket partial transition counts, fully vectorized: one sort,
+    one shifted comparison for the user boundary, one tiny pandas groupby
+    over the (from, to) pairs (≤ |event_types|² rows leave the bucket)."""
+    g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    types = g["event_type"].to_numpy()
+    if len(g) < 2:
+        return pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+    same_user = users[1:] == users[:-1]
+    pairs = pd.DataFrame(
+        {"from_type": types[:-1][same_user], "to_type": types[1:][same_user]}
+    )
+    agg = pairs.groupby(["from_type", "to_type"], sort=False).size().reset_index(name="n_part")
+    return pa.table(
+        {
+            "from_type": pa.array(agg["from_type"], pa.string()),
+            "to_type": pa.array(agg["to_type"], pa.string()),
+            "n_part": pa.array(agg["n_part"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def events_transitions(sf_dir: str, num_buckets: int = 64):
+    """Event-type transition matrix (first-order Markov counts): for every
+    user's (ts, event_id)-ordered stream, count consecutive event_type
+    pairs corpus-wide. The behavioral-modeling primitive behind next-event
+    prediction features and funnel diagnostics.
+
+    Scale shape: ONE user-hash bucketed shuffle (users co-locate, bucket
+    count fixed), per-bucket vectorized pair counting emits at most
+    |event_types|² partial rows per bucket, and the final groupby runs over
+    buckets × that — independent of event volume."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "user_bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(_transitions_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(Sum("n_part", alias_name="n"))
