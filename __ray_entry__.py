@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": corpus.group_topk,
         "doc_chunk": corpus.doc_chunk,
         "token_collocations": corpus.token_collocations,
+        "corpus_mixture": corpus.corpus_mixture,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "group_topk": corpus.GROUP_TOPK_SQL,
         "doc_chunk": corpus.DOC_CHUNK_SQL,
         "token_collocations": corpus.TOKEN_COLLOCATIONS_SQL,
+        "corpus_mixture": corpus.CORPUS_MIXTURE_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

@@ -1520,3 +1520,81 @@ def token_collocations(
         .sort(["lift_ppm", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ corpus_mixture
+
+# Source-weighted epoch replication — the "data mixing" primitive of LLM
+# training pipelines (repeat high-quality sources >1 epoch, subsample noisy
+# ones <1). Weights are kept in integer HALF-EPOCHS (1..5 → 0.5x..2.5x) so
+# replication count and the fractional-epoch coin are integer-exact on both
+# engines: reps = halves // 2, plus one more copy iff halves is odd and the
+# doc's hash-bernoulli coin (md5(doc_id:mixture) % 2 == 0) lands heads.
+MIXTURE_SALT = "mixture"
+
+CORPUS_MIXTURE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         1 + ({_md5_le_uint64_sql("source")} % 5) AS halves
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, halves,
+         halves // 2 + CASE WHEN halves % 2 = 1
+           AND ({_md5_le_uint64_sql(f"CAST(doc_id AS VARCHAR) || ':{MIXTURE_SALT}'")} % 2) = 0
+           THEN 1 ELSE 0 END AS reps
+  FROM w
+)
+SELECT doc_id, source, CAST(halves AS BIGINT) AS weight_halves,
+       CAST(i AS BIGINT) AS copy_idx
+FROM r, UNNEST(range(0, CAST(reps AS BIGINT))) AS t(i)
+"""
+
+
+def corpus_mixture(sf_dir: str):
+    """Deterministic mixture sampling: every document is replicated
+    floor(w) times plus a hash-bernoulli extra copy for the fractional
+    epoch, where w = weight_halves/2 derives from the source name's hash.
+    Output is one row per (doc, copy) — the expanded training manifest.
+
+    Scale shape: a single stateless map_batches (no shuffle at all); the
+    only per-row Python is the short-string id/source md5 (the doc_sample
+    precedent) — replication itself is one np.repeat + arange per batch."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        halves_by_src = {s: 1 + (_md5_le_uint64(s) % 5) for s in set(srcs)}
+        halves = np.array([halves_by_src[s] for s in srcs], dtype=np.int64)
+        coin = np.array(
+            [_md5_le_uint64(f"{d}:{MIXTURE_SALT}") % 2 == 0 for d in ids], dtype=bool
+        )
+        reps = halves // 2 + ((halves % 2 == 1) & coin)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "weight_halves": pa.array([], pa.int64()),
+                    "copy_idx": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.repeat(np.arange(len(ids)), reps)
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        copy_idx = np.arange(total, dtype=np.int64) - starts
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"].cast(pa.int64()), pa.array(idx)),
+                "source": pc.take(batch["source"].cast(pa.string()), pa.array(idx)),
+                "weight_halves": pa.array(halves[idx], pa.int64()),
+                "copy_idx": pa.array(copy_idx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")
