@@ -1148,3 +1148,204 @@ def dedup_embedding(sf_dir: str, cell_cap: int = EMBED_CELL_CAP):
     expanded = ds.map_batches(expand, batch_format="pyarrow")
     pairs = expanded.groupby("__block").map_groups(_embed_block_pairs, batch_format="pandas")
     return pairs
+
+
+# ------------------------------------------------------ exact substring dedup
+
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") exact-substring dedup at token granularity: any token covered by
+# a word K-gram that occurs more than once corpus-wide is removed, and the
+# document is rebuilt from the surviving tokens. Gram identity on BOTH
+# engines is the same integer polynomial fold over per-token md5 hashes
+# (mod 2^64), so the Ray shuffle ships 8-byte gram keys instead of ~80-byte
+# gram strings and DuckDB still replays the grouping bit-exactly —
+# hash-collision behavior included.
+SUBSTR_K = 10
+SUBSTR_B = 1000003  # same base family as doc_winnow; acc*B fits HUGEINT
+NUM_GRAM_BUCKETS = 64
+_SUBSTR_POW = np.array(
+    [pow(SUBSTR_B, SUBSTR_K - 1 - j, 1 << 64) for j in range(SUBSTR_K)], dtype=np.uint64
+)
+
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_CAP = 200_000
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        if len(_TOKEN_HASH_CACHE) > _TOKEN_HASH_CACHE_CAP:
+            _TOKEN_HASH_CACHE.clear()
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+def _md5_le_sql(expr: str) -> str:
+    parts = " || ".join(f"substr(md5({expr}),{i},2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"(('0x' || {parts})::UBIGINT)"
+
+
+DOC_SUBSTRING_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+th AS (
+  SELECT doc_id, ts,
+         list_transform(ts, t -> CAST({_md5_le_sql('t')} AS HUGEINT)) AS hs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, i,
+         list_reduce(hs[CAST(i AS INT):CAST(i + {SUBSTR_K - 1} AS INT)],
+                     (acc, h) -> (acc * {SUBSTR_B} + h) % 18446744073709551616::HUGEINT) AS gh
+  FROM th, UNNEST(range(1, greatest(len(ts) - {SUBSTR_K} + 1, 0) + 1)) AS t(i)
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT g.doc_id, u.p AS pos
+  FROM grams g JOIN dup USING (gh), UNNEST(range(g.i, g.i + {SUBSTR_K})) AS u(p)
+),
+keep AS (
+  SELECT t.doc_id, r.i AS pos, ts[CAST(r.i AS INT)] AS tok
+  FROM toks t, UNNEST(range(1, len(ts) + 1)) AS r(i)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = r.i)
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(len(t.ts) - count(k.tok) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean
+FROM toks t LEFT JOIN keep k USING (doc_id)
+GROUP BY t.doc_id, len(t.ts)
+"""
+
+
+def _gram_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, i, gh, gbucket) for every token K-gram: per-token md5 via a
+    capped per-process cache (vocabulary-sized in practice), then ONE
+    vectorized sliding-window multiply-sum per doc for all gram hashes."""
+    out_doc, out_i, out_gh = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = text.split(" ")
+        if len(toks) < SUBSTR_K:
+            continue
+        th = np.fromiter(
+            (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        gh = (
+            np.lib.stride_tricks.sliding_window_view(th, SUBSTR_K) * _SUBSTR_POW
+        ).sum(axis=1, dtype=np.uint64)
+        out_doc.append(np.full(len(gh), doc_id, dtype=np.int64))
+        out_i.append(np.arange(1, len(gh) + 1, dtype=np.int64))
+        out_gh.append(gh)
+    if not out_doc:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "i": pa.array([], pa.int64()),
+                "gh": pa.array([], pa.uint64()),
+                "gbucket": pa.array([], pa.int32()),
+            }
+        )
+    gh_all = np.concatenate(out_gh)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "i": pa.array(np.concatenate(out_i), pa.int64()),
+            "gh": pa.array(gh_all, pa.uint64()),
+            "gbucket": pa.array((gh_all % NUM_GRAM_BUCKETS).astype(np.int32)),
+        }
+    )
+
+
+def _dup_starts(group: pd.DataFrame) -> pa.Table:
+    """One gram-hash bucket: keep occurrences of grams seen more than once
+    corpus-wide (all occurrences of a gh land in the same bucket)."""
+    counts = group["gh"].value_counts()
+    dup = group[group["gh"].map(counts) > 1]
+    return pa.table(
+        {
+            "doc_id": pa.array(dup["doc_id"].to_numpy(), pa.int64()),
+            "i": pa.array(dup["i"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def doc_substring_dedup(sf_dir: str, num_buckets: int = NUM_GRAM_BUCKETS):
+    """Exact-substring dedup (token-level K-grams, Lee et al. 2021): remove
+    every token covered by a duplicated corpus-wide K-gram, rebuild docs.
+
+    Scale shape: gram rows carry 8-byte hashes through ONE gbucket shuffle
+    (duplicate detection is per-bucket — a gram's occurrences co-locate by
+    construction); the surviving duplicate STARTS (not expanded positions,
+    K× smaller) flow into a doc-bucketed map-side union-join with the
+    corpus for reconstruction — the second and last shuffle. No driver
+    state at any point."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    grams = docs.map_batches(_gram_rows, batch_format="pyarrow")
+    starts = grams.groupby("gbucket").map_groups(_dup_starts, batch_format="pandas")
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text": batch["text"].cast(pa.string()),
+                "i": pa.nulls(batch.num_rows, pa.int64()),
+                "dbucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def tag_start(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text": pa.nulls(batch.num_rows, pa.string()),
+                "i": batch["i"].cast(pa.int64()),
+                "dbucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def rebuild(group: pd.DataFrame) -> pa.Table:
+        is_doc = group["text"].notna()
+        starts_by_doc: dict[int, list[int]] = {}
+        for d, i in zip(
+            group.loc[~is_doc, "doc_id"].astype("int64"),
+            group.loc[~is_doc, "i"].astype("int64"),
+        ):
+            starts_by_doc.setdefault(int(d), []).append(int(i))
+        out_doc, out_n, out_rm, out_txt = [], [], [], []
+        for d, text in zip(group.loc[is_doc, "doc_id"].astype("int64"), group.loc[is_doc, "text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            ss = starts_by_doc.get(int(d))
+            if not ss:
+                out_doc.append(int(d)); out_n.append(n); out_rm.append(0); out_txt.append(text)
+                continue
+            delta = np.zeros(n + 1, dtype=np.int64)
+            s = np.asarray(ss, dtype=np.int64) - 1  # 1-based starts → 0-based
+            np.add.at(delta, s, 1)
+            np.add.at(delta, np.minimum(s + SUBSTR_K, n), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_doc.append(int(d))
+            out_n.append(n)
+            out_rm.append(int(covered.sum()))
+            out_txt.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "text_clean": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    tagged = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        starts.map_batches(tag_start, batch_format="pyarrow")
+    )
+    return tagged.groupby("dbucket").map_groups(rebuild, batch_format="pandas")
