@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": similarity.ann_range_search,
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_pq": similarity.embedding_pq,
+        "knn_graph": similarity.knn_graph,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "embedding_centroids": similarity.EMBEDDING_CENTROIDS_SQL,
         "embedding_pq": similarity.EMBEDDING_PQ_SQL,
+        "knn_graph": similarity.KNN_GRAPH_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,

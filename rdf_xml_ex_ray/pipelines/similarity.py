@@ -603,3 +603,111 @@ def embedding_pq(sf_dir: str):
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------------------------ kNN graph
+
+# SemDeDup / graph-based-curation primitive: every vector's top-K cosine
+# neighbors over the whole corpus (brute-force exact — the verification
+# baseline the IVF/LSH variants above approximate sublinearly at scale).
+KNN_K = 5
+KNN_CHUNK_CAP = 1024  # rows per side of one blocked matmul
+
+KNN_GRAPH_SQL = f"""
+WITH sims AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+)
+SELECT src, dst,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS BIGINT) AS rank,
+       round(sim, 4) AS cos_sim
+FROM sims QUALIFY rank <= {KNN_K}
+"""
+
+
+def knn_graph(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
+    """Exact k-NN graph over the embedding column (all-pairs blocked):
+    vectors split into C = ceil(n / chunk_cap) hash chunks; every ordered
+    chunk pair (qc, dc) is ONE group holding a bounded (≤ cap²) float64
+    matmul, each group emits per-query partial top-k, and a final
+    groupby(src) merges C partials per query.
+
+    Scale shape: the quadratic work is inherent to the exact graph (the
+    sublinear path is ann_lsh/ann_ivf's blocking); what matters is that no
+    group ever exceeds cap² work / 2·cap vectors of memory, chunks are
+    deterministic (vec_id % C), and both shuffles move only top-k rows —
+    O(n·C·k) — never the similarity matrix."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()
+    n_chunks = max(1, -(-n // chunk_cap))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        """Replicate each row to every group it participates in: as query
+        for (own_chunk, dc) ∀dc, as candidate for (qc, own_chunk) ∀qc —
+        the (c, c) group gets one row serving both roles."""
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        own = vids % n_chunks
+        idx, grp, role = [], [], []
+        for row, c in enumerate(own):
+            for other in range(n_chunks):
+                idx.append(row); grp.append(int(c) * n_chunks + other); role.append(1)  # query in (c, other)
+                if other != c:
+                    idx.append(row); grp.append(other * n_chunks + int(c)); role.append(2)  # candidate in (other, c)
+        t = batch.take(pa.array(idx, pa.int64()))
+        return (
+            t.append_column("__grp", pa.array(grp, pa.int32()))
+            .append_column("__role", pa.array(role, pa.int8()))
+        )
+
+    def block_topk(group: pd.DataFrame) -> pa.Table:
+        both = group["__role"].to_numpy()
+        # in the diagonal group every row is role 1 and serves both sides
+        qm = (both == 1)
+        diag = bool(qm.all())
+        q = group[qm]
+        c = group if diag else group[~qm]
+        q_ids = q["vec_id"].to_numpy().astype(np.int64)
+        c_ids = c["vec_id"].to_numpy().astype(np.int64)
+        qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+        cmat = np.stack(c["embedding"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qmat, axis=1); qn[qn == 0] = 1.0
+        cn = np.linalg.norm(cmat, axis=1); cn[cn == 0] = 1.0
+        sims = (qmat @ cmat.T) / (qn[:, None] * cn[None, :])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            keep = c_ids != qid
+            ids_k, row_k = c_ids[keep], sims[qi][keep]
+            if len(row_k) > k:
+                order = np.lexsort((ids_k, -row_k))[:k]
+                ids_k, row_k = ids_k[order], row_k[order]
+            out_q.extend([qid] * len(ids_k)); out_v.extend(ids_k); out_s.extend(row_k)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {
+                "src": pa.array(g["query_id"].astype("int64")),
+                "dst": pa.array(g["vec_id"].astype("int64")),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "cos_sim": pa.array(np_round_half_away(g["sim"].to_numpy(), 4), pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("__grp")
+        .map_groups(block_topk, batch_format="pandas")
+    )
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
