@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pattern_join": graph.kg_pattern_join,
         "kg_pagerank": graph.kg_pagerank,
         "kg_incremental": kg.kg_incremental,
+        "kg_entity_cooccurrence": graph.kg_entity_cooccurrence,
         # --- training-data operators: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_join": graph.KG_PATTERN_JOIN_SQL,
         "kg_pagerank": graph.KG_PAGERANK_SQL,
         "kg_incremental": oracle.KG_TRIPLES_SQL,
+        "kg_entity_cooccurrence": graph.KG_ENTITY_COOC_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
