@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": corpus.doc_chunk,
         "token_collocations": corpus.token_collocations,
         "corpus_mixture": corpus.corpus_mixture,
+        "doc_lm_coverage": corpus.doc_lm_coverage,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk": corpus.DOC_CHUNK_SQL,
         "token_collocations": corpus.TOKEN_COLLOCATIONS_SQL,
         "corpus_mixture": corpus.CORPUS_MIXTURE_SQL,
+        "doc_lm_coverage": corpus.DOC_LM_COVERAGE_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

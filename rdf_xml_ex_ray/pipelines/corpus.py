@@ -1598,3 +1598,82 @@ def corpus_mixture(sf_dir: str):
         )
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- doc_lm_coverage
+
+# LM-based quality filtering surrogate: score every document by how much of
+# it the corpus's own bigram table "explains" — the integer-exact stand-in
+# for a perplexity filter (CCNet-style). A doc whose bigrams rarely appear
+# in the global top-K table is gibberish/outlier-shaped; the two counts stay
+# integers so the oracle compare never touches a float.
+
+DOC_LM_COVERAGE_SQL = f"""
+WITH lm AS ({TOKEN_BIGRAM_LM_SQL}),
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+)
+SELECT w.doc_id,
+       CAST(greatest(len(w.words) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_in_lm
+FROM w LEFT JOIN (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM g JOIN lm ON lm.w1 = g.w1 AND lm.w2 = g.w2
+  GROUP BY g.doc_id
+) h USING (doc_id)
+"""
+
+
+def doc_lm_coverage(sf_dir: str):
+    """Per-doc bigram coverage against the corpus top-K bigram table.
+
+    Two passes: token_bigram_lm's distributed top-K (a CONSTANT-size
+    result) is broadcast once via ray.put, then one stateless map_batches
+    scores every doc — flattened-token bigram construction (the
+    token_bigram_lm kernel) + one Arrow is_in membership test against the
+    broadcast set + one np.add.at segment-sum per batch. No shuffle in the
+    scoring pass; driver state is O(K), a constant."""
+    import ray.data as rd
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+    lm = token_bigram_lm(sf_dir).to_pandas()
+    lm_keys = pa.array(
+        sorted(w1 + "\x1f" + w2 for w1, w2 in zip(lm["w1"], lm["w2"])), pa.string()
+    )
+    lm_ref = put_broadcast(lm_keys)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys = resolve_broadcast(lm_ref)
+        words = pc.split_pattern(pc.utf8_lower(batch["text"].cast(pa.string())), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = la.flatten()
+        nf = len(flat)
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        n_bigrams = np.maximum(offs[1:] - offs[:-1] - 1, 0).astype(np.int64)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if nf >= 2:
+            mask = np.ones(nf - 1, dtype=bool)
+            ends = offs[1:] - 1  # last-token index of each doc: no pair starts here
+            ends = ends[(ends >= 0) & (ends < nf - 1)]
+            mask[ends] = False
+            valid = np.flatnonzero(mask)  # pair-start positions within one doc
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, nf - 1), flat.slice(1), "\x1f"
+            )
+            in_lm = pc.is_in(joined, value_set=keys).to_numpy(zero_copy_only=False)
+            pair_doc = np.searchsorted(offs, valid, side="right") - 1
+            np.add.at(hits, pair_doc, in_lm[valid].astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "n_in_lm": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
