@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": text.doc_repetition,
         "doc_quality_logreg": text.doc_quality_logreg,
         "corpus_split": text.corpus_split,
+        "doc_blocklist_filter": text.doc_blocklist_filter,
         # --- corpus-level: joins / vocabulary / sketches / quantiles ---
         "doc_embed_join": corpus.doc_embed_join,
         "vocab_topk": corpus.vocab_topk,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": text.DOC_REPETITION_SQL,
         "doc_quality_logreg": text.DOC_QUALITY_LOGREG_SQL,
         "corpus_split": text.CORPUS_SPLIT_SQL,
+        "doc_blocklist_filter": text.DOC_BLOCKLIST_SQL,
         "doc_embed_join": corpus.DOC_EMBED_JOIN_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "distinct_kmv": corpus.DISTINCT_KMV_SQL,

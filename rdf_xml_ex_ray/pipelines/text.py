@@ -898,3 +898,87 @@ def corpus_split(sf_dir: str, salt: str = SPLIT_SALT):
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------- doc_blocklist_filter
+
+# C4-style badwords filtering: drop (flag) any document containing a
+# blocklisted token. The sandbox has no fixed badwords list, so the
+# blocklist is the deterministic pseudo-list "tokens whose md5 falls in a
+# 1/41 hash slice" — the filtering TOPOLOGY (vocabulary-membership test per
+# token occurrence, doc-level verdict) is exactly the production one; swap
+# the membership predicate for a real list to deploy.
+BLOCKLIST_MOD = 7
+
+_BLOCK_HASH_CACHE: dict[str, int] = {}
+_BLOCK_HASH_CACHE_CAP = 200_000
+
+
+def _block_hash(tok: str) -> int:
+    h = _BLOCK_HASH_CACHE.get(tok)
+    if h is None:
+        if len(_BLOCK_HASH_CACHE) > _BLOCK_HASH_CACHE_CAP:
+            _BLOCK_HASH_CACHE.clear()
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+        _BLOCK_HASH_CACHE[tok] = h
+    return h
+
+
+def _md5_le_uint64_sql_expr(expr: str) -> str:
+    parts = " || ".join(f"substr(md5({expr}),{i},2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"(('0x' || {parts})::UBIGINT)"
+
+
+DOC_BLOCKLIST_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, words[i] AS tok FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)
+),
+b AS (
+  SELECT doc_id, count(*) AS n_blocked FROM g
+  WHERE ({_md5_le_uint64_sql_expr("tok")} % {BLOCKLIST_MOD}) = 0
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(coalesce(b.n_blocked, 0) AS BIGINT) AS n_blocked,
+       coalesce(b.n_blocked, 0) = 0 AS keep
+FROM w LEFT JOIN b USING (doc_id)
+"""
+
+
+def doc_blocklist_filter(sf_dir: str):
+    """Blocklist (badwords) filter: per-doc blocked-token occurrence count
+    and a keep verdict. One stateless map_batches — Arrow tokenize, the
+    membership predicate evaluated once per DISTINCT token per batch (the
+    per-process cache makes it vocabulary-bound), one segment-sum; no
+    shuffle anywhere."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"].cast(pa.string())), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = la.flatten()
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        uniq = pc.unique(flat)
+        blocked_uniq = pa.array(
+            [t for t in uniq.to_pylist() if _block_hash(t) % BLOCKLIST_MOD == 0], pa.string()
+        )
+        hit = pc.is_in(flat, value_set=blocked_uniq).to_numpy(zero_copy_only=False)
+        n_blocked = np.add.reduceat(
+            np.append(hit.astype(np.int64), 0), np.minimum(offs[:-1], len(hit))
+        ) if len(hit) else np.zeros(batch.num_rows, dtype=np.int64)
+        # reduceat quirk: an empty segment (offs[i] == offs[i+1]) copies the
+        # next element instead of 0 — but token lists are never empty
+        # (string_split of "" yields [""]), so segments always have >= 1 slot
+        n_blocked = n_blocked[: batch.num_rows].astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_blocked": pa.array(n_blocked, pa.int64()),
+                "keep": pa.array(n_blocked == 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
