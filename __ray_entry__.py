@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_collocations": corpus.token_collocations,
         "corpus_mixture": corpus.corpus_mixture,
         "doc_lm_coverage": corpus.doc_lm_coverage,
+        "corpus_shuffle": corpus.corpus_shuffle,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "token_collocations": corpus.TOKEN_COLLOCATIONS_SQL,
         "corpus_mixture": corpus.CORPUS_MIXTURE_SQL,
         "doc_lm_coverage": corpus.DOC_LM_COVERAGE_SQL,
+        "corpus_shuffle": corpus.CORPUS_SHUFFLE_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,

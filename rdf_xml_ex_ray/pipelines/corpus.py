@@ -1677,3 +1677,102 @@ def doc_lm_coverage(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ corpus_shuffle
+
+# Deterministic global training order: every doc gets a reproducible
+# shuffle position (rank of its salted hash). The classic "shuffle the
+# corpus identically on every rerun / resume" requirement. Assigning a
+# GLOBAL dense rank distributedly needs two passes: an exact histogram of
+# hash prefixes gives every prefix-bucket its global offset (a tiny
+# broadcast), then each bucket ranks locally — no single-reducer sort, no
+# driver-side row enumeration.
+SHUFFLE_SALT = "shuffle"
+SHUFFLE_PREFIX_BITS = 12  # 4096 prefix buckets
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_md5_le_uint64_sql(f"CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SALT}'")} AS skey
+  FROM documents
+)
+SELECT doc_id,
+       -- two's-complement view of the uint64 key (DuckDB raises on a
+       -- narrowing CAST; numpy .astype(int64) wraps — make SQL wrap too)
+       CAST(CAST(skey AS HUGEINT)
+            - CASE WHEN skey >= 9223372036854775808::UBIGINT
+                   THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT) AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS shuffle_pos
+FROM keyed
+"""
+
+
+def corpus_shuffle(sf_dir: str):
+    """Deterministic corpus shuffle rank. Pass 1: per-batch counts of the
+    hash's top SHUFFLE_PREFIX_BITS (partial histograms → one tiny groupby →
+    exclusive-prefix-sum offsets broadcast via ray.put, O(2^bits) driver
+    state — a constant). Pass 2: groupby(prefix) ranks each bucket locally
+    and adds its offset. Both exchanges move O(rows) once; the uint64 key
+    fits in BIGINT's value range here because md5's top bit halves to the
+    prefix space (we store it as signed via the same CAST on both engines)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    shift = 64 - SHUFFLE_PREFIX_BITS
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = np.array(
+            [_md5_le_uint64(f"{d}:{SHUFFLE_SALT}") for d in ids], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "shuffle_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "prefix": pa.array((keys >> np.uint64(shift)).astype(np.int32)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["prefix"]).group_by("prefix").aggregate([([], "count_all")])
+        return pa.table(
+            {"prefix": agg["prefix"], "n_part": agg["count_all"].cast(pa.int64())}
+        )
+
+    counts = (
+        keyed_ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values("prefix")
+    offsets = np.zeros(1 << SHUFFLE_PREFIX_BITS, dtype=np.int64)
+    np.add.at(offsets, counts["prefix"].to_numpy(), counts["n"].to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    off_ref = put_broadcast(offsets)
+
+    def rank_bucket(group: pd.DataFrame) -> pa.Table:
+        offs = resolve_broadcast(off_ref)
+        # signed int64 view of the uint64 key preserves order WITHIN one
+        # prefix bucket (all keys share the top bits, so the sign is
+        # constant across the bucket)
+        g = group.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
+        base = int(offs[int(g["prefix"].iloc[0])])
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].astype("int64")),
+                "shuffle_key": pa.array(g["shuffle_key"].astype("int64")),
+                "shuffle_pos": pa.array(
+                    base + np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return keyed_ds.groupby("prefix").map_groups(rank_bucket, batch_format="pandas")
