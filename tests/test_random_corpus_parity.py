@@ -45,7 +45,8 @@ OPS = ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters"
        "token_count", "doc_winnow", "lang_id", "doc_stats", "doc_pii_scrub",
        "doc_repetition", "doc_quality_logreg", "doc_decontaminate",
        "token_bigram_lm", "doc_chunk", "token_collocations",
-       "token_heavy_hitters"]
+       "token_heavy_hitters",
+       "doc_substring_dedup", "doc_blocklist_filter", "doc_lm_coverage"]
 
 
 @pytest.mark.parametrize("seed", [101, 202, 303])

@@ -53,7 +53,8 @@ def nasty_duck(nasty_dir):
 
 
 TEXT_OPS = ["token_count", "lang_id", "doc_stats", "doc_fingerprint", "doc_winnow", "doc_pii_scrub",
-            "dedup_simhash", "dedup_exact"]
+            "dedup_simhash", "dedup_exact",
+            "doc_substring_dedup", "doc_blocklist_filter", "doc_lm_coverage", "corpus_shuffle"]
 
 
 @pytest.mark.parametrize("name", TEXT_OPS)
