@@ -711,3 +711,63 @@ def knn_graph(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
         .map_groups(block_topk, batch_format="pandas")
     )
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# -------------------------------------------------------------- recall eval
+
+# Pipeline-evaluation primitive: measure the approximate index's quality
+# against the exact baseline — recall@k per query as INTEGER hit counts
+# (n_hits of TOP_K), never a float ratio, so the oracle compare is exact.
+ANN_RECALL_EVAL_SQL = f"""
+WITH brute AS ({ANN_TOPK_SQL}),
+approx AS ({ANN_LSH_TOPK_SQL})
+SELECT b.query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS k
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+GROUP BY b.query_id
+"""
+
+
+def ann_recall_eval(sf_dir: str):
+    """Recall@k of ann_lsh_topk vs the brute-force ground truth, per query.
+
+    Both inputs are top-k results — O(n_queries × k) by construction — so
+    the comparison itself is a small groupby(query_id) over their union
+    (role-tagged rows; hits counted inside the group). Works unchanged for
+    arbitrarily large query sets: the union stays a dataset and every query
+    ranks in its own group."""
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (datasets arrive from the two pipelines)
+
+    brute = ann_topk(sf_dir)
+    approx = ann_lsh_topk(sf_dir)
+
+    def tag(role: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": batch["query_id"].cast(pa.int64()),
+                    "vec_id": batch["vec_id"].cast(pa.int64()),
+                    "role": pa.array(np.full(batch.num_rows, role, dtype=np.int8)),
+                }
+            )
+        return f
+
+    def score(group: pd.DataFrame) -> pa.Table:
+        b = group[group["role"] == 1]
+        a_set = set(group.loc[group["role"] == 2, "vec_id"].astype("int64"))
+        hits = int(b["vec_id"].astype("int64").isin(a_set).sum())
+        return pa.table(
+            {
+                "query_id": pa.array([int(b["query_id"].iloc[0])], pa.int64()),
+                "n_hits": pa.array([hits], pa.int64()),
+                "k": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    union = brute.map_batches(tag(1), batch_format="pyarrow").union(
+        approx.map_batches(tag(2), batch_format="pyarrow")
+    )
+    return union.groupby("query_id").map_groups(score, batch_format="pandas")
