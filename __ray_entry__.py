@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
+        "mm_shard_manifest": text.mm_shard_manifest,
         # --- streaming-shaped (partitioned ordered log) ---
         "events_sessionize": streaming.events_sessionize,
         "events_window": streaming.events_window,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": corpus.CORPUS_SHUFFLE_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
+        "mm_shard_manifest": text.MM_SHARD_MANIFEST_SQL,
         "events_sessionize": streaming.EVENTS_SESSIONIZE_SQL,
         "events_window": streaming.EVENTS_WINDOW_SQL,
         "events_hopping_window": streaming.EVENTS_HOPPING_WINDOW_SQL,

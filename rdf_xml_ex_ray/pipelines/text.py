@@ -982,3 +982,141 @@ def doc_blocklist_filter(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- mm_shard_manifest
+
+# WebDataset-style shard manifest: media payloads packed into size-budgeted
+# shards in deterministic (media_type, doc_id) order — each row gets its
+# shard id and byte offset, i.e. exactly the manifest a tar-shard writer
+# consumes. The interesting primitive is the distributed ORDERED PREFIX SUM
+# (scan): block partial sums → per-type exclusive block bases → per-block
+# local scan. No driver state: block sums stay a dataset end-to-end; the
+# per-type base computation is one group holding #blocks rows (scale by
+# raising SHARD_BLOCK span with corpus size, or nest another scan level).
+SHARD_BUDGET = 16_384  # bytes per shard
+SHARD_BLOCK = 256  # doc_ids per scan block
+
+MM_SHARD_MANIFEST_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+),
+s AS (
+  SELECT doc_id, media_type, n_bytes,
+         sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_bytes
+  FROM m
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST(coalesce(prev_bytes, 0) // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+       CAST(coalesce(prev_bytes, 0) % {SHARD_BUDGET} AS BIGINT) AS shard_offset
+FROM s
+"""
+
+
+def mm_shard_manifest(sf_dir: str):
+    """Pack media rows into SHARD_BUDGET-byte shards in (media_type,
+    doc_id) order via a two-level distributed scan (see block comment)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _TYPES = ("image", "audio", "video")
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def meta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = pc.binary_length(pc.cast(batch["text"], pa.large_binary())).cast(pa.int64())
+        tcode = (ids % 3).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tcode": pa.array(tcode, pa.int64()),
+                "n_bytes": nb,
+                "gkey": pa.array((ids // SHARD_BLOCK) * 3 + tcode, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(meta, batch_format="pyarrow")
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["gkey", "n_bytes"]).group_by("gkey").aggregate([("n_bytes", "sum")])
+        return pa.table(
+            {"gkey": agg["gkey"], "b_part": agg["n_bytes_sum"].cast(pa.int64())}
+        )
+
+    block_sums = (
+        rows.map_batches(block_partial, batch_format="pyarrow")
+        .groupby("gkey")
+        .aggregate(Sum("b_part", alias_name="b_sum"))
+    )
+
+    def type_bases(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("gkey", kind="mergesort")
+        sums = g["b_sum"].to_numpy()
+        bases = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(g["gkey"].astype("int64")),
+                "base": pa.array(bases, pa.int64()),
+            }
+        )
+
+    def add_tcode(batch: pa.Table) -> pa.Table:
+        gk = batch["gkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("tcode", pa.array(gk % 3, pa.int64()))
+
+    bases = (
+        block_sums.map_batches(add_tcode, batch_format="pyarrow")
+        .groupby("tcode")
+        .map_groups(type_bases, batch_format="pandas")
+    )
+
+    def tag_row(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gkey": batch["gkey"].cast(pa.int64()),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "tcode": batch["tcode"].cast(pa.int64()),
+                "n_bytes": batch["n_bytes"].cast(pa.int64()),
+                "base": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "gkey": batch["gkey"].cast(pa.int64()),
+                "doc_id": pa.nulls(n, pa.int64()),
+                "tcode": pa.nulls(n, pa.int64()),
+                "n_bytes": pa.nulls(n, pa.int64()),
+                "base": batch["base"].cast(pa.int64()),
+            }
+        )
+
+    def local_scan(group: pd.DataFrame) -> pa.Table:
+        is_base = group["base"].notna()
+        base = int(group.loc[is_base, "base"].iloc[0]) if is_base.any() else 0
+        g = group.loc[~is_base].sort_values("doc_id", kind="mergesort")
+        nb = g["n_bytes"].to_numpy().astype(np.int64)
+        prev = base + np.concatenate([[0], np.cumsum(nb)[:-1]]).astype(np.int64)
+        tcode = int(g["tcode"].iloc[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].astype("int64")),
+                "media_type": pa.repeat(_TYPES[tcode], len(g)),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "shard_id": pa.array(prev // SHARD_BUDGET, pa.int64()),
+                "shard_offset": pa.array(prev % SHARD_BUDGET, pa.int64()),
+            }
+        )
+
+    union = rows.map_batches(tag_row, batch_format="pyarrow").union(
+        bases.map_batches(tag_base, batch_format="pyarrow")
+    )
+    return union.groupby("gkey").map_groups(local_scan, batch_format="pandas")
