@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_state": streaming.events_latest_state,
         "events_rate_limit": streaming.events_rate_limit,
         "events_transitions": streaming.events_transitions,
+        "events_watermark": streaming.events_watermark,
     }
 
 
@@ -201,4 +202,5 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state": streaming.EVENTS_LATEST_STATE_SQL,
         "events_rate_limit": streaming.EVENTS_RATE_LIMIT_SQL,
         "events_transitions": streaming.EVENTS_TRANSITIONS_SQL,
+        "events_watermark": streaming.EVENTS_WATERMARK_SQL,
     }

@@ -808,3 +808,100 @@ def events_transitions(sf_dir: str, num_buckets: int = 64):
         .map_groups(_transitions_bucket, batch_format="pandas")
     )
     return partials.groupby(["from_type", "to_type"]).aggregate(Sum("n_part", alias_name="n"))
+
+
+# ----------------------------------------------------------- events_watermark
+
+# Out-of-order / late-data analysis — the watermark primitive of stream
+# processors: replay the log in ARRIVAL order (event_id) and measure how
+# far each event's timestamp lags the per-user high-watermark (max ts seen
+# so far). late = lateness above the allowed skew. Everything integer
+# microseconds.
+WATERMARK_SKEW_US = 5 * 60 * 1_000_000  # 5-minute allowed lateness
+DELAY_SPAN_US = 10 * 60 * 1_000_000  # simulated network delay in [0, 10 min)
+
+EVENTS_WATERMARK_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts)
+         + CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),15,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),13,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),11,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),9,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),7,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),5,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),3,2) || substr(md5(CAST(event_id AS VARCHAR) || ':delay'),1,2))::UBIGINT) % {DELAY_SPAN_US} AS BIGINT) AS arr_us
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(greatest(
+         max(ts_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+                          ROWS UNBOUNDED PRECEDING) - ts_us, 0) AS BIGINT) AS lateness_us,
+       greatest(
+         max(ts_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+                          ROWS UNBOUNDED PRECEDING) - ts_us, 0) > {WATERMARK_SKEW_US} AS late
+FROM e
+"""
+
+
+def _watermark_bucket(group: pd.DataFrame) -> pa.Table:
+    """One user-hash bucket: sort by (user_id, arr_us, event_id) = simulated
+    arrival order per user, running-max ts per user segment (segments are
+    contiguous after the sort; the accumulate inside is vectorized)."""
+    g = group.sort_values(["user_id", "arr_us", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    ts_us = g["ts_us"].to_numpy()
+    n = len(g)
+    run_max = np.empty(n, dtype=ts_us.dtype)
+    starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+    bounds = np.append(starts, n)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        run_max[a:b] = np.maximum.accumulate(ts_us[a:b])
+    lateness = np.maximum(run_max - ts_us, 0).astype(np.int64)
+    return pa.table(
+        {
+            "event_id": pa.array(g["event_id"].astype("int64")),
+            "user_id": pa.array(users.astype(np.int64), pa.int64()),
+            "lateness_us": pa.array(lateness, pa.int64()),
+            "late": pa.array(lateness > WATERMARK_SKEW_US),
+        }
+    )
+
+
+def events_watermark(sf_dir: str, num_buckets: int = 64):
+    """Per-event lateness vs the per-user high-watermark in simulated
+    arrival order (arrival = ts + deterministic hash delay in
+    [0, DELAY_SPAN_US) — the events table is perfectly ordered, so the
+    delay model injects the out-of-orderness a network would). The audit a
+    batch engine runs to size a stream's late-data allowance. Same single
+    user-hash bucket shuffle as sessionize."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        delays = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{e}:delay".encode()).digest()[:8], "little"
+                ) % DELAY_SPAN_US
+                for e in batch["event_id"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "arr_us": pa.array(ts_us + delays, pa.int64()),
+                "user_bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(_watermark_bucket, batch_format="pandas")
+    )
