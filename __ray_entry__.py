@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq": similarity.embedding_pq,
         "knn_graph": similarity.knn_graph,
         "ann_recall_eval": similarity.ann_recall_eval,
+        "doc_semdedup": similarity.doc_semdedup,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq": similarity.EMBEDDING_PQ_SQL,
         "knn_graph": similarity.KNN_GRAPH_SQL,
         "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
+        "doc_semdedup": similarity.DOC_SEMDEDUP_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,

@@ -771,3 +771,167 @@ def ann_recall_eval(sf_dir: str):
         approx.map_batches(tag(2), batch_format="pyarrow")
     )
     return union.groupby("query_id").map_groups(score, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ semdedup
+
+# SemDeDup (Abbas et al. 2023): semantic dedup with NO labels — block by
+# the unsupervised coarse quantizer (the same integer-exact IVF cells the
+# ANN index uses), mark any vector whose cell holds a smaller-id vector
+# within cosine >= threshold as a duplicate, keep the rest. The
+# cell-assignment arithmetic is integer-exact on both engines; the cosine
+# threshold follows dedup_embedding's convention.
+SEMDEDUP_THRESHOLD = 0.3
+SEMDEDUP_CELL_CAP = 4096  # rows per side of one blocked matmul
+SEMDEDUP_NUM_BUCKETS = 64
+
+DOC_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, v, list_transform(v, x -> round(x * {IVF_QSCALE})) AS qv
+  FROM e
+),
+sc AS (SELECT vec_id, v, {_IVF_SCORES_EXPR} AS scores FROM qz),
+cells AS (
+  SELECT vec_id, v, list_position(scores, list_max(scores)) - 1 AS cell
+  FROM sc
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       d.vec_id IS NULL AS keep
+FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+"""
+
+
+def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
+                 num_buckets: int = SEMDEDUP_NUM_BUCKETS):
+    """Label-free semantic dedup: IVF-cell blocking → within-cell (chunked)
+    all-pairs cosine → smaller-id representative wins.
+
+    Scale shape: cell assignment is a stateless map; oversized cells split
+    into √-scaled chunks so no group exceeds cap² matmul work (the
+    dedup_embedding topology with the quantizer replacing labels — the
+    per-cell count poll is O(N_CELLS) driver memory, a constant); the dup
+    ids then attach to the cell roster through a bucketed union-join —
+    no driver-side id set."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup import _doc_bucket
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "embedding": batch["embedding"],
+                "cell": pa.array(_ivf_cells(raw), pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+
+    counts = cells.groupby("cell").aggregate(Count(alias_name="n")).take_all()
+    n_chunks = {int(r["cell"]): max(1, -(-int(r["n"]) // cell_cap)) for r in counts}
+    chunks_ref = put_broadcast(n_chunks)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        m = resolve_broadcast(chunks_ref)
+        cell_arr = batch["cell"].to_pylist()
+        vid_arr = batch["vec_id"].to_pylist()
+        idx, blocks, cis, cjs, chunks = [], [], [], [], []
+        for row, (cell, vid) in enumerate(zip(cell_arr, vid_arr)):
+            kk = m.get(int(cell), 1)
+            c = int(vid) % kk
+            for other in range(kk):
+                i, j = (c, other) if c <= other else (other, c)
+                idx.append(row)
+                blocks.append(int(cell) * 4096 + i * 64 + j)
+                cis.append(i)
+                cjs.append(j)
+                chunks.append(c)
+        t = batch.take(pa.array(idx, pa.int64()))
+        return (
+            t.append_column("__block", pa.array(blocks, pa.int64()))
+            .append_column("__ci", pa.array(cis, pa.int32()))
+            .append_column("__cj", pa.array(cjs, pa.int32()))
+            .append_column("__chunk", pa.array(chunks, pa.int32()))
+        )
+
+    def block_dups(group: pd.DataFrame) -> pa.Table:
+        ci, cj = int(group["__ci"].iloc[0]), int(group["__cj"].iloc[0])
+        left = group[group["__chunk"] == ci]
+        ids_l = left["vec_id"].to_numpy().astype(np.int64)
+        mat_l = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        nl = np.linalg.norm(mat_l, axis=1); nl[nl == 0] = 1.0
+        if ci == cj:
+            sims = (mat_l @ mat_l.T) / np.outer(nl, nl)
+            iu = np.triu_indices(len(ids_l), k=1)
+            mask = sims[iu] >= SEMDEDUP_THRESHOLD
+            a, b = ids_l[iu[0][mask]], ids_l[iu[1][mask]]
+        else:
+            right = group[group["__chunk"] == cj]
+            ids_r = right["vec_id"].to_numpy().astype(np.int64)
+            mat_r = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+            nr = np.linalg.norm(mat_r, axis=1); nr[nr == 0] = 1.0
+            sims = (mat_l @ mat_r.T) / np.outer(nl, nr)
+            ii, jj = np.nonzero(sims >= SEMDEDUP_THRESHOLD)
+            a, b = ids_l[ii], ids_r[jj]
+        dup = np.unique(np.maximum(a, b))
+        return pa.table({"vec_id": pa.array(dup, pa.int64())})
+
+    dups = (
+        cells.map_batches(expand, batch_format="pyarrow")
+        .groupby("__block")
+        .map_groups(block_dups, batch_format="pandas")
+    )
+
+    def tag_cell(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cell": batch["cell"].cast(pa.int64()),
+                "is_dup": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+                "vbucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cell": pa.nulls(batch.num_rows, pa.int64()),
+                "is_dup": pa.array(np.ones(batch.num_rows, dtype=bool)),
+                "vbucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        dup_ids = set(group.loc[group["is_dup"], "vec_id"].astype("int64"))
+        c = group.loc[~group["is_dup"]]
+        ids = c["vec_id"].astype("int64").to_numpy()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(c["cell"].astype("int64"), pa.int64()),
+                "keep": pa.array([int(v) not in dup_ids for v in ids]),
+            }
+        )
+
+    roster = cells.map_batches(
+        lambda b: b.select(["vec_id", "cell"]), batch_format="pyarrow"
+    )
+    union = roster.map_batches(tag_cell, batch_format="pyarrow").union(
+        dups.map_batches(tag_dup, batch_format="pyarrow")
+    )
+    return union.groupby("vbucket").map_groups(resolve, batch_format="pandas")
