@@ -97,6 +97,8 @@ def run_bench() -> dict:
     timed("ann_topk", lambda: similarity.ann_topk(SF_DIR))
     timed("doc_stats", lambda: text.doc_stats(SF_DIR))
     timed("kg_direct_mapping", lambda: relational.kg_direct_mapping(SF_DIR))
+    timed("doc_substring_dedup", lambda: dedup.doc_substring_dedup(SF_DIR))
+    timed("knn_graph", lambda: similarity.knn_graph(SF_DIR))
 
     headline = timings["kg_triples"]
     result = {
