@@ -664,13 +664,25 @@ def knn_graph(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
             .append_column("__role", pa.array(role, pa.int8()))
         )
 
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
     def block_topk(group: pd.DataFrame) -> pa.Table:
-        both = group["__role"].to_numpy()
-        # in the diagonal group every row is role 1 and serves both sides
-        qm = (both == 1)
-        diag = bool(qm.all())
+        # diagonal groups are identified by the group KEY (qc == dc), not by
+        # the roles present — a group whose candidate chunk happens to be an
+        # empty residue class must yield nothing, not self-pairs
+        gid = int(group["__grp"].iloc[0])
+        diag = (gid // n_chunks) == (gid % n_chunks)
+        qm = group["__role"].to_numpy() == 1
         q = group[qm]
         c = group if diag else group[~qm]
+        if len(q) == 0 or len(c) == 0:
+            return empty
         q_ids = q["vec_id"].to_numpy().astype(np.int64)
         c_ids = c["vec_id"].to_numpy().astype(np.int64)
         qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
@@ -854,7 +866,9 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
             for other in range(kk):
                 i, j = (c, other) if c <= other else (other, c)
                 idx.append(row)
-                blocks.append(int(cell) * 4096 + i * 64 + j)
+                # (cell, i, j) packed collision-free for up to 2^20 chunks
+                # per cell (cap² rows — far beyond any real cell)
+                blocks.append((int(cell) << 40) | (i << 20) | j)
                 cis.append(i)
                 cjs.append(j)
                 chunks.append(c)
@@ -869,6 +883,8 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
     def block_dups(group: pd.DataFrame) -> pa.Table:
         ci, cj = int(group["__ci"].iloc[0]), int(group["__cj"].iloc[0])
         left = group[group["__chunk"] == ci]
+        if len(left) == 0 or (ci != cj and (group["__chunk"] == cj).sum() == 0):
+            return pa.table({"vec_id": pa.array([], pa.int64())})
         ids_l = left["vec_id"].to_numpy().astype(np.int64)
         mat_l = np.stack(left["embedding"].to_numpy()).astype(np.float64)
         nl = np.linalg.norm(mat_l, axis=1); nl[nl == 0] = 1.0

@@ -35,3 +35,43 @@ def test_lsh_recall_vs_brute_force(ray_session, sf_dir):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.4, f"LSH recall too low: {mean_recall}"
     assert len(lsh) > 0
+
+
+def test_knn_graph_empty_residue_chunk(ray_session, tmp_path):
+    """All-even vec_ids with a tiny chunk_cap force an EMPTY residue class:
+    a non-diagonal block group then contains only queries, which must yield
+    no pairs (role-inferred diagonal detection used to self-pair here and
+    duplicate ranks)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_xml_ex_ray.pipelines.similarity import KNN_GRAPH_SQL, knn_graph
+
+    rng = np.random.RandomState(3)
+    n = 40
+    emb = rng.randn(n, 8).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n) * 2, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(n), pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS FROM '{tmp_path}/embeddings.parquet'")
+    r = knn_graph(str(tmp_path), chunk_cap=32).to_pandas()
+    o = con.execute(KNN_GRAPH_SQL).df()
+    cols = sorted(r.columns)
+    a = r[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if a[c].dtype.kind == "f":
+            a[c] = a[c].round(6); b[c] = b[c].round(6)
+    assert len(a) == len(b) and a.equals(b)
