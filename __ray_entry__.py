@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_keep": corpus.dedup_keep,
         "doc_substring_dedup": dedup.doc_substring_dedup,
+        "dedup_incremental": dedup.dedup_incremental,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "dedup_keep": corpus.DEDUP_KEEP_SQL,
         "doc_substring_dedup": dedup.DOC_SUBSTRING_DEDUP_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,

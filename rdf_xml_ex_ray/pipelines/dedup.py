@@ -1349,3 +1349,128 @@ def doc_substring_dedup(sf_dir: str, num_buckets: int = NUM_GRAM_BUCKETS):
         starts.map_batches(tag_start, batch_format="pyarrow")
     )
     return tagged.groupby("dbucket").map_groups(rebuild, batch_format="pandas")
+
+
+# ------------------------------------------------------- incremental dedup
+
+# Incremental-ingest near-dup dedup: a NEW batch of documents (the delta)
+# probes the already-ingested corpus's MinHash LSH band index — the "skip
+# what the lake already holds a near-duplicate of" primitive of a
+# continuously fed pipeline (production incremental minhash dedup IS a band
+# -table probe). The base/delta split is deterministic
+# (doc_id % DELTA_MOD == 0 -> delta) so the oracle replays it; in
+# production the two sides are different tables with the same topology.
+DELTA_MOD = 10
+
+
+def _incremental_sql() -> str:
+    perm_rows = ",\n    ".join(
+        f"({k}, {int(_PERM_A[k])}::HUGEINT, {int(_PERM_B[k])}::HUGEINT)" for k in range(N_PERM)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[{ASCII_WS}]+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM w, UNNEST(range(1, greatest(len(words)-1, 1))) AS t(i) WHERE len(words) >= {SHINGLE_K}
+  UNION ALL
+  SELECT doc_id, array_to_string(words, ' ') AS gram FROM w WHERE len(words) BETWEEN 1 AND {SHINGLE_K - 1}
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+gh AS (
+  SELECT DISTINCT doc_id,
+    (('0x' || substr(md5(gram),15,2) || substr(md5(gram),13,2) || substr(md5(gram),11,2) ||
+      substr(md5(gram),9,2)  || substr(md5(gram),7,2)  || substr(md5(gram),5,2)  ||
+      substr(md5(gram),3,2)  || substr(md5(gram),1,2))::UBIGINT & {_MERSENNE}::UBIGINT) AS x
+  FROM gd
+),
+perms(k, a, b) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT doc_id, p.k,
+         min(((CAST(x AS HUGEINT) * p.a + p.b) % 18446744073709551616::HUGEINT) % {_MERSENNE}) AS m
+  FROM gh, perms p GROUP BY doc_id, p.k
+),
+bandkey AS (
+  SELECT doc_id, CAST(k // {ROWS_PER_BAND} AS INT) AS band_id,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bh
+  FROM sig GROUP BY doc_id, k // {ROWS_PER_BAND}
+),
+delta AS (SELECT doc_id, band_id, bh FROM bandkey WHERE doc_id % {DELTA_MOD} = 0),
+base AS (SELECT DISTINCT band_id, bh FROM bandkey WHERE doc_id % {DELTA_MOD} <> 0),
+hits AS (SELECT DISTINCT d.doc_id FROM delta d JOIN base b USING (band_id, bh))
+SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM hits) AS is_new
+FROM documents WHERE doc_id % {DELTA_MOD} = 0
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _incremental_sql()
+
+
+def dedup_incremental(sf_dir: str, num_buckets: int = NUM_JOIN_BUCKETS):
+    """Delta docs probe the base's LSH band index: both sides emit
+    (band_id, band_hash) rows through the SAME minhash_band_rows task stage
+    as dedup_minhash, co-locate through ONE band-hash bucketed exchange,
+    each bucket group resolves membership locally (base band keys never
+    leave their bucket — no driver set, no broadcast index; at 100 TB the
+    base is the big side and must stay distributed), and the hit set
+    attaches back to the delta roster through a doc-bucketed union join."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+
+    def probe(group: pd.DataFrame) -> pa.Table:
+        is_delta = (group["doc_id"].to_numpy().astype(np.int64) % DELTA_MOD) == 0
+        base_keys = set(
+            zip(group.loc[~is_delta, "band_id"], group.loc[~is_delta, "band_hash"])
+        )
+        d = group.loc[is_delta]
+        hit = [
+            int(doc)
+            for doc, bid, bh in zip(d["doc_id"].astype("int64"), d["band_id"], d["band_hash"])
+            if (bid, bh) in base_keys
+        ]
+        return pa.table({"doc_id": pa.array(sorted(set(hit)), pa.int64())})
+
+    hits = bands.groupby("pair_bucket").map_groups(probe, batch_format="pandas")
+
+    def tag_roster(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % DELTA_MOD == 0
+        ids = ids[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_hit": pa.array(np.zeros(len(ids), dtype=bool)),
+                "dbucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def tag_hit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "is_hit": pa.array(np.ones(batch.num_rows, dtype=bool)),
+                "dbucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        hit_ids = set(group.loc[group["is_hit"], "doc_id"].astype("int64"))
+        r = group.loc[~group["is_hit"]]
+        ids = r["doc_id"].astype("int64").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_new": pa.array([int(i) not in hit_ids for i in ids]),
+            }
+        )
+
+    roster = ds.map_batches(tag_roster, batch_format="pyarrow")
+    union = roster.union(hits.map_batches(tag_hit, batch_format="pyarrow"))
+    return union.groupby("dbucket").map_groups(resolve, batch_format="pandas")
