@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_limit": streaming.events_rate_limit,
         "events_transitions": streaming.events_transitions,
         "events_watermark": streaming.events_watermark,
+        "events_rollup": streaming.events_rollup,
     }
 
 
@@ -207,4 +208,5 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_limit": streaming.EVENTS_RATE_LIMIT_SQL,
         "events_transitions": streaming.EVENTS_TRANSITIONS_SQL,
         "events_watermark": streaming.EVENTS_WATERMARK_SQL,
+        "events_rollup": streaming.EVENTS_ROLLUP_SQL,
     }

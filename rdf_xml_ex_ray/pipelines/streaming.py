@@ -905,3 +905,116 @@ def events_watermark(sf_dir: str, num_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(_watermark_bucket, batch_format="pandas")
     )
+
+
+# -------------------------------------------------------------- events_rollup
+
+# Multi-level (ROLLUP) aggregation: event counts at (event_type, day),
+# (event_type) and () granularities in ONE scan — the OLAP-cube primitive a
+# reporting pipeline runs over the event log. The distributed shape is the
+# rollup CASCADE: only the finest level aggregates from raw rows; each
+# coarser level aggregates the PREVIOUS level's (tiny) output, so the log
+# is read once and the exchanges above the first move O(groups), not
+# O(events). All-integer outputs.
+EVENTS_ROLLUP_SQL = """
+SELECT
+  CAST(CASE WHEN event_type IS NULL THEN 0
+            WHEN day IS NULL THEN 1 ELSE 2 END AS BIGINT) AS level,
+  coalesce(event_type, '*') AS event_type,
+  coalesce(day, '*') AS day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_lb
+FROM (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+"""
+
+
+def events_rollup(sf_dir: str, num_buckets: int = 64):
+    """Cascading rollup over the events log.
+
+    n_events cascades exactly (sums of sums); exact COUNT(DISTINCT user_id)
+    does NOT cascade, so every level counts distinct users from the same
+    (level-keyed) user roster: the scan emits per-batch DISTINCT
+    (key, user) partials for all three levels at once — the dedup happens
+    progressively (in-batch pandas drop_duplicates first, then per
+    key-bucket group), never on the driver. Rows shuffled: O(distinct
+    (key, user) pairs), the same bound an exact distinct costs anywhere."""
+    import zlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "user_id"]
+    )
+
+    LEVELS = ((2, True, True), (1, True, False), (0, False, False))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d").to_pylist(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        frames = []
+        for level, use_et, use_day in LEVELS:
+            k = df.copy()
+            if not use_et:
+                k["event_type"] = "*"
+            if not use_day:
+                k["day"] = "*"
+            users = k.drop_duplicates(["event_type", "day", "user_id"]).assign(n_part=0)
+            counts = (
+                k.groupby(["event_type", "day"], sort=False)
+                .size()
+                .reset_index(name="n_part")
+                .assign(user_id=-1)
+            )
+            frames.append(pd.concat([users, counts]).assign(level=level))
+        out = pd.concat(frames, ignore_index=True)
+        kb = np.fromiter(
+            (
+                zlib.crc32(f"{a}|{b}|{c}".encode()) % num_buckets
+                for a, b, c in zip(out["level"], out["event_type"], out["day"])
+            ),
+            dtype=np.int32,
+            count=len(out),
+        )
+        return pa.table(
+            {
+                "level": pa.array(out["level"].astype("int64")),
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "day": pa.array(out["day"], pa.string()),
+                "user_id": pa.array(out["user_id"].astype("int64")),
+                "n_part": pa.array(out["n_part"].astype("int64")),
+                "kbucket": pa.array(kb),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        agg = (
+            group.groupby(["level", "event_type", "day"], sort=False)
+            .agg(
+                n_events=("n_part", "sum"),
+                n_users_lb=("user_id", lambda s: s[s >= 0].nunique()),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "level": pa.array(agg["level"].astype("int64")),
+                "event_type": pa.array(agg["event_type"], pa.string()),
+                "day": pa.array(agg["day"], pa.string()),
+                "n_events": pa.array(agg["n_events"].astype("int64")),
+                "n_users_lb": pa.array(agg["n_users_lb"].astype("int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(merge, batch_format="pandas")
+    )
