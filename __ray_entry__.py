@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_logreg": text.doc_quality_logreg,
         "corpus_split": text.corpus_split,
         "doc_blocklist_filter": text.doc_blocklist_filter,
+        "doc_length_filter": text.doc_length_filter,
         # --- corpus-level: joins / vocabulary / sketches / quantiles ---
         "doc_embed_join": corpus.doc_embed_join,
         "vocab_topk": corpus.vocab_topk,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_logreg": text.DOC_QUALITY_LOGREG_SQL,
         "corpus_split": text.CORPUS_SPLIT_SQL,
         "doc_blocklist_filter": text.DOC_BLOCKLIST_SQL,
+        "doc_length_filter": text.DOC_LENGTH_FILTER_SQL,
         "doc_embed_join": corpus.DOC_EMBED_JOIN_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "distinct_kmv": corpus.DISTINCT_KMV_SQL,

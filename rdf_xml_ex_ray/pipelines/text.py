@@ -1120,3 +1120,86 @@ def mm_shard_manifest(sf_dir: str):
         bases.map_batches(tag_base, batch_format="pyarrow")
     )
     return union.groupby("gkey").map_groups(local_scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------- doc_length_filter
+
+# Global percentile gate: drop outlier-length documents (the C4/Gopher
+# "too short / absurdly long" filter, but with corpus-relative thresholds
+# instead of magic constants). Percentiles are EXACT by index — the value
+# at rank floor((n-1)·p/100)+1 of the sorted lengths — so both engines
+# agree integer-for-integer at any corpus size.
+LENGTH_P_LO = 5
+LENGTH_P_HI = 95
+
+DOC_LENGTH_FILTER_SQL = f"""
+WITH s AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+th AS (
+  SELECT max(CASE WHEN rn = ((n-1) * {LENGTH_P_LO}) // 100 + 1 THEN n_chars END) AS lo,
+         max(CASE WHEN rn = ((n-1) * {LENGTH_P_HI}) // 100 + 1 THEN n_chars END) AS hi
+  FROM s
+)
+SELECT d.doc_id, d.n_chars,
+       d.n_chars BETWEEN th.lo AND th.hi AS keep
+FROM documents d, th
+"""
+
+
+def doc_length_filter(sf_dir: str):
+    """Two-pass corpus-relative length gate. Pass 1: per-batch partial
+    counts per DISTINCT length → one tiny groupby → the driver reduces the
+    (value, count) histogram to two integer thresholds by cumulative rank
+    (driver state is O(distinct lengths) — bounded by the max document
+    length, not the corpus size) and broadcasts them. Pass 2: one stateless
+    map_batches applies the gate. The exact-percentile-by-rank trick: the
+    p-th value of the sorted multiset is found by walking the value
+    histogram, never by sorting the rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["n_chars"]).group_by("n_chars").aggregate([([], "count_all")])
+        return pa.table(
+            {"n_chars": agg["n_chars"].cast(pa.int64()), "c_part": agg["count_all"].cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    vals = counts["n_chars"].to_numpy().astype(np.int64)
+    cum = np.cumsum(counts["c"].to_numpy().astype(np.int64))
+    n = int(cum[-1])
+
+    def value_at_rank(rank: int) -> int:  # 1-based rank in the sorted multiset
+        return int(vals[np.searchsorted(cum, rank, side="left")])
+
+    lo = value_at_rank((n - 1) * LENGTH_P_LO // 100 + 1)
+    hi = value_at_rank((n - 1) * LENGTH_P_HI // 100 + 1)
+    th_ref = put_broadcast((lo, hi))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = resolve_broadcast(th_ref)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(nc, pa.int64()),
+                "keep": pa.array((nc >= lo_) & (nc <= hi_)),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
