@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         "ann_recall_eval": similarity.ann_recall_eval,
         "doc_semdedup": similarity.doc_semdedup,
+        "embedding_kmeans": similarity.embedding_kmeans,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": similarity.KNN_GRAPH_SQL,
         "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
         "doc_semdedup": similarity.DOC_SEMDEDUP_SQL,
+        "embedding_kmeans": similarity.EMBEDDING_KMEANS_SQL,
         "doc_stats": text.DOC_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "lang_id": text.LANG_ID_SQL,

@@ -951,3 +951,149 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
         dups.map_batches(tag_dup, batch_format="pyarrow")
     )
     return union.groupby("vbucket").map_groups(resolve, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- k-means
+
+# Distributed Lloyd's k-means over the embedding column — the classic
+# iterative-ML loop (assignment map → per-cell partial sums → tiny
+# aggregate → broadcast new centroids → repeat). Everything is
+# integer-exact so DuckDB replays every round bit-for-bit: vectors are
+# quantized once (round(v·1024)), centroids start as the first K quantized
+# vectors (Forgy init on vec_id < K) and are RE-QUANTIZED after every mean
+# (sum and count are integers, sum/count is the correctly-rounded IEEE
+# quotient on both engines, and round-half-away is the shared convention).
+# Cells that lose all members vanish from the next round on both engines.
+KM_CELLS = 16
+KM_ITERS = 2  # centroid updates; assignments run KM_ITERS + 1 times
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, len(e.qv) + 1), "
+        "i -> (e.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) ** 2))"
+    )
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * {IVF_QSCALE})) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, qv AS cv FROM e WHERE vec_id < {KM_CELLS})"""
+    ]
+    for t in range(KM_ITERS + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn
+    FROM e, c{t} c
+  ) WHERE rn = 1
+)"""
+        )
+        if t < KM_ITERS:
+            parts.append(
+                f"""c{t + 1} AS (
+  SELECT cell, list(cvd ORDER BY d) AS cv FROM (
+    SELECT a.cell, d,
+           round(CAST(sum(e.qv[CAST(d AS INT)]) AS DOUBLE) / count(*)) AS cvd
+    FROM a{t} a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS t(d)
+    GROUP BY a.cell, d
+  ) GROUP BY cell
+)"""
+            )
+    parts_sql = ",\n".join(parts)
+    return f"""{parts_sql}
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{KM_ITERS}
+"""
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_sql()
+
+
+def embedding_kmeans(sf_dir: str, iters: int = KM_ITERS):
+    """Distributed k-means: each round is ONE stateless assignment +
+    partial-sum map over the corpus (centroids broadcast via ray.put), a
+    (cell × dim)-row groupby (constant-size exchange: K·D rows per block,
+    K·D groups total), and an O(K·D) driver reduction — the canonical
+    topology for iterative fitting at 100 TB. The assignment argmin is one
+    float64 matmul per batch over integer-valued operands (< 2^53, exact)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    seed = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", KM_CELLS)]
+    )
+    order = np.argsort(np.asarray(seed["vec_id"].to_pylist()))
+    cent_ids = np.asarray(seed["vec_id"].to_pylist(), dtype=np.int64)[order]
+    cents = _ivf_quantize(np.stack(seed["embedding"].to_pylist()).astype(np.float64)[order])
+
+    def _assign(qv: np.ndarray, cents_: np.ndarray) -> np.ndarray:
+        # argmin ||x-c||² = argmin (||c||² - 2 x·c); ties → first (lowest) cell
+        scores = -2.0 * (qv @ cents_.T) + (cents_ * cents_).sum(axis=1)[None, :]
+        return np.argmin(scores, axis=1)
+
+    for _ in range(iters):
+        cref = put_broadcast((cent_ids, cents))
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            ids_, cs = resolve_broadcast(cref)
+            qv = _ivf_quantize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+            cell_idx = _assign(qv, cs)
+            out_cell, out_dim, out_s, out_n = [], [], [], []
+            for k in range(len(ids_)):
+                m = cell_idx == k
+                if not m.any():
+                    continue
+                sums = qv[m].sum(axis=0)
+                d = qv.shape[1]
+                out_cell.extend([int(ids_[k])] * d)
+                out_dim.extend(range(d))
+                out_s.extend(int(x) for x in sums)
+                out_n.extend([int(m.sum())] * d)
+            return pa.table(
+                {
+                    "cell": pa.array(out_cell, pa.int64()),
+                    "dim": pa.array(out_dim, pa.int64()),
+                    "s_part": pa.array(out_s, pa.int64()),
+                    "n_part": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial_sums, batch_format="pyarrow")
+            .groupby(["cell", "dim"])
+            .aggregate(Sum("s_part", alias_name="s"), Sum("n_part", alias_name="n"))
+            .to_pandas()
+        )
+        from ..core.rounding import np_round_half_away as _rha
+
+        agg = agg.sort_values(["cell", "dim"])
+        new_ids = np.asarray(sorted(agg["cell"].unique()), dtype=np.int64)
+        d = int(agg["dim"].max()) + 1
+        new_cents = np.empty((len(new_ids), d), dtype=np.float64)
+        for row, cid in enumerate(new_ids):
+            sub = agg[agg["cell"] == cid]
+            new_cents[row] = _rha(
+                sub["s"].to_numpy().astype(np.float64) / sub["n"].to_numpy().astype(np.float64),
+                0,
+            )
+        cent_ids, cents = new_ids, new_cents
+
+    cref_final = put_broadcast((cent_ids, cents))
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        ids_, cs = resolve_broadcast(cref_final)
+        qv = _ivf_quantize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        cell_idx = _assign(qv, cs)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cell": pa.array(ids_[cell_idx], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
