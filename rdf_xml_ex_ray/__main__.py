@@ -27,6 +27,13 @@ def main(argv=None) -> int:
     kg.add_argument("--num-cpus", type=int, default=None)
     kg.add_argument("--no-resume", action="store_true")
 
+    clean = sub.add_parser("clean", help="run the corpus clean+dedup materialization job")
+    clean.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    clean.add_argument("--out", required=True)
+    clean.add_argument("--buckets", type=int, default=16)
+    clean.add_argument("--num-cpus", type=int, default=None)
+    clean.add_argument("--no-resume", action="store_true")
+
     decode = sub.add_parser("decode", help="decode .rdf files to a parquet triple store")
     decode.add_argument("paths", nargs="+")
     decode.add_argument("--out", required=True)
@@ -56,6 +63,22 @@ def main(argv=None) -> int:
                 args.sf_dir, args.out, num_buckets=args.buckets, resume=not args.no_resume
             )
             print(json.dumps({"n_triples": lineage["n_triples"], "partitions": len(lineage["partitions"]), "out": args.out}))
+        elif args.cmd == "clean":
+            from rdf_xml_ex_ray.pipelines.corpus import run_clean_job
+
+            lineage = run_clean_job(
+                args.sf_dir, args.out, num_buckets=args.buckets, resume=not args.no_resume
+            )
+            print(
+                json.dumps(
+                    {
+                        "n_docs": lineage["n_docs"],
+                        "n_bytes": lineage["n_bytes"],
+                        "partitions": len(lineage["partitions"]),
+                        "out": args.out,
+                    }
+                )
+            )
         elif args.cmd == "decode":
             import pyarrow.compute as pc
 

@@ -1776,3 +1776,139 @@ def corpus_shuffle(sf_dir: str):
         )
 
     return keyed_ds.groupby("prefix").map_groups(rank_bucket, batch_format="pandas")
+
+
+# -------------------------------------------------------------- run_clean_job
+
+def run_clean_job(sf_dir: str, out_dir: str, num_buckets: int = 16, resume: bool = True) -> dict:
+    """Materialize the cleaned training corpus — the LLM-data counterpart of
+    pipelines/kg.run_kg_job: quality gates + lang-ID + near-dup survival
+    (corpus_clean), then the surviving documents with their text, written as
+    a hash-partitioned, checkpoint-resumable parquet store.
+
+    Layout:
+        out_dir/survivors/…                stage 1: corpus_clean output (ids + features)
+        out_dir/survivors/_SUCCESS
+        out_dir/corpus/doc_bucket=N/*.parquet   stage 2: cleaned corpus
+        out_dir/lineage.json               per-partition doc/byte counts
+        out_dir/_SUCCESS                   job done marker
+
+    A rerun after a stage-2 crash skips the (expensive, shuffle-bearing)
+    clean+dedup stage entirely; a rerun after success returns the recorded
+    lineage. write_parquet appends uuid-named files, so any stage dir
+    without its _SUCCESS is cleared before re-running (the kg-job
+    crash-safety invariant)."""
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    from .dedup import _doc_bucket
+
+    success = os.path.join(out_dir, "_SUCCESS")
+    lineage_path = os.path.join(out_dir, "lineage.json")
+    if resume and os.path.exists(success):
+        with open(lineage_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    for marker in (success, lineage_path):
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    # ---- stage 1: quality gates + lang-ID + dedup survival ----
+    surv_dir = os.path.join(out_dir, "survivors")
+    surv_done = os.path.join(surv_dir, "_SUCCESS")
+    if not (resume and os.path.exists(surv_done)):
+        shutil.rmtree(surv_dir, ignore_errors=True)
+        corpus_clean(sf_dir).write_parquet(surv_dir)
+        with open(surv_done, "w") as f:
+            f.write("ok\n")
+
+    # ---- stage 2: attach text, partition, store ----
+    shutil.rmtree(os.path.join(out_dir, "corpus"), ignore_errors=True)
+    survivors = rd.read_parquet(surv_dir, columns=["doc_id", "pred_lang"])
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+
+    def tag_surv(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "pred_lang": batch["pred_lang"].cast(pa.string()),
+                "text": pa.nulls(n, pa.string()),
+                "source": pa.nulls(n, pa.string()),
+                "doc_bucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "pred_lang": pa.nulls(n, pa.string()),
+                "text": batch["text"].cast(pa.string()),
+                "source": batch["source"].cast(pa.string()),
+                "doc_bucket": pa.array(_doc_bucket(ids, num_buckets)),
+            }
+        )
+
+    def attach(group: pd.DataFrame) -> pa.Table:
+        is_surv = group["pred_lang"].notna()
+        keep = set(group.loc[is_surv, "doc_id"].astype("int64"))
+        lang = dict(
+            zip(group.loc[is_surv, "doc_id"].astype("int64"), group.loc[is_surv, "pred_lang"])
+        )
+        d = group.loc[~is_surv]
+        d = d[d["doc_id"].astype("int64").isin(keep)]
+        ids = d["doc_id"].astype("int64").to_numpy()
+        bucket = int(group["doc_bucket"].iloc[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(d["text"], pa.string()),
+                "source": pa.array(d["source"], pa.string()),
+                "pred_lang": pa.array([lang[int(i)] for i in ids], pa.string()),
+                "doc_bucket": pa.array(np.full(len(ids), bucket, dtype=np.int32)),
+            }
+        )
+
+    union = survivors.map_batches(tag_surv, batch_format="pyarrow").union(
+        docs.map_batches(tag_doc, batch_format="pyarrow")
+    )
+    cleaned = union.groupby("doc_bucket").map_groups(attach, batch_format="pandas")
+    cleaned.write_parquet(os.path.join(out_dir, "corpus"), partition_cols=["doc_bucket"])
+
+    store = rd.read_parquet(os.path.join(out_dir, "corpus"))
+
+    def part_metrics(group: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_bucket": pa.array([int(group["doc_bucket"].iloc[0])], pa.int64()),
+                "n_docs": pa.array([len(group)], pa.int64()),
+                "n_bytes": pa.array(
+                    [int(sum(len(t.encode("utf-8")) for t in group["text"]))], pa.int64()
+                ),
+            }
+        )
+
+    metrics = store.groupby("doc_bucket").map_groups(part_metrics, batch_format="pandas").take_all()
+    lineage = {
+        "sf_dir": sf_dir,
+        "num_buckets": num_buckets,
+        "n_docs": int(sum(m["n_docs"] for m in metrics)),
+        "n_bytes": int(sum(m["n_bytes"] for m in metrics)),
+        "partitions": [
+            {k: int(v) for k, v in m.items()}
+            for m in sorted(metrics, key=lambda m: m["doc_bucket"])
+        ],
+    }
+    with open(lineage_path, "w") as f:
+        json.dump(lineage, f, indent=1)
+    with open(success, "w") as f:
+        f.write("ok\n")
+    return lineage
