@@ -14,7 +14,6 @@ import pyarrow as pa
 
 from ..core.model import TRIPLE_SCHEMA, term_to_row
 from ..core.ntriples import parse_ntriples, term_to_nt
-from ..core.terms import ParseError
 
 
 def read_ntriples(paths):
