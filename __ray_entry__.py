@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": corpus.dedup_keep,
         "doc_substring_dedup": dedup.doc_substring_dedup,
         "dedup_incremental": dedup.dedup_incremental,
+        "dedup_stats": dedup.dedup_stats,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": streaming.events_transitions,
         "events_watermark": streaming.events_watermark,
         "events_rollup": streaming.events_rollup,
+        "events_inter_arrival": streaming.events_inter_arrival,
     }
 
 
@@ -157,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": corpus.DEDUP_KEEP_SQL,
         "doc_substring_dedup": dedup.DOC_SUBSTRING_DEDUP_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
+        "dedup_stats": dedup.DEDUP_STATS_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
@@ -213,4 +216,5 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": streaming.EVENTS_TRANSITIONS_SQL,
         "events_watermark": streaming.EVENTS_WATERMARK_SQL,
         "events_rollup": streaming.EVENTS_ROLLUP_SQL,
+        "events_inter_arrival": streaming.EVENTS_INTER_ARRIVAL_SQL,
     }

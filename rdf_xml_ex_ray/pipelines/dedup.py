@@ -1474,3 +1474,64 @@ def dedup_incremental(sf_dir: str, num_buckets: int = NUM_JOIN_BUCKETS):
     roster = ds.map_batches(tag_roster, batch_format="pyarrow")
     union = roster.union(hits.map_batches(tag_hit, batch_format="pyarrow"))
     return union.groupby("dbucket").map_groups(resolve, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- dedup stats
+
+# Corpus duplication report: the cluster-size histogram of the near-dup
+# graph — "how much of my corpus is duplicated, and how big are the blobs"
+# (the number a data-quality dashboard tracks per crawl snapshot).
+def _dedup_stats_sql() -> str:
+    return f"""
+WITH c AS ({DEDUP_CLUSTERS_SQL}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+DEDUP_STATS_SQL = _dedup_stats_sql()
+
+
+def dedup_stats(sf_dir: str):
+    """Cluster-size histogram over dedup_clusters' output: one Count per
+    cluster (small exchange — cluster count ≤ doc count), then an in-batch
+    partial histogram and a tiny second groupby over (size) — the
+    aggregate-of-aggregates cascade, never a driver-side counter."""
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Count, Sum
+
+    clusters = dedup_clusters(sf_dir)
+    sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["cluster_size"]).group_by("cluster_size").aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cluster_size": agg["cluster_size"].cast(pa.int64()),
+                "n_part": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        sizes.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_part", alias_name="n_clusters"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cs = batch["cluster_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_clusters"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_size": pa.array(cs, pa.int64()),
+                "n_clusters": pa.array(nc, pa.int64()),
+                "n_docs": pa.array(cs * nc, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow")

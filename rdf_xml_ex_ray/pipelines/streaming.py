@@ -1018,3 +1018,83 @@ def events_rollup(sf_dir: str, num_buckets: int = 64):
         .groupby("kbucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- events_inter_arrival
+
+# Per-user inter-arrival features — the behavioral signals (activity
+# cadence) a user-model pipeline derives from the event log. All integers
+# (microsecond gaps; counts), one user-hash bucket shuffle.
+EVENTS_INTER_ARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def _inter_arrival_bucket(group: pd.DataFrame) -> pa.Table:
+    g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy()
+    ts_us = g["ts_us"].to_numpy()
+    same = np.r_[False, users[1:] == users[:-1]]
+    gaps = np.empty(len(g), dtype=np.int64)
+    gaps[1:] = ts_us[1:] - ts_us[:-1]
+    df = pd.DataFrame({"user_id": users[same], "gap_us": gaps[same]})
+    if not len(df):
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "min_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+                "sum_gap_us": pa.array([], pa.int64()),
+            }
+        )
+    agg = df.groupby("user_id", sort=False)["gap_us"].agg(["count", "min", "max", "sum"]).reset_index()
+    return pa.table(
+        {
+            "user_id": pa.array(agg["user_id"].astype("int64")),
+            "n_gaps": pa.array(agg["count"].astype("int64")),
+            "min_gap_us": pa.array(agg["min"].astype("int64")),
+            "max_gap_us": pa.array(agg["max"].astype("int64")),
+            "sum_gap_us": pa.array(agg["sum"].astype("int64")),
+        }
+    )
+
+
+def events_inter_arrival(sf_dir: str, num_buckets: int = 64):
+    """Per-user inter-event gap statistics over the (ts, event_id)-ordered
+    stream. Same single user-hash bucketed shuffle as sessionize; inside a
+    bucket the gaps come from one shifted subtraction and a pandas groupby
+    (users with a single event emit no row, matching the SQL WHERE)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "user_bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(_inter_arrival_bucket, batch_format="pandas")
+    )
