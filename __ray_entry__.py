@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": corpus.corpus_mixture,
         "doc_lm_coverage": corpus.doc_lm_coverage,
         "corpus_shuffle": corpus.corpus_shuffle,
+        "corpus_source_stats": corpus.corpus_source_stats,
         # --- multimodal plumbing (deterministic fake decode) ---
         "mm_media_meta": text.mm_media_meta,
         "mm_frame_sample": text.mm_frame_sample,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": corpus.CORPUS_MIXTURE_SQL,
         "doc_lm_coverage": corpus.DOC_LM_COVERAGE_SQL,
         "corpus_shuffle": corpus.CORPUS_SHUFFLE_SQL,
+        "corpus_source_stats": corpus.CORPUS_SOURCE_STATS_SQL,
         "mm_media_meta": text.MM_MEDIA_META_SQL,
         "mm_frame_sample": text.MM_FRAME_SAMPLE_SQL,
         "mm_shard_manifest": text.MM_SHARD_MANIFEST_SQL,

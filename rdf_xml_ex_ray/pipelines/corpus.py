@@ -1912,3 +1912,153 @@ def run_clean_job(sf_dir: str, out_dir: str, num_buckets: int = 16, resume: bool
     with open(success, "w") as f:
         f.write("ok\n")
     return lineage
+
+
+# ---------------------------------------------------------- corpus_source_stats
+
+# Per-source datasheet: documents, bytes, whitespace tokens and the
+# exact-duplicate rate of every source — the "datasheets for datasets"
+# table a corpus release ships, and the input the mixture planner
+# (corpus_mixture) weights against. Integer-only.
+
+CORPUS_SOURCE_STATS_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id, strlen(text) AS n_bytes,
+         len(list_filter(regexp_split_to_array(text, '[{ASCII_WS}]+'), x -> x <> '')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+dup AS (
+  SELECT source, count(*) - count(DISTINCT h) AS n_dup_docs FROM d GROUP BY source
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(any_value(dup.n_dup_docs) AS BIGINT) AS n_dup_docs
+FROM d JOIN dup USING (source)
+GROUP BY d.source
+"""
+
+
+def corpus_source_stats(sf_dir: str):
+    """Per-source corpus datasheet. One scan computes per-batch partials
+    for bytes/tokens/docs; the exact per-source duplicate count needs
+    distinct content hashes per source, so (source, hash) pairs dedup
+    progressively (in-batch group first, then the (source,hash)-bucketed
+    group) before a per-source count — the same progressive-distinct
+    topology as events_rollup's user roster."""
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .text import ASCII_WS as _ws
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+    split_re = f"[{_ws}]+"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].cast(pa.string()), split_re)
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = la.flatten()
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok_np = (
+            np.add.reduceat(np.append(nonempty, 0), np.minimum(offs[:-1], len(nonempty)))[
+                : batch.num_rows
+            ]
+            if len(nonempty)
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        )
+        # reduceat quirk guard: token lists are never empty (split of ""
+        # yields [""]), so no segment is zero-width
+        n_tok = pa.array(n_tok_np.astype(np.int64), pa.int64())
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        t = pa.table(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "n_bytes": pc.binary_length(pc.cast(batch["text"], pa.large_binary())).cast(pa.int64()),
+                "n_tokens": n_tok,
+                "h": pa.array(hashes, pa.string()),
+            }
+        )
+        agg = t.group_by(["source", "h"]).aggregate(
+            [("n_bytes", "sum"), ("n_tokens", "sum"), ([], "count_all")]
+        )
+        hb = np.fromiter(
+            (
+                zlib.crc32(f"{s}|{h}".encode()) % 64
+                for s, h in zip(agg["source"].to_pylist(), agg["h"].to_pylist())
+            ),
+            dtype=np.int32,
+            count=agg.num_rows,
+        )
+        return pa.table(
+            {
+                "source": agg["source"],
+                "h": agg["h"],
+                "b_part": agg["n_bytes_sum"].cast(pa.int64()),
+                "t_part": agg["n_tokens_sum"].cast(pa.int64()),
+                "c_part": agg["count_all"].cast(pa.int64()),
+                "hbucket": pa.array(hb),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        # all copies of a (source, hash) land here: docs = sum of counts,
+        # distinct = 1 per (source, hash) row after the inner group
+        agg = (
+            group.groupby(["source", "h"], sort=False)
+            .agg(b=("b_part", "sum"), t=("t_part", "sum"), c=("c_part", "sum"))
+            .reset_index()
+        )
+        out = (
+            agg.groupby("source", sort=False)
+            .agg(
+                n_docs=("c", "sum"),
+                n_bytes=("b", "sum"),
+                n_tokens=("t", "sum"),
+                n_distinct=("h", "size"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "docs_part": pa.array(out["n_docs"].astype("int64")),
+                "bytes_part": pa.array(out["n_bytes"].astype("int64")),
+                "tokens_part": pa.array(out["n_tokens"].astype("int64")),
+                "distinct_part": pa.array(out["n_distinct"].astype("int64")),
+            }
+        )
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(merge, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("docs_part", alias_name="n_docs"),
+            Sum("bytes_part", alias_name="n_bytes"),
+            Sum("tokens_part", alias_name="n_tokens"),
+            Sum("distinct_part", alias_name="n_distinct"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"].cast(pa.string()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_bytes": batch["n_bytes"].cast(pa.int64()),
+                "n_tokens": batch["n_tokens"].cast(pa.int64()),
+                "n_dup_docs": pa.array(nd - ns, pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
