@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": text.corpus_split,
         "doc_blocklist_filter": text.doc_blocklist_filter,
         "doc_length_filter": text.doc_length_filter,
+        "doc_weighted_sample": text.doc_weighted_sample,
         # --- corpus-level: joins / vocabulary / sketches / quantiles ---
         "doc_embed_join": corpus.doc_embed_join,
         "vocab_topk": corpus.vocab_topk,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": text.CORPUS_SPLIT_SQL,
         "doc_blocklist_filter": text.DOC_BLOCKLIST_SQL,
         "doc_length_filter": text.DOC_LENGTH_FILTER_SQL,
+        "doc_weighted_sample": text.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_embed_join": corpus.DOC_EMBED_JOIN_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "distinct_kmv": corpus.DISTINCT_KMV_SQL,

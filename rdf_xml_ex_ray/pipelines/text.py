@@ -1203,3 +1203,77 @@ def doc_length_filter(sf_dir: str):
         )
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- doc_weighted_sample
+
+# Weighted sampling without replacement (one-pass, deterministic): every doc
+# draws a hash-uniform u and competes on priority u/weight — the classic
+# weighted-reservoir key (Efraimidis–Spirakis shape) with a division instead
+# of the u^(1/w) power so the key is the correctly-rounded IEEE quotient of
+# two EXACTLY-representable integers (u: first 32 md5 bits, w: n_chars) and
+# therefore bit-identical on both engines; libm pow is not.
+WSAMPLE_K = 64
+WSAMPLE_SALT = "wsample"
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{WSAMPLE_SALT}'), 1, 8))::UBIGINT AS u
+  FROM documents
+)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY CAST(u AS DOUBLE) / weight, doc_id) AS BIGINT) AS rank
+FROM w
+QUALIFY rank <= {WSAMPLE_K}
+"""
+
+
+def doc_weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """Top-k by hash priority u/weight — longer documents proportionally
+    likelier to be drawn, the sample reproducible on any engine or rerun.
+    One stateless priority map, an EXACT per-block top-k prune (each block
+    keeps its own best k), and a k-row final sort: the streaming
+    weighted-reservoir topology (nothing but k rows per block ever moves)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        w = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        u = np.array(
+            [int(hashlib.md5(f"{d}:{WSAMPLE_SALT}".encode()).hexdigest()[:8], 16) for d in ids],
+            dtype=np.int64,
+        )
+        pr = u.astype(np.float64) / w.astype(np.float64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+                "weight": pa.array(w, pa.int64()),
+                "prio": pa.array(pr, pa.float64()),
+            }
+        )
+        idx = pc.sort_indices(t, sort_keys=[("prio", "ascending"), ("doc_id", "ascending")])[:k]
+        return t.take(idx)
+
+    picked = (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["prio", "doc_id"])
+        .limit(k)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "weight": batch["weight"].cast(pa.int64()),
+            }
+        )
+
+    out = picked.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
