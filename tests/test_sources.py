@@ -173,3 +173,67 @@ def test_read_rdfxml_non_atomic_marks_partial(ray_session, tmp_path):
     assert rejects.iloc[0]["error"].startswith(PARTIAL_ERROR_PREFIX)
     # already-drained triples stand, as documented for the non-atomic mode
     assert (df["error"].isna()).sum() >= 10_000
+
+
+def test_turtle_roundtrip_flagship(ray_session, tmp_path):
+    """write_turtle over the flagship triples, read back with the subset
+    reader: the triple multiset must round-trip exactly (set semantics —
+    the sink writes the already-deduped canonical store)."""
+    import pandas as pd
+
+    from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+    from rdf_xml_ex_ray.sources.turtle import read_turtle, write_turtle
+
+    triples = kg_triples_dataset("/root/testdata/sf0.001")
+    out = str(tmp_path / "ttl")
+    stats = write_turtle(triples, out, num_buckets=4).to_pandas()
+    assert stats["n_triples"].sum() > 0
+
+    import glob
+
+    back = read_turtle(sorted(glob.glob(f"{out}/part-*.ttl"))).to_pandas()
+    orig = kg_triples_dataset("/root/testdata/sf0.001").to_pandas()
+    cols = ["subj", "subj_kind", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    b = orig[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a.equals(b)
+
+
+def test_turtle_term_forms(ray_session, tmp_path):
+    """Prefix compaction, non-compactable IRIs, bnodes, lang + datatype
+    literals, and escapes all survive the write→read cycle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.sources.turtle import parse_turtle, table_to_turtle
+
+    rows = [
+        ("http://example.org/convo#c1", "iri", "http://example.org/convo#turn", "iri",
+         "http://example.org/convo#t1", None, None),
+        ("http://example.org/convo#c1", "iri", "http://other.org/p?q=1", "literal",
+         'esc "quote" and\nnewline\ttab \\ backslash', None, None),
+        ("b7", "bnode", "http://example.org/convo#tool", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.org/convo#c2", "iri", "http://example.org/convo#label", "literal",
+         "hallo", "de", None),
+    ]
+    tbl = pa.table(
+        {n: pa.array([r[i] for r in rows]) for i, n in enumerate(TRIPLE_SCHEMA.names)},
+        schema=TRIPLE_SCHEMA,
+    )
+    prefixes = {"c": "http://example.org/convo#", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    doc = table_to_turtle(tbl, prefixes)
+    assert "c:turn" in doc and "<http://other.org/p?q=1>" in doc and "_:b7" in doc
+    assert '"hallo"@de' in doc and "^^xsd:integer" in doc
+    got = {(str(s), str(p), repr(o)) for s, p, o in parse_turtle(doc)}
+    from rdf_xml_ex_ray.core.model import row_to_term
+    from rdf_xml_ex_ray.core.terms import BNode, IRI
+
+    want = set()
+    for subj, skind, pred, okind, oval, olang, odt in rows:
+        s = BNode(subj) if skind == "bnode" else IRI(subj)
+        o = row_to_term(okind, oval, olang, odt)
+        want.add((str(s), str(pred), repr(o)))
+    assert got == want
