@@ -40,6 +40,17 @@ def main(argv=None) -> int:
     decode.add_argument("--base", default=None)
     decode.add_argument("--num-cpus", type=int, default=None)
 
+    export = sub.add_parser("export", help="export a parquet triple store to .nt / .ttl")
+    export.add_argument("store", help="triple-store parquet dir (e.g. <kg-out>/triples)")
+    export.add_argument("--out", required=True)
+    export.add_argument("--format", choices=["nt", "ttl"], default="nt")
+    export.add_argument(
+        "--prefix", action="append", default=[], metavar="PFX=NS",
+        help="extra Turtle prefix (repeatable), e.g. --prefix c=http://example.org/convo#",
+    )
+    export.add_argument("--buckets", type=int, default=16)
+    export.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -75,6 +86,39 @@ def main(argv=None) -> int:
                         "n_docs": lineage["n_docs"],
                         "n_bytes": lineage["n_bytes"],
                         "partitions": len(lineage["partitions"]),
+                        "out": args.out,
+                    }
+                )
+            )
+        elif args.cmd == "export":
+            import ray.data as rd
+
+            from rdf_xml_ex_ray.core.model import TRIPLE_COLUMNS
+
+            store = rd.read_parquet(args.store).map_batches(
+                lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+                batch_format="pyarrow",
+            )
+            if args.format == "ttl":
+                from rdf_xml_ex_ray.sources.turtle import DEFAULT_PREFIXES, write_turtle
+
+                prefixes = dict(DEFAULT_PREFIXES)
+                for spec in args.prefix:
+                    pfx, _, ns = spec.partition("=")
+                    prefixes[pfx] = ns
+                stats = write_turtle(
+                    store, args.out, prefixes=prefixes, num_buckets=args.buckets
+                ).to_pandas()
+            else:
+                from rdf_xml_ex_ray.sources.ntriples import write_ntriples
+
+                stats = write_ntriples(store, args.out, num_buckets=args.buckets).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "n_triples": int(stats["n_triples"].sum()),
+                        "files": len(stats),
+                        "format": args.format,
                         "out": args.out,
                     }
                 )
