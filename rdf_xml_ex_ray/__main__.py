@@ -102,9 +102,19 @@ def main(argv=None) -> int:
             if args.format == "ttl":
                 from rdf_xml_ex_ray.sources.turtle import DEFAULT_PREFIXES, write_turtle
 
+                import re as _re
+
                 prefixes = dict(DEFAULT_PREFIXES)
+                # Match read_turtle's prefix grammar ([A-Za-z][\w-]*): a
+                # malformed name would emit prefixed names the reader cannot
+                # parse back, silently breaking the write→read roundtrip.
                 for spec in args.prefix:
-                    pfx, _, ns = spec.partition("=")
+                    pfx, eq, ns = spec.partition("=")
+                    if not eq or not ns or not _re.fullmatch(r"[A-Za-z][\w\-]*", pfx):
+                        parser.error(
+                            f"--prefix {spec!r}: expected PFX=NS with PFX matching "
+                            "[A-Za-z][A-Za-z0-9_-]* and a non-empty namespace"
+                        )
                     prefixes[pfx] = ns
                 stats = write_turtle(
                     store, args.out, prefixes=prefixes, num_buckets=args.buckets

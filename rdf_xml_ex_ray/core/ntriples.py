@@ -101,3 +101,50 @@ def term_to_nt(term) -> str:
 
 def to_ntriples(triples) -> str:
     return "".join(f"{term_to_nt(s)} {term_to_nt(p)} {term_to_nt(o)} .\n" for s, p, o in triples)
+
+
+# ------------------------------------------------- bnode label conformance
+
+# Internal bnode labels ({conv_id}!b{k}) contain '!', which is outside
+# PN_CHARS, so raw emission would be spec-invalid BLANK_NODE_LABEL syntax
+# and conformant downstream parsers (rdflib, Jena, the reference's
+# RDF.NTriples reader — lib/rdf/ntriples naming per w3c_test.exs:54) would
+# reject the exported file. The sinks encode labels reversibly; the Dataset
+# readers decode, so write→read roundtrips preserve the internal labels the
+# SQL oracle depends on.
+_BNODE_PLAIN_RE = re.compile(r"[A-Za-z0-9]+\Z")
+_BNODE_ESC_RE = re.compile(r"_(?:U([0-9a-f]{8})|u([0-9a-f]{4})|([0-9a-f]{2}))")
+
+
+def encode_bnode_label(label: str) -> str:
+    """Internal bnode label → spec-valid BLANK_NODE_LABEL.
+
+    Every char outside [A-Za-z0-9] becomes ``_xx`` / ``_uxxxx`` /
+    ``_Uxxxxxxxx`` (lowercase hex). '_' itself (0x5f) is escaped, so the
+    escape introducer never appears bare — encode∘decode is the identity
+    for arbitrary labels. Output chars are all PN_CHARS_U | digits, valid
+    in any BLANK_NODE_LABEL position."""
+    if _BNODE_PLAIN_RE.match(label):
+        return label
+    out = []
+    for c in label:
+        if c.isascii() and c.isalnum():
+            out.append(c)
+        else:
+            cp = ord(c)
+            if cp <= 0xFF:
+                out.append(f"_{cp:02x}")
+            elif cp <= 0xFFFF:
+                out.append(f"_u{cp:04x}")
+            else:
+                out.append(f"_U{cp:08x}")
+    return "".join(out)
+
+
+def decode_bnode_label(label: str) -> str:
+    """Inverse of encode_bnode_label (no-op on labels without '_')."""
+    if "_" not in label:
+        return label
+    return _BNODE_ESC_RE.sub(
+        lambda m: chr(int(m.group(1) or m.group(2) or m.group(3), 16)), label
+    )

@@ -1640,8 +1640,13 @@ def doc_lm_coverage(sf_dir: str):
     from ..stages.broadcast import put_broadcast, resolve_broadcast
 
     lm = token_bigram_lm(sf_dir).to_pandas()
+    # Length-prefixed key: tokens come from a single-space split, so they may
+    # themselves contain \x1f on hostile text; "len(w1)\x1f w1\x1f w2" makes
+    # the pair encoding injective (same prefix ⇒ same w1 length ⇒ same split
+    # point), matching the SQL oracle's exact two-column join semantics.
     lm_keys = pa.array(
-        sorted(w1 + "\x1f" + w2 for w1, w2 in zip(lm["w1"], lm["w2"])), pa.string()
+        sorted(f"{len(w1)}\x1f{w1}\x1f{w2}" for w1, w2 in zip(lm["w1"], lm["w2"])),
+        pa.string(),
     )
     lm_ref = put_broadcast(lm_keys)
 
@@ -1662,8 +1667,9 @@ def doc_lm_coverage(sf_dir: str):
             ends = ends[(ends >= 0) & (ends < nf - 1)]
             mask[ends] = False
             valid = np.flatnonzero(mask)  # pair-start positions within one doc
+            w1 = flat.slice(0, nf - 1)
             joined = pc.binary_join_element_wise(
-                flat.slice(0, nf - 1), flat.slice(1), "\x1f"
+                pc.cast(pc.utf8_length(w1), pa.string()), w1, flat.slice(1), "\x1f"
             )
             in_lm = pc.is_in(joined, value_set=keys).to_numpy(zero_copy_only=False)
             pair_doc = np.searchsorted(offs, valid, side="right") - 1

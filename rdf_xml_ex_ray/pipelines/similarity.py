@@ -768,12 +768,15 @@ def ann_recall_eval(sf_dir: str):
         return f
 
     def score(group: pd.DataFrame) -> pa.Table:
+        # query_id comes from the GROUP (not the brute-force slice): a query
+        # present only in the approx results must degrade to n_hits=0, k=0
+        # instead of IndexError-ing on an empty brute slice.
         b = group[group["role"] == 1]
         a_set = set(group.loc[group["role"] == 2, "vec_id"].astype("int64"))
         hits = int(b["vec_id"].astype("int64").isin(a_set).sum())
         return pa.table(
             {
-                "query_id": pa.array([int(b["query_id"].iloc[0])], pa.int64()),
+                "query_id": pa.array([int(group["query_id"].iloc[0])], pa.int64()),
                 "n_hits": pa.array([hits], pa.int64()),
                 "k": pa.array([len(b)], pa.int64()),
             }

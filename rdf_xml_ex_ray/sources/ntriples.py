@@ -13,12 +13,14 @@ import os
 import pyarrow as pa
 
 from ..core.model import TRIPLE_SCHEMA, term_to_row
-from ..core.ntriples import parse_ntriples, term_to_nt
+from ..core.ntriples import decode_bnode_label, encode_bnode_label, parse_ntriples, term_to_nt
 
 
 def read_ntriples(paths):
     """.nt file(s) → Dataset of triple rows (malformed lines raise — the
-    N-Triples grammar has no recoverable-error notion)."""
+    N-Triples grammar has no recoverable-error notion). Bnode labels are
+    decoded from the sink's BLANK_NODE_LABEL encoding (core/ntriples
+    decode_bnode_label), restoring internal ``{conv_id}!b{k}`` labels."""
     import ray.data as rd
 
     ds = rd.read_text(paths)
@@ -29,6 +31,10 @@ def read_ntriples(paths):
             for s, p, o in parse_ntriples(line):
                 s_kind, s_val, _, _ = term_to_row(s)
                 o_kind, o_val, o_lang, o_dt = term_to_row(o)
+                if s_kind == "bnode":
+                    s_val = decode_bnode_label(s_val)
+                if o_kind == "bnode":
+                    o_val = decode_bnode_label(o_val)
                 cols["subj"].append(s_val)
                 cols["subj_kind"].append(s_kind)
                 cols["pred"].append(str(p))
@@ -60,8 +66,10 @@ def write_ntriples(triples_ds, out_dir: str, num_buckets: int = 16):
         g = group.sort_values(["subj", "pred", "obj_value"], kind="mergesort")
         lines = []
         for r in g.itertuples():
-            s = BNode(r.subj) if r.subj_kind == "bnode" else IRI(r.subj)
+            s = BNode(encode_bnode_label(r.subj)) if r.subj_kind == "bnode" else IRI(r.subj)
             o = row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype)
+            if isinstance(o, BNode):
+                o = BNode(encode_bnode_label(str(o)))
             lines.append(f"{term_to_nt(s)} {term_to_nt(IRI(r.pred))} {term_to_nt(o)} .\n")
         tmp = os.path.join(out_dir, f".part-{bucket:05d}.nt.tmp")
         final = os.path.join(out_dir, f"part-{bucket:05d}.nt")

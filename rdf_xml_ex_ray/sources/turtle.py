@@ -11,6 +11,11 @@ self-contained correctness gate without an external Turtle parser.
 Reference relationship: the reference is RDF/XML-only and reads goldens via
 RDF.NTriples (w3c_test.exs:48-60); Turtle here is surface breadth for users
 whose downstream tooling expects prefixed triples.
+
+Blank nodes: internal labels (``{conv_id}!b{k}``) contain '!', which is
+outside PN_CHARS — the sink emits them through encode_bnode_label so the
+files are spec-valid BLANK_NODE_LABELs that conformant parsers accept;
+read_turtle decodes, so roundtrips preserve internal labels.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ import os
 import re
 
 from ..core.model import TRIPLE_SCHEMA, row_to_term, term_to_row
-from ..core.ntriples import _escape, _unescape
+from ..core.ntriples import _escape, _unescape, decode_bnode_label, encode_bnode_label
 from ..core.terms import BNode, IRI, Literal, ParseError
 
 # conservative PN_LOCAL: what we can compact WITHOUT Turtle escape rules
@@ -53,7 +58,7 @@ def _obj_tt(kind: str, value: str, lang, dt, prefixes) -> str:
             return f"{base}^^{_compact(dt, prefixes)}"
         return base
     if kind == "bnode":
-        return f"_:{value}"
+        return f"_:{encode_bnode_label(value)}"
     return _compact(value, prefixes)
 
 
@@ -68,7 +73,11 @@ def table_to_turtle(batch, prefixes: dict[str, str]) -> str:
     cur_subj = None
     stanza: list[str] = []
     for r in g.itertuples():
-        subj_tt = f"_:{r.subj}" if r.subj_kind == "bnode" else _compact(r.subj, prefixes)
+        subj_tt = (
+            f"_:{encode_bnode_label(r.subj)}"
+            if r.subj_kind == "bnode"
+            else _compact(r.subj, prefixes)
+        )
         if subj_tt != cur_subj:
             if stanza:
                 out.append(" ;\n".join(stanza) + " .\n")
@@ -200,6 +209,10 @@ def read_turtle(paths):
             for s, p, o in parse_turtle(payload.decode("utf-8")):
                 s_kind, s_val, _, _ = term_to_row(s)
                 o_kind, o_val, o_lang, o_dt = term_to_row(o)
+                if s_kind == "bnode":
+                    s_val = decode_bnode_label(s_val)
+                if o_kind == "bnode":
+                    o_val = decode_bnode_label(o_val)
                 cols["subj"].append(s_val)
                 cols["subj_kind"].append(s_kind)
                 cols["pred"].append(str(p))

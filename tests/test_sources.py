@@ -237,3 +237,66 @@ def test_turtle_term_forms(ray_session, tmp_path):
         o = row_to_term(okind, oval, olang, odt)
         want.add((str(s), str(pred), repr(o)))
     assert got == want
+
+
+def test_bnode_label_encoding_roundtrip():
+    """encode_bnode_label output is spec-valid BLANK_NODE_LABEL material
+    (ADVICE r3: '!' in internal labels is outside PN_CHARS) and decode is
+    its exact inverse for arbitrary labels."""
+    import re
+
+    from rdf_xml_ex_ray.core.ntriples import decode_bnode_label, encode_bnode_label
+
+    cases = ["c0!b10", "b7", "x_y", "a b", "ünïcode!b1", "\U0001F600!b2", "_", "9lead",
+             "a_5f", "has_u0041fake", "!", "c12!b0!b1"]
+    valid = re.compile(r"[A-Za-z0-9_]+\Z")  # conservative subset of BLANK_NODE_LABEL
+    for label in cases:
+        enc = encode_bnode_label(label)
+        assert valid.match(enc), (label, enc)
+        assert decode_bnode_label(enc) == label, (label, enc)
+
+
+def test_sink_bnode_labels_spec_valid(ray_session, tmp_path):
+    """Exported .nt and .ttl files contain only spec-valid bnode labels even
+    when internal labels carry '!', and the readers restore them exactly."""
+    import glob
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.sources.ntriples import read_ntriples, write_ntriples
+    from rdf_xml_ex_ray.sources.turtle import read_turtle, write_turtle
+
+    rows = [
+        ("c0!b10", "bnode", "http://example.org/convo#next", "bnode", "c0!b11", None, None),
+        ("c0!b11", "bnode", "http://example.org/convo#text", "literal", "hi", None, None),
+        ("http://example.org/convo#c0", "iri", "http://example.org/convo#root", "bnode",
+         "c0!b10", None, None),
+    ]
+    tbl = pa.table(
+        {n: pa.array([r[i] for r in rows]) for i, n in enumerate(TRIPLE_SCHEMA.names)},
+        schema=TRIPLE_SCHEMA,
+    )
+    ds = rd.from_arrow(tbl)
+    valid = re.compile(r"_:([A-Za-z0-9_]+)")
+    cols = list(TRIPLE_SCHEMA.names)
+
+    for fmt, write, read in (
+        ("nt", write_ntriples, read_ntriples),
+        ("ttl", write_turtle, read_turtle),
+    ):
+        out = str(tmp_path / fmt)
+        write(ds, out, num_buckets=2).to_pandas()
+        files = sorted(glob.glob(f"{out}/part-*.{fmt}"))
+        text = "".join(open(f, encoding="utf-8").read() for f in files)
+        raw_labels = re.findall(r"_:(\S+)", text)
+        assert raw_labels, fmt
+        for lbl in raw_labels:
+            assert re.fullmatch(r"[A-Za-z0-9_]+", lbl), (fmt, lbl)
+        back = read(files).to_pandas()
+        orig = tbl.to_pandas()
+        a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+        b = orig[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), fmt

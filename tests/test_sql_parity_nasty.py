@@ -29,6 +29,10 @@ NASTY_TEXTS = [
     "acct 123456789 vs short 12345678 and café9123456789 touch",
     "a@b.c edge, v4-ish 1.2.3.4.5 run-on, id00000000017",
     "email@domain.org.12.34.56.78 adjacency test 0x123456789",
+    # \x1f (unit separator) inside tokens: doc_lm_coverage's bigram key is
+    # length-prefixed exactly so "a\x1fb","c" cannot collide with "a","b\x1fc"
+    "a\x1fb c a\x1fb c d",
+    "a b\x1fc a b\x1fc d",
 ]
 
 
