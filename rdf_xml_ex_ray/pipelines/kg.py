@@ -63,20 +63,13 @@ def render_documents(turns_ds, num_conv_buckets: int = 64):
     """Conversation assembly: ONE shuffle keyed on a conversation bucket
     (crc32(conv_id) % B) — co-locates whole conversations while keeping the
     group count at B, so Ray's per-group dispatch overhead stays fixed as
-    the number of conversations grows."""
-    import zlib
+    the number of conversations grows. Keying is dictionary-encoded
+    (stages/canonicalize.add_crc32_bucket): conv_ids repeat ~6-15× per
+    batch, so crc32 runs once per distinct conversation, not per row."""
+    from ..stages.canonicalize import add_crc32_bucket
 
-    import numpy as np
-    import pyarrow as pa
-
-    def add_conv_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch["conv_id"].to_pylist()
-        buckets = np.fromiter(
-            (zlib.crc32(c.encode()) % num_conv_buckets for c in ids),
-            dtype=np.int32,
-            count=len(ids),
-        )
-        return batch.append_column("conv_bucket", pa.array(buckets, pa.int32()))
+    def add_conv_bucket(batch):
+        return add_crc32_bucket(batch, "conv_id", num_conv_buckets, "conv_bucket")
 
     bucketed = turns_ds.map_batches(add_conv_bucket, batch_format="pyarrow")
     return bucketed.groupby("conv_bucket").map_groups(
@@ -264,22 +257,11 @@ def kg_triples_from_transcripts(
     (conv_id, turn_idx:int32, role, text, tool, ts:timestamp[us]) — what a
     user with real transcript parquet feeds in directly. Same topology as
     the flagship; ordering comes from the explicit (conv_id, turn_idx)."""
-    import zlib
-
-    import numpy as np
-    import pyarrow as pa
-
-    from ..stages.canonicalize import dedup_sort_table
+    from ..stages.canonicalize import add_crc32_bucket, dedup_sort_table
     from ..stages.render import assemble_and_render_bucket_by_turn_idx
 
-    def add_conv_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch["conv_id"].to_pylist()
-        buckets = np.fromiter(
-            (zlib.crc32(c.encode()) % num_conv_buckets for c in ids),
-            dtype=np.int32,
-            count=len(ids),
-        )
-        return batch.append_column("conv_bucket", pa.array(buckets, pa.int32()))
+    def add_conv_bucket(batch):
+        return add_crc32_bucket(batch, "conv_id", num_conv_buckets, "conv_bucket")
 
     docs = (
         transcripts_ds.map_batches(add_conv_bucket, batch_format="pyarrow")
@@ -576,10 +558,12 @@ def kg_incremental(sf_dir: str, delta_mod: int = INCR_DELTA_MOD):
 
     def _part(keep_delta: bool):
         def f(batch: pa.Table) -> pa.Table:
-            uid = np.asarray(
-                [int(c[1:].split("!", 1)[0]) for c in batch["conv_id"].to_pylist()],
-                dtype=np.int64,
-            )
+            # conv_id = 'c' || user_id (transcripts/derive.py): slice off the
+            # tag, split any '!'-suffixed scope, cast — all Arrow kernels
+            # (was a per-row int(c[1:].split(...)) Python loop)
+            tail = pc.utf8_slice_codeunits(batch["conv_id"], 1)
+            first = pc.list_element(pc.split_pattern(tail, "!", max_splits=1), 0)
+            uid = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
             mask = (uid % delta_mod == 0) if keep_delta else (uid % delta_mod != 0)
             return batch.filter(pa.array(mask))
 

@@ -859,28 +859,31 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
     chunks_ref = put_broadcast(n_chunks)
 
     def expand(batch: pa.Table) -> pa.Table:
+        # vectorized chunk-pair expansion: the only Python loop is the
+        # chunk-count lookup over the batch's DISTINCT cells; the per-row
+        # fan-out (each row → kk pair rows) is numpy repeat/cumsum
         m = resolve_broadcast(chunks_ref)
-        cell_arr = batch["cell"].to_pylist()
-        vid_arr = batch["vec_id"].to_pylist()
-        idx, blocks, cis, cjs, chunks = [], [], [], [], []
-        for row, (cell, vid) in enumerate(zip(cell_arr, vid_arr)):
-            kk = m.get(int(cell), 1)
-            c = int(vid) % kk
-            for other in range(kk):
-                i, j = (c, other) if c <= other else (other, c)
-                idx.append(row)
-                # (cell, i, j) packed collision-free for up to 2^20 chunks
-                # per cell (cap² rows — far beyond any real cell)
-                blocks.append((int(cell) << 40) | (i << 20) | j)
-                cis.append(i)
-                cjs.append(j)
-                chunks.append(c)
+        cell = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ucells, inv = np.unique(cell, return_inverse=True)
+        ukk = np.fromiter((m.get(int(c), 1) for c in ucells), np.int64, count=len(ucells))
+        kk = ukk[inv]
+        c = vid % kk
+        idx = np.repeat(np.arange(len(cell), dtype=np.int64), kk)
+        offsets = np.r_[0, np.cumsum(kk)]
+        other = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(offsets[:-1], kk)
+        c_rep = np.repeat(c, kk)
+        i = np.minimum(c_rep, other)
+        j = np.maximum(c_rep, other)
+        # (cell, i, j) packed collision-free for up to 2^20 chunks per cell
+        # (cap² rows — far beyond any real cell)
+        blocks = (np.repeat(cell, kk) << 40) | (i << 20) | j
         t = batch.take(pa.array(idx, pa.int64()))
         return (
             t.append_column("__block", pa.array(blocks, pa.int64()))
-            .append_column("__ci", pa.array(cis, pa.int32()))
-            .append_column("__cj", pa.array(cjs, pa.int32()))
-            .append_column("__chunk", pa.array(chunks, pa.int32()))
+            .append_column("__ci", pa.array(i.astype(np.int32), pa.int32()))
+            .append_column("__cj", pa.array(j.astype(np.int32), pa.int32()))
+            .append_column("__chunk", pa.array(c_rep.astype(np.int32), pa.int32()))
         )
 
     def block_dups(group: pd.DataFrame) -> pa.Table:

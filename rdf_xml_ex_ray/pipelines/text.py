@@ -639,21 +639,23 @@ class FrameSampler:
             raise NotImplementedError("no media decoder libs in this environment")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, sample_idx, frame_idx, n_frames_out = [], [], [], []
-        for d, nb in zip(batch["doc_id"].to_pylist(), batch["n_bytes"].to_pylist()):
-            n_frames = 1 + nb % 30
-            k = min(n_frames, MM_FRAMES_PER_CLIP)
-            for i in range(k):
-                doc_ids.append(d)
-                sample_idx.append(i)
-                frame_idx.append((i * n_frames) // k)
-                n_frames_out.append(n_frames)
+        # vectorized k-of-n schedule: per-row fan-out via repeat/cumsum —
+        # no Python loop over clips or frames
+        import numpy as np
+
+        nb = batch["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_frames = 1 + nb % 30
+        k = np.minimum(n_frames, MM_FRAMES_PER_CLIP)
+        offsets = np.r_[0, np.cumsum(k)]
+        i = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(offsets[:-1], k)
+        n_rep = np.repeat(n_frames, k)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "sample_idx": pa.array(sample_idx, pa.int64()),
-                "frame_idx": pa.array(frame_idx, pa.int64()),
-                "n_frames": pa.array(n_frames_out, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc, k), pa.int64()),
+                "sample_idx": pa.array(i, pa.int64()),
+                "frame_idx": pa.array((i * n_rep) // np.repeat(k, k), pa.int64()),
+                "n_frames": pa.array(n_rep, pa.int64()),
             }
         )
 

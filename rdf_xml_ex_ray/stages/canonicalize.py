@@ -26,11 +26,14 @@ import pyarrow.compute as pc
 SORT_KEYS = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
 
 
-def add_subj_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    # subjects repeat heavily (one per triple, ~6-9 triples per subject):
-    # dictionary-encode first so crc32 runs once per distinct subject
-    subj = batch["subj"].combine_chunks()
-    dict_arr = pc.dictionary_encode(subj)
+def add_crc32_bucket(batch: pa.Table, col: str, num_buckets: int, out_col: str) -> pa.Table:
+    """Append ``out_col`` = crc32(batch[col]) % num_buckets (stable across
+    processes — NOT Python ``hash``, which is salted). Key values repeat
+    heavily in every caller (subjects ~6-9 triples each, conv_ids ~6-15
+    turns each), so dictionary-encode first and crc32 only the distinct
+    values — the Python loop runs once per unique key, not per row."""
+    arr = batch[col].combine_chunks()
+    dict_arr = pc.dictionary_encode(arr)
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
     uniq = dict_arr.dictionary.to_pylist()
@@ -40,7 +43,11 @@ def add_subj_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
         count=len(uniq),
     )
     buckets = pa.array(uniq_buckets, pa.int32()).take(dict_arr.indices)
-    return batch.append_column("subj_bucket", buckets)
+    return batch.append_column(out_col, buckets)
+
+
+def add_subj_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    return add_crc32_bucket(batch, "subj", num_buckets, "subj_bucket")
 
 
 def prededup_batch(batch: pa.Table) -> pa.Table:

@@ -51,10 +51,12 @@ def derive_turns_batch(batch: pa.Table) -> pa.Table:
         }
     )
     etype = batch["event_type"]
+    # constants broadcast as scalars — pa.array([x]*n) builds a Python list
+    # per batch and showed up in the flagship derive profile
     conv_id = pc.binary_join_element_wise(
-        pa.array(["c"] * len(batch)), pc.cast(batch["user_id"], pa.string()), ""
+        pa.scalar("c"), pc.cast(batch["user_id"], pa.string()), ""
     )
-    role = pa.array([_DEFAULT_ROLE] * len(batch))
+    role = pa.scalar(_DEFAULT_ROLE)
     for ev, r in _ROLE_CASES:
         role = pc.if_else(pc.equal(etype, ev), r, role)
     text = pc.binary_join_element_wise(
