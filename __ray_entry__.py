@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_pq": similarity.embedding_pq,
         "knn_graph": similarity.knn_graph,
+        "knn_graph_ann": similarity.knn_graph_ann,
+        "knn_recall_eval": similarity.knn_recall_eval,
         "ann_recall_eval": similarity.ann_recall_eval,
         "doc_semdedup": similarity.doc_semdedup,
         "embedding_kmeans": similarity.embedding_kmeans,
@@ -170,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": similarity.EMBEDDING_CENTROIDS_SQL,
         "embedding_pq": similarity.EMBEDDING_PQ_SQL,
         "knn_graph": similarity.KNN_GRAPH_SQL,
+        "knn_graph_ann": similarity.KNN_GRAPH_ANN_SQL,
+        "knn_recall_eval": similarity.KNN_RECALL_EVAL_SQL,
         "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
         "doc_semdedup": similarity.DOC_SEMDEDUP_SQL,
         "embedding_kmeans": similarity.EMBEDDING_KMEANS_SQL,

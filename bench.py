@@ -99,6 +99,10 @@ def run_bench() -> dict:
     timed("kg_direct_mapping", lambda: relational.kg_direct_mapping(SF_DIR))
     timed("doc_substring_dedup", lambda: dedup.doc_substring_dedup(SF_DIR))
     timed("knn_graph", lambda: similarity.knn_graph(SF_DIR))
+    # the ANN-blocked sibling: same output contract, ~probe_mass (1/16) of
+    # the pair-compute — the gap vs knn_graph widens with corpus size
+    # (subquadratic growth evidence recorded in BASELINE.md)
+    timed("knn_graph_ann", lambda: similarity.knn_graph_ann(SF_DIR))
 
     headline = timings["kg_triples"]
     result = {

@@ -725,6 +725,264 @@ def knn_graph(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+# ----------------------------------------------------------- knn_graph_ann
+
+# ANN-blocked kNN graph — the 100-TB path knn_graph (exact, all-pairs)
+# verifies. Every vector is a QUERY probing its KNN_PROBE top cells of a
+# 64-cell integer-exact coarse quantizer, and a CANDIDATE only inside its
+# own cell: total pair-compute drops from n²/2 to ~n² × probe_mass (the
+# share of corpus mass in probed cells, ≈ KNN_PROBE/KNN_CELLS for balanced
+# cells — 1/16 here), and shrinks further as cells are added at scale.
+# Cell assignment and probe ranking are exact integer arithmetic on both
+# engines (same construction as _IVF_CODEBOOK), so DuckDB replays the
+# whole graph and the oracle hash-checks it end to end; knn_recall_eval
+# grades its recall against the exact graph.
+KNN_CELLS = 64
+KNN_PROBE = 4
+
+_KNN_CODEBOOK = np.random.RandomState(17).randint(-99, 100, size=(KNN_CELLS, LSH_DIM)).astype(np.float64)
+
+_KNN_SCORES_EXPR = "[" + ", ".join(
+    f"list_dot_product(qv, {_int_literal(_KNN_CODEBOOK[c])})" for c in range(KNN_CELLS)
+) + "]"
+
+KNN_GRAPH_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, v, list_transform(v, x -> round(x * {IVF_QSCALE})) AS qv
+  FROM e
+),
+sc AS (SELECT vec_id, v, {_KNN_SCORES_EXPR} AS scores FROM qz),
+cells AS (
+  SELECT vec_id, v, scores,
+         list_position(scores, list_max(scores)) - 1 AS cell
+  FROM sc
+),
+ranked_probes AS (
+  SELECT c.vec_id AS src, c.v AS qvec, g.cell AS pc,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY c.scores[g.cell + 1] DESC, g.cell) AS pr
+  FROM cells c, generate_series(0, {KNN_CELLS - 1}) AS g(cell)
+),
+probes AS (SELECT src, qvec, pc FROM ranked_probes WHERE pr <= {KNN_PROBE}),
+sims AS (
+  SELECT p.src, t.vec_id AS dst, list_cosine_similarity(p.qvec, t.v) AS sim
+  FROM probes p JOIN cells t ON t.cell = p.pc AND t.vec_id <> p.src
+)
+SELECT src, dst,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY round(sim, 4) DESC, dst) AS BIGINT) AS rank,
+       round(sim, 4) AS cos_sim
+FROM sims QUALIFY rank <= {KNN_K}
+"""
+# ^ ranking is on the ROUNDED sim (unlike the brute twins): duplicate
+# vectors land in different blocked groups whose matmul shapes differ, so
+# BLAS summation order can split their raw sims by 1 ulp while DuckDB's
+# per-row kernel computes them exactly equal — quantizing to the emitted
+# 4 dp before the (sim DESC, dst) tiebreak makes the rank order identical
+# on both engines for exactly the values the oracle hash compares.
+
+
+def _knn_cells_probes(raw_mat: np.ndarray):
+    """(cell, probes) per vector under the 64-cell graph quantizer: argmax
+    first-max cell, top-KNN_PROBE probe cells by (score DESC, cell ASC) —
+    both identical to the SQL twin's list_position / row_number ranking."""
+    scores = _ivf_quantize(raw_mat) @ _KNN_CODEBOOK.T
+    cell = np.argmax(scores, axis=1).astype(np.int64)
+    probes = np.argsort(-scores, axis=1, kind="stable")[:, :KNN_PROBE].astype(np.int64)
+    return cell, probes
+
+
+def knn_graph_ann(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
+    """Approximate kNN graph, cell-blocked (see block comment above).
+
+    Topology: one counting pass (per-cell candidate + probing-query totals
+    → chunk counts, a 64-row broadcast), then an expansion pass that
+    replicates each row into its bounded (probe_cell, query_chunk,
+    cand_chunk) groups — numpy repeat/cumsum, no Python loop — one blocked
+    matmul per group, and a groupby(src) merge of per-group partial top-k.
+    No group holds more than ~2×chunk_cap rows or cap² pair-work, and the
+    two shuffles move only expansion rows and top-k partials. Row
+    replication totals O(pair_compute / chunk_cap) — proportional to the
+    ANN-reduced work, not to n²."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        cell, probes = _knn_cells_probes(raw)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(KNN_CELLS, dtype=np.int64)),
+                "n_cand_part": pa.array(np.bincount(cell, minlength=KNN_CELLS).astype(np.int64)),
+                "n_query_part": pa.array(
+                    np.bincount(probes.ravel(), minlength=KNN_CELLS).astype(np.int64)
+                ),
+            }
+        )
+
+    counts = (
+        ds.map_batches(cell_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_cand_part", alias_name="n_cand"), Sum("n_query_part", alias_name="n_query"))
+        .take_all()
+    )
+    cc = np.ones(KNN_CELLS, dtype=np.int64)  # candidate chunks per cell
+    qc = np.ones(KNN_CELLS, dtype=np.int64)  # query chunks per cell
+    for r in counts:
+        cc[int(r["cell"])] = max(1, -(-int(r["n_cand"]) // chunk_cap))
+        qc[int(r["cell"])] = max(1, -(-int(r["n_query"]) // chunk_cap))
+    chunks_ref = put_broadcast({"cc": cc, "qc": qc})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        b = resolve_broadcast(chunks_ref)
+        cc_, qc_ = b["cc"], b["qc"]
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        cell, probes = _knn_cells_probes(raw)
+        n = len(vids)
+        # candidate side: own cell, own cand-chunk, replicated to every
+        # query chunk of that cell
+        qcnt = qc_[cell]
+        idx_c = np.repeat(np.arange(n, dtype=np.int64), qcnt)
+        offs = np.r_[0, np.cumsum(qcnt)]
+        qch_c = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], qcnt)
+        grp_c = (np.repeat(cell, qcnt) << 40) | (qch_c << 20) | np.repeat(vids % cc_[cell], qcnt)
+        # query side: each probed cell, own query-chunk there, replicated to
+        # every cand chunk of that cell
+        pcf = probes.reshape(-1)
+        row_f = np.repeat(np.arange(n, dtype=np.int64), KNN_PROBE)
+        ccnt = cc_[pcf]
+        idx_q = np.repeat(row_f, ccnt)
+        offs2 = np.r_[0, np.cumsum(ccnt)]
+        cch_q = np.arange(int(offs2[-1]), dtype=np.int64) - np.repeat(offs2[:-1], ccnt)
+        grp_q = (
+            (np.repeat(pcf, ccnt) << 40)
+            | (np.repeat(vids[row_f] % qc_[pcf], ccnt) << 20)
+            | cch_q
+        )
+        idx = np.concatenate([idx_c, idx_q])
+        grp = np.concatenate([grp_c, grp_q])
+        role = np.concatenate(
+            [np.full(len(idx_c), 2, np.int8), np.full(len(idx_q), 1, np.int8)]
+        )
+        t = batch.take(pa.array(idx, pa.int64()))
+        return (
+            t.append_column("__grp", pa.array(grp, pa.int64()))
+            .append_column("__role", pa.array(role, pa.int8()))
+        )
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def block_topk(group: pd.DataFrame) -> pa.Table:
+        # roles are explicit on BOTH sides here (a row probing its own cell
+        # appears twice), so unlike knn_graph's diagonal groups no role is
+        # ever inferred from the group key
+        qm = group["__role"].to_numpy() == 1
+        q, c = group[qm], group[~qm]
+        if len(q) == 0 or len(c) == 0:
+            return empty
+        q_ids = q["vec_id"].to_numpy().astype(np.int64)
+        c_ids = c["vec_id"].to_numpy().astype(np.int64)
+        qmat = _normalize(np.stack(q["embedding"].to_numpy()).astype(np.float64))
+        cmat = _normalize(np.stack(c["embedding"].to_numpy()).astype(np.float64))
+        # rounded before selection — see the SQL twin's ranking note
+        sims = np_round_half_away(qmat @ cmat.T, 4)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            keep = c_ids != qid
+            ids_k, row_k = c_ids[keep], sims[qi][keep]
+            if len(row_k) > k:
+                order = np.lexsort((ids_k, -row_k))[:k]
+                ids_k, row_k = ids_k[order], row_k[order]
+            out_q.extend([qid] * len(ids_k)); out_v.extend(ids_k); out_s.extend(row_k)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {
+                "src": pa.array(g["query_id"].astype("int64")),
+                "dst": pa.array(g["vec_id"].astype("int64")),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "cos_sim": pa.array(np_round_half_away(g["sim"].to_numpy(), 4), pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("__grp")
+        .map_groups(block_topk, batch_format="pandas")
+    )
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# Integer recall@k of the ANN graph vs the exact graph, per source vector —
+# the ann_recall_eval pattern applied to knn_graph_ann (index-quality gauge
+# for the subquadratic path).
+KNN_RECALL_EVAL_SQL = f"""
+WITH brute AS ({KNN_GRAPH_SQL}),
+approx AS ({KNN_GRAPH_ANN_SQL})
+SELECT b.src,
+       CAST(count(a.dst) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS k
+FROM brute b LEFT JOIN approx a
+  ON a.src = b.src AND a.dst = b.dst
+GROUP BY b.src
+"""
+
+
+def knn_recall_eval(sf_dir: str):
+    """Per-vector hit count of knn_graph_ann's edges among the exact
+    graph's top-k — same union → groupby(src) shape as ann_recall_eval,
+    integer outputs so the oracle compare is exact."""
+    brute = knn_graph(sf_dir)
+    approx = knn_graph_ann(sf_dir)
+
+    def tag(role: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch["src"].cast(pa.int64()),
+                    "dst": batch["dst"].cast(pa.int64()),
+                    "role": pa.array(np.full(batch.num_rows, role, dtype=np.int8)),
+                }
+            )
+        return f
+
+    def score(group: pd.DataFrame) -> pa.Table:
+        b = group[group["role"] == 1]
+        a_set = set(group.loc[group["role"] == 2, "dst"].astype("int64"))
+        hits = int(b["dst"].astype("int64").isin(a_set).sum())
+        return pa.table(
+            {
+                "src": pa.array([int(group["src"].iloc[0])], pa.int64()),
+                "n_hits": pa.array([hits], pa.int64()),
+                "k": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    union = brute.map_batches(tag(1), batch_format="pyarrow").union(
+        approx.map_batches(tag(2), batch_format="pyarrow")
+    )
+    return union.groupby("src").map_groups(score, batch_format="pandas")
+
+
 # -------------------------------------------------------------- recall eval
 
 # Pipeline-evaluation primitive: measure the approximate index's quality

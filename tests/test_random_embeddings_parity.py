@@ -32,8 +32,8 @@ def _make_embeddings(seed: int, n: int = 300, dim: int = 64):
 EMB_OPS = [
     "ann_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_filtered_topk",
     "ann_range_search", "embedding_centroids", "embedding_pq",
-    "knn_graph", "ann_recall_eval", "doc_semdedup", "embedding_kmeans",
-    "dedup_embedding",
+    "knn_graph", "knn_graph_ann", "knn_recall_eval", "ann_recall_eval",
+    "doc_semdedup", "embedding_kmeans", "dedup_embedding",
 ]
 
 
