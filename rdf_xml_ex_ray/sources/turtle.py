@@ -23,9 +23,8 @@ from __future__ import annotations
 import os
 import re
 
-from ..core.model import TRIPLE_SCHEMA, row_to_term, term_to_row
-from ..core.ntriples import _escape, _unescape, decode_bnode_label, encode_bnode_label
-from ..core.terms import BNode, IRI, Literal, ParseError
+from ..core.model import TRIPLE_SCHEMA, term_to_row
+from ..core.ntriples import _escape, decode_bnode_label, encode_bnode_label
 
 # conservative PN_LOCAL: what we can compact WITHOUT Turtle escape rules
 _PN_LOCAL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*\Z")
@@ -123,75 +122,10 @@ def write_turtle(triples_ds, out_dir: str, prefixes: dict[str, str] | None = Non
 
 # ------------------------------------------------------------------- reader
 
-_PREFIX_RE = re.compile(r"@prefix\s+([A-Za-z][\w\-]*)?:\s*<([^>]*)>\s*\.\s*\Z")
-_TTL_TERM_RE = re.compile(
-    r"""\s*(?:
-        <(?P<iri>[^>]*)>
-      | _:(?P<bnode>\S+?)(?=\s|$)
-      | "(?P<lit>(?:[^"\\]|\\.)*)"
-          (?:\^\^(?:<(?P<dtiri>[^>]*)>|(?P<dtpfx>[A-Za-z][\w\-]*):(?P<dtloc>[A-Za-z_][\w\-]*))
-            |@(?P<lang>[A-Za-z0-9\-]+))?
-      | (?P<pfx>[A-Za-z][\w\-]*):(?P<local>[A-Za-z_][\w\-]*)
-    )""",
-    re.X,
-)
-
-
-def _ttl_term(line: str, pos: int, prefixes: dict[str, str]):
-    m = _TTL_TERM_RE.match(line, pos)
-    if not m:
-        raise ParseError(f"bad Turtle term at: {line[pos:]!r}")
-    if m.group("iri") is not None:
-        return IRI(_unescape(m.group("iri"))), m.end()
-    if m.group("bnode") is not None:
-        return BNode(m.group("bnode")), m.end()
-    if m.group("pfx") is not None:
-        ns = prefixes.get(m.group("pfx"))
-        if ns is None:
-            raise ParseError(f"undeclared prefix {m.group('pfx')!r}")
-        return IRI(ns + m.group("local")), m.end()
-    lex = _unescape(m.group("lit"))
-    dt = m.group("dtiri")
-    if dt is None and m.group("dtpfx") is not None:
-        ns = prefixes.get(m.group("dtpfx"))
-        if ns is None:
-            raise ParseError(f"undeclared prefix {m.group('dtpfx')!r}")
-        dt = ns + m.group("dtloc")
-    return Literal(lex, lang=m.group("lang"), datatype=dt), m.end()
-
-
-def parse_turtle(text: str):
-    """Sink-subset Turtle → triple list. Statements end in ``.``; predicate
-    lists continue with ``;``. No collections, no ``a``, no multi-line
-    literals — exactly the grammar table_to_turtle emits."""
-    prefixes: dict[str, str] = {}
-    triples = []
-    subj = None
-    for raw in text.splitlines():
-        line = raw.strip()
-        if not line or line.startswith("#"):
-            continue
-        if line.startswith("@prefix"):
-            m = _PREFIX_RE.match(line)
-            if not m:
-                raise ParseError(f"bad @prefix line: {line!r}")
-            prefixes[m.group(1) or ""] = m.group(2)
-            continue
-        terminator = line[-1]
-        if terminator not in ".;":
-            raise ParseError(f"unterminated Turtle statement: {line!r}")
-        body = line[:-1]
-        pos = 0
-        if subj is None:
-            subj, pos = _ttl_term(body, 0, prefixes)
-        pred, pos = _ttl_term(body, pos, prefixes)
-        obj, pos = _ttl_term(body, pos, prefixes)
-        if body[pos:].strip():
-            raise ParseError(f"trailing content: {body[pos:]!r}")
-        triples.append((subj, pred, obj))
-        if terminator == ".":
-            subj = None
-    return triples
+# Round 4: the reader is the GENERAL Turtle 1.1 parser (core/turtle.py —
+# collections, `a`, @base, long literals, numeric/boolean shorthand,
+# PN_LOCAL escapes…), of which the sink's emission is a strict subset.
+from ..core.turtle import parse_turtle  # noqa: E402,F401  (re-export)
 
 
 def read_turtle(paths):

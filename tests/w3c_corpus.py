@@ -1,11 +1,19 @@
-"""W3C RDF 1.1 XML test-suite corpus loader.
+"""W3C RDF 1.1 XML test-suite corpus loader — manifest-driven.
 
 The corpus (public W3C content, dual W3C Test Suite / BSD licensed) is read
 from the reference checkout's vendored copy when present; tests skip when it
-is unavailable. Convention: ``<dir>/<name>.rdf`` with a sibling ``.nt`` is a
-positive eval case (compare via isomorphism), without one it is a
-negative-syntax case (decode must error) — matching the manifest split
-(128 eval / 41 negative).
+is unavailable.
+
+Case discovery parses ``manifest.ttl`` with the engine's own general Turtle
+parser (rdf_xml_ex_ray/core/turtle.py) — the same mechanism the reference
+harness uses (test/support/test_suite.ex:41-48 loads the manifest via
+RDF.Turtle.read_file!): rdft:TestXMLEval entries compare mf:action against
+mf:result by isomorphism; rdft:TestXMLNegativeSyntax entries must error.
+The manifest describes 162 cases (122 eval / 40 negative); 7 further cases
+are commented out of the official entry list but still shipped on disk —
+they are appended by directory convention (``.rdf`` with a sibling ``.nt``
+⇒ eval) and flagged ``in_manifest=False``, keeping the historical 169-case
+(128 eval / 41 negative) coverage.
 """
 
 from __future__ import annotations
@@ -19,12 +27,17 @@ W3C_DIR = os.environ.get(
 )
 BASE_URL = "http://www.w3.org/2013/RDFXMLTests/"
 
+MF_NS = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+RDFT_NS = "http://www.w3.org/ns/rdftest#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
 
 @dataclass
 class W3CCase:
     name: str  # e.g. "datatypes/test001"
     rdf_path: str
     nt_path: str | None  # None → negative-syntax case
+    in_manifest: bool = True
 
     @property
     def base(self) -> str:
@@ -35,9 +48,40 @@ class W3CCase:
         return self.nt_path is not None
 
 
-def load_cases() -> list[W3CCase]:
-    if not os.path.isdir(W3C_DIR):
-        return []
+def _manifest_cases() -> list[W3CCase]:
+    from rdf_xml_ex_ray.core.turtle import parse_turtle
+
+    path = os.path.join(W3C_DIR, "manifest.ttl")
+    with open(path, encoding="utf-8") as f:
+        triples = parse_turtle(f.read(), base=BASE_URL + "manifest.ttl")
+
+    types: dict[str, str] = {}
+    action: dict[str, str] = {}
+    result: dict[str, str] = {}
+    for s, p, o in triples:
+        ps = str(p)
+        if ps == RDF_TYPE and str(o) in (RDFT_NS + "TestXMLEval", RDFT_NS + "TestXMLNegativeSyntax"):
+            types[str(s)] = str(o)
+        elif ps == MF_NS + "action":
+            action[str(s)] = str(o)
+        elif ps == MF_NS + "result":
+            result[str(s)] = str(o)
+
+    cases = []
+    for subj in sorted(types):
+        rel = action[subj][len(BASE_URL):]  # e.g. "datatypes/test001.rdf"
+        nt = result.get(subj)
+        cases.append(
+            W3CCase(
+                name=rel[:-4],
+                rdf_path=os.path.join(W3C_DIR, rel),
+                nt_path=os.path.join(W3C_DIR, nt[len(BASE_URL):]) if nt else None,
+            )
+        )
+    return cases
+
+
+def _directory_cases() -> list[W3CCase]:
     cases = []
     for d in sorted(os.listdir(W3C_DIR)):
         sub = os.path.join(W3C_DIR, d)
@@ -53,6 +97,16 @@ def load_cases() -> list[W3CCase]:
                     name=f"{d}/{stem}",
                     rdf_path=os.path.join(sub, f),
                     nt_path=nt if os.path.exists(nt) else None,
+                    in_manifest=False,
                 )
             )
     return cases
+
+
+def load_cases() -> list[W3CCase]:
+    if not os.path.isdir(W3C_DIR):
+        return []
+    cases = _manifest_cases()
+    named = {c.name for c in cases}
+    extras = [c for c in _directory_cases() if c.name not in named]
+    return sorted(cases + extras, key=lambda c: c.name)
