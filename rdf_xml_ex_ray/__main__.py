@@ -51,6 +51,16 @@ def main(argv=None) -> int:
     export.add_argument("--buckets", type=int, default=16)
     export.add_argument("--num-cpus", type=int, default=None)
 
+    expc = sub.add_parser(
+        "export-corpus",
+        help="export a clean-job corpus store to .jsonl / flat parquet",
+    )
+    expc.add_argument("store", help="corpus store parquet dir (e.g. <clean-out>/corpus)")
+    expc.add_argument("--out", required=True)
+    expc.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+    expc.add_argument("--buckets", type=int, default=16)
+    expc.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -133,6 +143,34 @@ def main(argv=None) -> int:
                     }
                 )
             )
+        elif args.cmd == "export-corpus":
+            import ray.data as rd
+
+            store = rd.read_parquet(args.store)
+            if args.format == "jsonl":
+                from rdf_xml_ex_ray.sources.jsonl import write_jsonl
+
+                stats = write_jsonl(store, args.out, num_buckets=args.buckets).to_pandas()
+                print(
+                    json.dumps(
+                        {
+                            "n_docs": int(stats["n_docs"].sum()),
+                            "files": len(stats),
+                            "format": "jsonl",
+                            "out": args.out,
+                        }
+                    )
+                )
+            else:
+                # flat re-partitioned parquet (doc_bucket partition dirs kept
+                # if the store carries the column)
+                kwargs = (
+                    {"partition_cols": ["doc_bucket"]}
+                    if "doc_bucket" in store.schema().names
+                    else {}
+                )
+                store.write_parquet(args.out, **kwargs)
+                print(json.dumps({"n_docs": store.count(), "format": "parquet", "out": args.out}))
         elif args.cmd == "decode":
             import pyarrow.compute as pc
 

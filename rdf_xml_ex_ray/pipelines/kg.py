@@ -430,6 +430,92 @@ def kg_roundtrip_dataset(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+def kg_skew_canonicalize(sf_dir: str, num_buckets: int | None = None):
+    """Multi-document-subject canonicalization through the GENERAL two-phase
+    skew-aware shuffle (stages/canonicalize.canonicalize_skew_aware) — the
+    path graphs take when subjects span documents and the flagship's
+    co-partitioned fast path is invalid.
+
+    Input construction forces exactly that shape: the bnode-free flagship
+    sub-graph is re-encoded into RDF/XML documents bucketed by PREDICATE
+    hash (every subject's description scatters across up to |preds|
+    documents), and every triple is emitted into TWO documents — real
+    cross-document duplicates that only the global dedup exchange can
+    remove. After reparse + skew-aware canonicalization the result must
+    equal the roundtrip oracle (KG_TRIPLES_NOBNODE_SQL): equality proves
+    the triple-hash dedup phase + subject-bucket sort phase reproduce the
+    canonical store without the conversation-scoping invariant."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..core.model import row_to_term
+    from ..core.terms import IRI, RDF_NS
+    from ..encoder.encoder import XML_DECL, encode_description
+    from ..stages.broadcast import cluster_cpus
+    from ..stages.canonicalize import canonicalize_skew_aware
+    from ..transcripts.ontology import CT_NS
+
+    if num_buckets is None:
+        num_buckets = max(16, 2 * cluster_cpus())
+
+    prefixes = {"rdf": RDF_NS, "ct": CT_NS}
+    header = f'{XML_DECL}<rdf:RDF xmlns:ct="{CT_NS}" xmlns:rdf="{RDF_NS}">'
+
+    base = kg_triples_dataset(sf_dir, num_buckets=num_buckets, keep_lineage=True)
+    nob = base.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["subj_kind"], "iri"), pc.not_equal(t["obj_kind"], "bnode"))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        # two copies of every triple, in adjacent predicate-hash buckets
+        import numpy as np
+
+        preds = batch["pred"].to_pylist()
+        h = np.fromiter(
+            (zlib.crc32(p.encode()) for p in preds), dtype=np.int64, count=len(preds)
+        )
+        both = pa.concat_tables([batch, batch])
+        bucket = np.concatenate([h % num_buckets, (h + 1) % num_buckets]).astype(np.int32)
+        return both.append_column("doc_bucket", pa.array(bucket, pa.int32()))
+
+    def encode_doc(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["doc_bucket"].iloc[0])
+        g = g.sort_values(["subj", "pred", "obj_value"], kind="mergesort")
+        subj_v = g["subj"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, subj_v[1:] != subj_v[:-1]])
+        ends = np.r_[starts[1:], len(subj_v)]
+        pred_v = g["pred"].to_numpy()
+        kind_v = g["obj_kind"].to_numpy()
+        val_v = g["obj_value"].to_numpy()
+        lang_v = g["obj_lang"].to_numpy()
+        dt_v = g["obj_datatype"].to_numpy()
+        parts = [header]
+        for s, e in zip(starts, ends):
+            subj = IRI(subj_v[s])
+            triples = [
+                (subj, IRI(pred_v[i]), row_to_term(kind_v[i], val_v[i], lang_v[i], dt_v[i]))
+                for i in range(s, e)
+            ]
+            parts.append(encode_description(subj, triples, prefixes=prefixes))
+        parts.append("</rdf:RDF>")
+        return pd.DataFrame({"conv_id": [f"pbucket{bucket}"], "doc": ["".join(parts)]})
+
+    docs = (
+        nob.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(encode_doc, batch_format="pandas")
+    )
+    reparsed = parse_documents(docs)
+    return canonicalize_skew_aware(reparsed, num_buckets=num_buckets).drop_columns(
+        ["subj_bucket", "conv_id"]
+    )
+
+
 def run_kg_job(
     sf_dir: str,
     out_dir: str,

@@ -53,3 +53,35 @@ def test_token_count_bpe_dataset(ray_session, sf_dir, tmp_path):
     assert (bpe["n_tokens"] <= bpe["n_chars"]).all()
     # the merge table actually merges something on real text
     assert (bpe["n_tokens"] < bpe["n_chars"]).any()
+
+
+def test_fixture_merges_pinned_totals(ray_session):
+    """The shipped fixture merge table (BPE_FIXTURE_MERGES) over the two
+    small corpora: exact totals pinned — the correctness record for the
+    queries() entry, which has no SQL twin (iterative BPE merging is not
+    replayable in a static oracle string)."""
+    from rdf_xml_ex_ray.pipelines.text import token_count_bpe_fixture
+
+    expect = {
+        "/root/testdata/sf0.001": (500, 93598, {0: 75, 1: 264, 2: 226}),
+        "/root/testdata/sf0.01": (500, 90796, {0: 99, 1: 245, 2: 148}),
+    }
+    for sf_dir, (n_rows, total, spot) in expect.items():
+        df = token_count_bpe_fixture(sf_dir).to_pandas()
+        assert len(df) == n_rows
+        assert int(df["n_tokens"].sum()) == total
+        got = df.set_index("doc_id")["n_tokens"]
+        for doc_id, n in spot.items():
+            assert int(got[doc_id]) == n
+
+
+def test_fixture_merges_consistent_with_exact_counter():
+    """Hand-checkable words under the pinned table, ensuring the pinned
+    list round-trips through the rank-dict plumbing."""
+    from rdf_xml_ex_ray.pipelines.text import BPE_FIXTURE_MERGES, count_bpe_tokens
+
+    ranks = {tuple(m): i for i, m in enumerate(BPE_FIXTURE_MERGES)}
+    assert count_bpe_tokens("data", ranks) == 1
+    assert count_bpe_tokens("agg", ranks) == 1
+    assert count_bpe_tokens("customer", ranks) == 1
+    assert count_bpe_tokens("zzz", ranks) == 3  # no merges apply
