@@ -169,13 +169,18 @@ TARGET_TURNS_PER_BLOCK = 25_000
 
 
 def _scaled_num_blocks(sf_dir: str, replicas: int, parallelism: int) -> int:
-    """Read block count for the flagship: floor of 2×CPUs (pool packing),
+    """Read block count for the flagship: floor of 3×CPUs (pool packing),
     scaled up with the *actual* input size (parquet footer metadata — no
     data read), capped at 8×CPUs. The cap bounds the sort exchange, which
     moves O(map_blocks × reduce_partitions) objects and Ray's sort uses
     reduce_partitions = map_blocks — at 16×CPUs (512×512 at 32 CPUs) the
     exchange cost anti-scaled the wall ~25% vs 8×CPUs (measured, ×24
-    replicas)."""
+    replicas). The floor was 2×CPUs through round 3; the fused
+    render→parse→link→dedup stage shows a 1.1-5.5 s per-task spread from
+    quantile-partition skew, and at 2 waves the skewest task alone sets
+    the wall — 3 waves of smaller tasks pack the tail better (measured
+    r4, ×12 replicas interleaved best-of-3: 64 blocks 11.40 s,
+    96 blocks 10.58 s, 128 blocks 10.40 s at 32 CPUs)."""
     import pyarrow.parquet as pq
 
     try:
@@ -183,7 +188,7 @@ def _scaled_num_blocks(sf_dir: str, replicas: int, parallelism: int) -> int:
     except Exception:  # pragma: no cover - non-parquet/custom layouts
         base_rows = 0
     desired = (base_rows * max(1, replicas)) // TARGET_TURNS_PER_BLOCK
-    return int(max(2 * parallelism, min(desired, 8 * parallelism)))
+    return int(max(3 * parallelism, min(desired, 8 * parallelism)))
 
 
 def kg_triples_dataset(
