@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_direct_mapping": relational.kg_direct_mapping,
         "kg_incremental": kg.kg_incremental,
         "kg_skew_canonicalize": kg.kg_skew_canonicalize,
+        "kg_store_diff": kg.kg_store_diff,
         "kg_pagerank": graph.kg_pagerank,
         "kg_pattern_join": graph.kg_pattern_join,
         # dedup family
@@ -67,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         "knn_graph_ann": similarity.knn_graph_ann,
         "knn_recall_eval": similarity.knn_recall_eval,
+        "ann_pq_topk": similarity.ann_pq_topk,
         "doc_semdedup": similarity.doc_semdedup,
         "embedding_kmeans": similarity.embedding_kmeans,
         # text analysis
@@ -79,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": text.doc_winnow,
         "doc_pii_scrub": text.doc_pii_scrub,
         "doc_quality_logreg": text.doc_quality_logreg,
-        "doc_sample": text.doc_sample,
         # corpus-level
         "tfidf": corpus.tfidf,
         "corpus_clean": corpus.corpus_clean,
@@ -89,7 +90,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_lm": corpus.token_bigram_lm,
         "doc_lm_coverage": corpus.doc_lm_coverage,
         "corpus_mixture": corpus.corpus_mixture,
-        "doc_embed_join": corpus.doc_embed_join,
         # multimodal plumbing (deterministic fake decode)
         "mm_shard_manifest": text.mm_shard_manifest,
         "mm_media_meta": text.mm_media_meta,
@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_pq": similarity.embedding_pq,
         "ann_recall_eval": similarity.ann_recall_eval,
+        "doc_sample": text.doc_sample,
+        "doc_embed_join": corpus.doc_embed_join,
         "doc_fingerprint": text.doc_fingerprint,
         "doc_repetition": text.doc_repetition,
         "corpus_split": text.corpus_split,
@@ -165,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": graph.KG_PAGERANK_SQL,
         "kg_incremental": oracle.KG_TRIPLES_SQL,
         "kg_skew_canonicalize": oracle.KG_TRIPLES_NOBNODE_SQL,
+        "kg_store_diff": oracle.KG_STORE_DIFF_SQL,
         "kg_entity_cooccurrence": graph.KG_ENTITY_COOC_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
@@ -186,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": similarity.KNN_GRAPH_SQL,
         "knn_graph_ann": similarity.KNN_GRAPH_ANN_SQL,
         "knn_recall_eval": similarity.KNN_RECALL_EVAL_SQL,
+        "ann_pq_topk": similarity.ANN_PQ_TOPK_SQL,
         "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
         "doc_semdedup": similarity.DOC_SEMDEDUP_SQL,
         "embedding_kmeans": similarity.EMBEDDING_KMEANS_SQL,

@@ -645,21 +645,77 @@ def kg_incremental(sf_dir: str, delta_mod: int = INCR_DELTA_MOD):
 
     Oracle: the flagship KG_TRIPLES_SQL itself — equality IS the
     incremental-correctness statement."""
+    base = kg_triples_dataset(sf_dir, turn_filter=_uid_partition(False, delta_mod))
+    delta = kg_triples_dataset(sf_dir, turn_filter=_uid_partition(True, delta_mod))
+    return base.union(delta)
+
+
+def _uid_partition(keep_delta: bool, delta_mod: int):
+    """Conversation-partition selector on user_id % delta_mod (whole convs
+    only — shared by kg_incremental and kg_store_diff)."""
     import pyarrow as pa
 
-    def _part(keep_delta: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            # conv_id = 'c' || user_id (transcripts/derive.py): slice off the
-            # tag, split any '!'-suffixed scope, cast — all Arrow kernels
-            # (was a per-row int(c[1:].split(...)) Python loop)
-            tail = pc.utf8_slice_codeunits(batch["conv_id"], 1)
-            first = pc.list_element(pc.split_pattern(tail, "!", max_splits=1), 0)
-            uid = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
-            mask = (uid % delta_mod == 0) if keep_delta else (uid % delta_mod != 0)
-            return batch.filter(pa.array(mask))
+    def f(batch: pa.Table) -> pa.Table:
+        # conv_id = 'c' || user_id (transcripts/derive.py): slice off the
+        # tag, split any '!'-suffixed scope, cast — all Arrow kernels
+        # (was a per-row int(c[1:].split(...)) Python loop)
+        tail = pc.utf8_slice_codeunits(batch["conv_id"], 1)
+        first = pc.list_element(pc.split_pattern(tail, "!", max_splits=1), 0)
+        uid = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
+        mask = (uid % delta_mod == 0) if keep_delta else (uid % delta_mod != 0)
+        return batch.filter(pa.array(mask))
 
+    return f
+
+
+def kg_store_diff(sf_dir: str, delta_mod: int = INCR_DELTA_MOD):
+    """Distributed diff of two canonical triple stores — the audit primitive
+    for incremental maintenance: diff(full_build, base_build) must be
+    exactly the delta partition's triples, all tagged 'added' (the base is
+    a subset of the full build by construction; a nonzero 'removed' side
+    here would mean canonicalization is not conversation-separable).
+
+    Shape: both stores stream through ONE subject-bucket exchange (a
+    duplicate row always shares its subject, hence its bucket); each group
+    does a full-row anti-join both ways (pandas outer merge, nulls
+    sentinel-coded because pandas merge keys never match NaN to NaN). No
+    driver-side row set at any size — the diff of two 100 TB stores moves
+    each store once."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.canonicalize import add_crc32_bucket
+
+    new = kg_triples_dataset(sf_dir)
+    old = kg_triples_dataset(sf_dir, turn_filter=_uid_partition(False, delta_mod))
+
+    def tag(role: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = add_crc32_bucket(batch, "subj", 64, "__bucket")
+            return t.append_column(
+                "__role", pa.array(np.full(t.num_rows, role, dtype=np.int8))
+            )
         return f
 
-    base = kg_triples_dataset(sf_dir, turn_filter=_part(False))
-    delta = kg_triples_dataset(sf_dir, turn_filter=_part(True))
-    return base.union(delta)
+    SENT = "\x00"
+    out_schema = pa.schema(
+        [("change", pa.string())] + [(c, pa.string()) for c in TRIPLE_OUT_COLUMNS]
+    )
+
+    def diff_group(g: pd.DataFrame) -> pa.Table:
+        cols = TRIPLE_OUT_COLUMNS
+        a = g.loc[g["__role"] == 1, cols].fillna(SENT)
+        b = g.loc[g["__role"] == 2, cols].fillna(SENT)
+        m = a.merge(b, how="outer", on=cols, indicator=True)
+        frames = []
+        for change, side in (("added", "left_only"), ("removed", "right_only")):
+            part = m.loc[m["_merge"] == side, cols].copy()
+            part.insert(0, "change", change)
+            frames.append(part)
+        out = pd.concat(frames, ignore_index=True).replace({SENT: None})
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    union = new.map_batches(tag(1), batch_format="pyarrow").union(
+        old.map_batches(tag(2), batch_format="pyarrow")
+    )
+    return union.groupby("__bucket").map_groups(diff_group, batch_format="pandas")

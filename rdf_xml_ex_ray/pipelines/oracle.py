@@ -110,6 +110,15 @@ KG_TRIPLES_NOBNODE_SQL = (
     "SELECT * FROM trip WHERE subj_kind = 'iri' AND obj_kind <> 'bnode'"
 )
 
+# kg_store_diff oracle: diff(full, base) over conversation-separable stores
+# is exactly the delta partition's triples, all 'added' (kg.py kg_store_diff;
+# delta = conversations with user_id % 10 == 0, matching INCR_DELTA_MOD).
+KG_STORE_DIFF_SQL = (
+    "WITH trip AS ("
+    + KG_TRIPLES_SQL.replace("FROM events", "FROM events WHERE user_id % 10 = 0")
+    + ")\nSELECT 'added' AS change, * FROM trip"
+)
+
 KG_TOP_ENTITIES_SQL = (
     "WITH trip AS (" + KG_TRIPLES_SQL + ")\n"
     """SELECT obj_value AS entity, CAST(count(*) AS BIGINT) AS n

@@ -605,6 +605,121 @@ def embedding_pq(sf_dir: str):
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
 
 
+# ------------------------------------------------------------- ann_pq_topk
+
+# Asymmetric-distance PQ search (the IVF-PQ second stage): queries keep
+# their full (quantized) vectors, the database side is ONLY the 8-nibble
+# codes from embedding_pq — 8 bytes/vector, the representation that makes
+# a 100 TB float store RAM-resident. Distance(query, vector) =
+# Σ_m dtab_q[m][code_m], where dtab_q is the query's per-subspace distance
+# table against the fixed integer codebook — every term an exact float64
+# integer, so the whole ranking is value-hash checkable in DuckDB.
+_PQ_ADIST_EXPR = " + ".join(
+    f"qd{m}[1 + CAST((c.pq_code // {PQ_K ** m}) % {PQ_K} AS INT)]" for m in range(PQ_M)
+)
+
+ANN_PQ_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (SELECT vec_id, list_transform(v, x -> round(x * {IVF_QSCALE})) AS qv FROM e),
+d AS (
+  SELECT vec_id,
+         {", ".join(f"{_PQ_DISTS_EXPRS[m]} AS d{m}" for m in range(PQ_M))}
+  FROM qz
+),
+codes AS (
+  SELECT vec_id, CAST({_PQ_CODE_EXPR} AS BIGINT) AS pq_code FROM d
+),
+qd AS (
+  SELECT vec_id AS query_id, {", ".join(f"d{m} AS qd{m}" for m in range(PQ_M))}
+  FROM d WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, c.vec_id,
+         CAST({_PQ_ADIST_EXPR} AS BIGINT) AS pq_dist
+  FROM qd q JOIN codes c ON c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS BIGINT) AS rank,
+       pq_dist
+FROM sims QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_pq_topk(sf_dir: str):
+    """Top-k by asymmetric PQ distance (see block comment above).
+
+    Topology = ann_topk's broadcast + partial-top-k merge, but the
+    per-batch work is integer table lookups over 4-bit codes instead of a
+    float matmul over raw vectors: the query-side distance tables
+    (N_QUERIES × M × K int64, a constant) broadcast once; each batch
+    encodes to codes (the embedding_pq kernel) and gathers
+    dtab[m][code_m] — O(n_q × batch × M) adds, zero float comparisons.
+    Ranking is (pq_dist ASC, vec_id ASC); distances are exact integers on
+    both engines so ties (identical codes — every near-duplicate) resolve
+    identically with no rounding subtleties."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)]
+    )
+    qraw = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    qv = _ivf_quantize(qraw)
+    # (n_q, M, K) exact-integer distance tables
+    dtab = np.stack(
+        [
+            ((qv[:, m * PQ_SUB : (m + 1) * PQ_SUB][:, None, :] - _PQ_CODEBOOK[m][None, :, :]) ** 2).sum(axis=2)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    ).astype(np.int64)
+    ref = put_broadcast(
+        {"ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64), "dtab": dtab}
+    )
+
+    def batch_pq_topk(batch: pa.Table) -> pa.Table:
+        b = resolve_broadcast(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        qvb = _ivf_quantize(raw)
+        dists = np.zeros((len(b["ids"]), len(vec_ids)), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = qvb[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            d = ((sub[:, None, :] - _PQ_CODEBOOK[m][None, :, :]) ** 2).sum(axis=2)
+            cm = np.argmin(d, axis=1)  # first-min tie-break = SQL list_position
+            dists += b["dtab"][:, m, :][:, cm]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(b["ids"]):
+            keep = vec_ids != qid
+            ids_k, row_k = vec_ids[keep], dists[qi][keep]
+            if len(row_k) > TOP_K:
+                order = np.lexsort((ids_k, row_k))[:TOP_K]
+                ids_k, row_k = ids_k[order], row_k[order]
+            out_q.extend([qid] * len(ids_k)); out_v.extend(ids_k); out_s.extend(row_k)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "pq_dist": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def merge_pq(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["pq_dist", "vec_id"], kind="mergesort").head(TOP_K)
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].astype("int64")),
+                "vec_id": pa.array(g["vec_id"].astype("int64")),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "pq_dist": pa.array(g["pq_dist"].astype("int64")),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(batch_pq_topk, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(merge_pq, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ kNN graph
 
 # SemDeDup / graph-based-curation primitive: every vector's top-K cosine

@@ -33,7 +33,7 @@ EMB_OPS = [
     "ann_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_filtered_topk",
     "ann_range_search", "embedding_centroids", "embedding_pq",
     "knn_graph", "knn_graph_ann", "knn_recall_eval", "ann_recall_eval",
-    "doc_semdedup", "embedding_kmeans", "dedup_embedding",
+    "ann_pq_topk", "doc_semdedup", "embedding_kmeans", "dedup_embedding",
 ]
 
 
