@@ -25,6 +25,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_xml_ex_ray.pipelines import (
+        bgp,
         corpus,
         dedup,
         graph,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_store_diff": kg.kg_store_diff,
         "kg_pagerank": graph.kg_pagerank,
         "kg_pattern_join": graph.kg_pattern_join,
+        "kg_bgp": bgp.kg_bgp,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -144,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdf_xml_ex_ray.pipelines import (
+        bgp,
         corpus,
         dedup,
         graph,
@@ -164,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": graph.KG_REACHABILITY_SQL,
         "kg_degrees": graph.KG_DEGREES_SQL,
         "kg_pattern_join": graph.KG_PATTERN_JOIN_SQL,
+        "kg_bgp": bgp.KG_BGP_SQL,
         "kg_pagerank": graph.KG_PAGERANK_SQL,
         "kg_incremental": oracle.KG_TRIPLES_SQL,
         "kg_skew_canonicalize": oracle.KG_TRIPLES_NOBNODE_SQL,

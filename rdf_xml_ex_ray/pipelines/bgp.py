@@ -1,0 +1,203 @@
+"""General basic-graph-pattern (BGP) executor over KG triple datasets.
+
+SPARQL's core evaluation unit is the BGP: a set of triple patterns with
+shared variables, evaluated as the natural join of per-pattern scans. The
+reference ecosystem queries its graphs by pattern (RDF.Graph /
+RDF.Description access in rdf-elixir — rdf-xml-ex builds the graphs that
+get queried this way; see reference test/rdf_xml_test.exs usage of
+Graph.describe/triples); this module is the distributed equivalent:
+
+- each triple pattern compiles to a streaming filtered PROJECTION of the
+  (materialized-once) triple dataset — constants become Arrow equality
+  filters, variables become named output columns;
+- patterns are greedily ordered so the join tree is left-deep and every
+  step shares >= 1 variable with the bindings built so far (most-constant
+  pattern first — the classic selectivity heuristic); a disconnected BGP
+  (cartesian product) is rejected rather than silently exploded;
+- each join step is ONE bucketed all-to-all exchange (stages/join.py
+  bucketed_equijoin) on the composite key of the shared variables.
+
+No driver-side state anywhere: pattern scans stream, each join's memory
+is bounded by its hottest key bucket, and K patterns cost exactly K-1
+exchanges. At 100 TB the triple scan is the dominant cost and runs once;
+the branches are cheap block-cache filters (same shape as
+graph.kg_pattern_join, which is the hand-wired instance of this planner).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .oracle import KG_TRIPLES_SQL
+
+__all__ = ["bgp_execute", "kg_bgp", "KG_BGP_SQL"]
+
+_POSITIONS = ("subj", "pred", "obj_value")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_vars(pattern) -> list[str]:
+    return [t[1:] for t in pattern if _is_var(t)]
+
+
+def _scan(triples_ds, pattern):
+    """One triple pattern -> Dataset of its variable bindings.
+
+    Constants are Arrow equality filters (obj constants match ``obj_value``
+    — term-kind-agnostic string identity, mirroring the SQL twin's join on
+    the value column). A variable repeated within one pattern becomes an
+    equality filter between its positions.
+    """
+    var_cols: dict[str, str] = {}  # var name -> first position bound to it
+    eq_pairs: list[tuple[str, str]] = []
+    filters: list[tuple[str, str]] = []
+    for pos, term in zip(_POSITIONS, pattern):
+        if _is_var(term):
+            v = term[1:]
+            if v in var_cols:
+                eq_pairs.append((var_cols[v], pos))
+            else:
+                var_cols[v] = pos
+        else:
+            filters.append((pos, term))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = None
+        for pos, const in filters:
+            m = pc.equal(batch[pos], const)
+            mask = m if mask is None else pc.and_(mask, m)
+        for a, b in eq_pairs:
+            m = pc.equal(batch[a], batch[b])
+            mask = m if mask is None else pc.and_(mask, m)
+        t = batch.filter(mask) if mask is not None else batch
+        return pa.table({v: t[pos].cast(pa.string()) for v, pos in var_cols.items()})
+
+    return triples_ds.map_batches(project, batch_format="pyarrow")
+
+
+def _order_patterns(patterns) -> list:
+    """Greedy left-deep join order: start at the most-constant pattern,
+    then always extend through a shared variable (reject cartesians)."""
+    remaining = list(patterns)
+    n_const = lambda p: sum(0 if _is_var(t) else 1 for t in p)  # noqa: E731
+    first = max(remaining, key=n_const)
+    ordered = [first]
+    remaining.remove(first)
+    bound = set(_pattern_vars(first))
+    while remaining:
+        candidates = [p for p in remaining if bound & set(_pattern_vars(p))]
+        if not candidates:
+            raise ValueError(
+                "disconnected BGP (cartesian product between pattern groups): "
+                f"bound={sorted(bound)} remaining={remaining}"
+            )
+        nxt = max(candidates, key=n_const)
+        ordered.append(nxt)
+        remaining.remove(nxt)
+        bound |= set(_pattern_vars(nxt))
+    return ordered
+
+
+def _key_expr(table: pa.Table, shared: list[str]):
+    if len(shared) == 1:
+        return table[shared[0]].cast(pa.string())
+    return pc.binary_join_element_wise(
+        *[table[v].cast(pa.string()) for v in shared], "\x00"
+    )
+
+
+def bgp_execute(triples_ds, patterns, project: list[str]):
+    """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
+    against a triple-row Dataset; returns the binding table projected to
+    ``project`` (bag semantics — identical to the SQL twin's inner joins)."""
+    from ..stages.join import bucketed_equijoin
+
+    ordered = _order_patterns(patterns)
+    acc = _scan(triples_ds, ordered[0])
+    bound = list(dict.fromkeys(_pattern_vars(ordered[0])))
+
+    s = pa.string()
+    for pattern in ordered[1:]:
+        nxt = _scan(triples_ds, pattern)
+        pvars = list(dict.fromkeys(_pattern_vars(pattern)))
+        shared = sorted(set(bound) & set(pvars))
+        new = [v for v in pvars if v not in bound]
+
+        def add_key(name, keys):
+            def f(batch: pa.Table) -> pa.Table:
+                return batch.append_column(name, _key_expr(batch, keys))
+
+            return f
+
+        left = acc.map_batches(add_key("__kl", shared), batch_format="pyarrow")
+        # the right side carries only NEW vars + its key (shared vars are
+        # equal by the join predicate; duplicating them would collide)
+        def right_project(batch: pa.Table, _keys=shared, _new=new) -> pa.Table:
+            cols = {v: batch[v] for v in _new}
+            cols["__kr"] = _key_expr(batch, _keys)
+            return pa.table(cols)
+
+        right = nxt.map_batches(right_project, batch_format="pyarrow")
+        acc = bucketed_equijoin(
+            left,
+            right,
+            left_key="__kl",
+            right_key="__kr",
+            left_fields=[(v, s) for v in bound] + [("__kl", s)],
+            right_fields=[(v, s) for v in new] + [("__kr", s)],
+            key_type=s,
+        ).map_batches(
+            lambda t: t.drop_columns(["__kl", "__kr"]), batch_format="pyarrow"
+        )
+        bound = bound + new
+
+    missing = [v for v in project if v not in bound]
+    if missing:
+        raise ValueError(f"projection variables not bound by any pattern: {missing}")
+    return acc.map_batches(
+        lambda t: pa.table({v: t[v] for v in project}), batch_format="pyarrow"
+    )
+
+
+# ----------------------------------------------------------------- query
+
+_C = "http://example.org/convo#"
+
+_KG_BGP_PATTERNS = [
+    ("?conv", _C + "turn", "?turn"),
+    ("?turn", _C + "role", "http://example.org/role/assistant"),
+    ("?turn", _C + "toolUse", "?use"),
+    ("?use", _C + "tool", "?tool"),
+    ("?turn", _C + "index", "?idx"),
+]
+
+
+def kg_bgp(sf_dir: str):
+    """SPARQL-style BGP over the flagship KG: every assistant turn that
+    used a tool, with its conversation, turn index and tool name —
+    five patterns, four distributed bucketed joins, bnode hop included."""
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir).materialize()
+    return bgp_execute(triples, _KG_BGP_PATTERNS, ["conv", "turn", "idx", "tool"])
+
+
+KG_BGP_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS conv, t1.obj_value AS turn, t5.obj_value AS idx,
+       t4.obj_value AS tool
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value
+          AND t2.pred = '{_C}role'
+          AND t2.obj_value = 'http://example.org/role/assistant'
+JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}toolUse'
+JOIN kt t4 ON t4.subj = t3.obj_value AND t4.pred = '{_C}tool'
+JOIN kt t5 ON t5.subj = t1.obj_value AND t5.pred = '{_C}index'
+WHERE t1.pred = '{_C}turn'
+"""
