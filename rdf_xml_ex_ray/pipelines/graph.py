@@ -710,3 +710,129 @@ def kg_entity_cooccurrence(sf_dir: str, k: int = COOC_TOPK_K,
         .sort(["n", "ent_a", "ent_b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------------- kg_describe
+
+# SPARQL DESCRIBE with Concise-Bounded-Description semantics: all triples
+# whose subject is a seed node, plus — transitively — the triples of any
+# blank node appearing as an object of an already-described triple (CBD
+# follows bnodes only; IRIs are boundary nodes). The reference ecosystem's
+# per-resource view is RDF.Description (what rdf-xml-ex's decoder builds a
+# graph OF — reference lib/rdf/xml/decoder.ex assembles descriptions);
+# this is the distributed query-side twin: DESCRIBE ?t WHERE {seed turn ?t}.
+DESCRIBE_BROADCAST_NODE_CAP = 1_000_000
+DESCRIBE_MAX_HOPS = 8
+
+KG_DESCRIBE_SQL = f"""
+WITH RECURSIVE kt AS (
+  SELECT * FROM ( {KG_TRIPLES_SQL} ) AS base
+),
+nodes(node) AS (
+  SELECT obj_value FROM kt WHERE subj = '{SEED}' AND pred = '{P_TURN}'
+  UNION
+  SELECT kt.obj_value FROM nodes JOIN kt ON kt.subj = nodes.node
+  WHERE kt.obj_kind = 'bnode'
+)
+SELECT kt.subj, kt.subj_kind, kt.pred, kt.obj_kind, kt.obj_value,
+       kt.obj_lang, kt.obj_datatype
+FROM kt JOIN nodes ON kt.subj = nodes.node
+"""
+
+
+def kg_describe(
+    sf_dir: str,
+    seed_subj: str = SEED,
+    seed_pred: str = P_TURN,
+    max_hops: int = DESCRIBE_MAX_HOPS,
+    broadcast_node_cap: int = DESCRIBE_BROADCAST_NODE_CAP,
+):
+    """CBD of every turn of the seed conversation: seed-subject triples plus
+    the transitive bnode closure (toolUse bnodes here). The closure loop is
+    one semi-join per hop — a broadcast node-set filter under
+    ``broadcast_node_cap``, a bucketed distributed attach above it — with a
+    set-semantics fixpoint (cycle-safe) and a hard convergence bound."""
+    from ray.data.aggregate import Max
+
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir).materialize()
+
+    def seed_nodes(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.equal(batch["subj"], seed_subj), pc.equal(batch["pred"], seed_pred))
+        )
+        return pa.table({"node": t["obj_value"].cast(pa.string())})
+
+    nodes = triples.map_batches(seed_nodes, batch_format="pyarrow").materialize()
+    n_nodes = nodes.count()
+
+    def semi_join(node_ds):
+        """Triples whose subj is in node_ds (each node appears once)."""
+        n = node_ds.count()
+        if n <= broadcast_node_cap:
+            node_set = sorted(r["node"] for r in node_ds.take_all())
+            ref = put_broadcast(pa.array(node_set, pa.string()))
+
+            def flt(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch["subj"], value_set=resolve_broadcast(ref)))
+
+            return triples.map_batches(flt, batch_format="pyarrow")
+        from .dedup import NUM_JOIN_BUCKETS, _bucketed_attach
+
+        payload = node_ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["node"].cast(pa.string()), "payload": pa.repeat(1, t.num_rows)}
+            ),
+            batch_format="pyarrow",
+        )
+        fields = [
+            ("subj", pa.string()),
+            ("subj_kind", pa.string()),
+            ("pred", pa.string()),
+            ("obj_kind", pa.string()),
+            ("obj_value", pa.string()),
+            ("obj_lang", pa.string()),
+            ("obj_datatype", pa.string()),
+        ]
+        attached = _bucketed_attach(
+            triples,
+            payload,
+            key_col="subj",
+            payload_type=pa.int64(),
+            out_col="__hit",
+            pair_fields=fields,
+            num_buckets=NUM_JOIN_BUCKETS,
+            key_type=pa.string(),
+        )
+        return attached.map_batches(
+            lambda t: t.filter(pc.is_valid(t["__hit"])).drop_columns(["__hit"]),
+            batch_format="pyarrow",
+        )
+
+    for hop in range(max_hops + 1):
+        described = semi_join(nodes).materialize()
+
+        def bnode_objs(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["obj_kind"], "bnode"))
+            return pa.table({"node": t["obj_value"].cast(pa.string())})
+
+        grown = (
+            described.map_batches(bnode_objs, batch_format="pyarrow")
+            .union(nodes)
+            .groupby("node")
+            .aggregate(Max("node", alias_name="__n"))
+            .map_batches(
+                lambda t: pa.table({"node": t["node"].cast(pa.string())}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_grown = grown.count()
+        if n_grown == n_nodes:
+            return described
+        nodes, n_nodes = grown, n_grown
+    raise RuntimeError(
+        f"kg_describe: bnode closure did not converge within {max_hops} hops "
+        f"({n_nodes} nodes) — raise max_hops for deeper bnode chains"
+    )

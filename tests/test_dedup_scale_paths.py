@@ -45,3 +45,13 @@ def test_pagerank_distributed_matches_broadcast(ray_session, sf_dir):
     dist = _sorted(kg_pagerank(sf_dir, broadcast_node_cap=0).to_pandas(), ["entity"])
     assert len(broad) > 1 and (broad["pr_micro"] > 1_000_000).any()  # mass moved
     assert broad.equals(dist)
+
+
+def test_describe_scale_path_matches_fast_path(ray_session, sf_dir):
+    from rdf_xml_ex_ray.pipelines.graph import kg_describe
+
+    cols = ["subj", "pred", "obj_value"]
+    fast = _sorted(kg_describe(sf_dir).to_pandas(), cols)
+    dist = _sorted(kg_describe(sf_dir, broadcast_node_cap=0).to_pandas(), cols)
+    assert len(fast) > 0
+    assert fast.equals(dist)
