@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reachability": graph.kg_reachability,
         "kg_degrees": graph.kg_degrees,
         "kg_entity_cooccurrence": graph.kg_entity_cooccurrence,
+        "kg_triangle_count": graph.kg_triangle_count,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_keep": corpus.dedup_keep,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_skew_canonicalize": oracle.KG_TRIPLES_NOBNODE_SQL,
         "kg_store_diff": oracle.KG_STORE_DIFF_SQL,
         "kg_entity_cooccurrence": graph.KG_ENTITY_COOC_SQL,
+        "kg_triangle_count": graph.KG_TRIANGLES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

@@ -836,3 +836,246 @@ def kg_describe(
         f"kg_describe: bnode closure did not converge within {max_hops} hops "
         f"({n_nodes} nodes) — raise max_hops for deeper bnode chains"
     )
+
+
+# -------------------------------------------------------- kg_triangle_count
+
+# Per-entity triangle participation over the KG co-mention graph — the
+# clustering/community primitive (local clustering coefficient numerator).
+# Edges are the DISTINCT co-mention pairs (two entities mentioned by the
+# same subject, each subject's first TRIANGLE_MENTION_CAP entities in
+# lexicographic order — the cap is semantic and identical in the SQL twin,
+# bounding the per-subject clique at any scale). Triangle enumeration is
+# the degree-ORIENTED wedge join: each edge points from its (degree, name)-
+# smaller endpoint to the larger, so every wedge is generated at its
+# lowest-degree apex — out-degrees are bounded by graph degeneracy and the
+# apex self-join never explodes on hub nodes (the standard distributed
+# triangle-counting trick). Wedges then semi-join back against the edge
+# set to close. All counts are exact integers.
+TRIANGLE_MENTION_CAP = 24
+TRIANGLE_NUM_BUCKETS = 64
+
+KG_TRIANGLES_SQL = f"""
+WITH kt AS (
+  SELECT subj, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+  WHERE subj_kind = 'iri' AND obj_kind = 'iri'
+),
+m AS (
+  SELECT subj, obj_value AS ent FROM kt GROUP BY subj, obj_value
+  QUALIFY row_number() OVER (PARTITION BY subj ORDER BY ent) <= {TRIANGLE_MENTION_CAP}
+),
+e AS (
+  SELECT DISTINCT a.ent AS ent_a, b.ent AS ent_b
+  FROM m a JOIN m b ON a.subj = b.subj AND a.ent < b.ent
+),
+tri AS (
+  SELECT e1.ent_a AS a, e1.ent_b AS b, e2.ent_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.ent_a = e1.ent_b
+  JOIN e e3 ON e3.ent_a = e1.ent_a AND e3.ent_b = e2.ent_b
+),
+v AS (
+  SELECT a AS entity FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles
+FROM v GROUP BY entity
+"""
+
+
+def kg_triangle_count(sf_dir: str, num_buckets: int = TRIANGLE_NUM_BUCKETS):
+    """(entity, n_triangles) over the co-mention graph. Exchanges: edge
+    dedup (pair-hash buckets), degree aggregate, two degree attaches,
+    apex-bucketed wedge generation, edge-membership close, final count."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _bucketed_attach, _doc_bucket
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir)
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.equal(batch["subj_kind"], "iri"), pc.equal(batch["obj_kind"], "iri"))
+        )
+        uniq = t.select(["subj", "obj_value"]).group_by(["subj", "obj_value"]).aggregate([])
+        return pa.table(
+            {
+                "subj": uniq["subj"].cast(pa.string()),
+                "ent": uniq["obj_value"].cast(pa.string()),
+                "sbucket": pa.array(_doc_bucket(uniq["subj"].to_pylist(), num_buckets)),
+            }
+        )
+
+    def edge_partials(group: pd.DataFrame) -> pa.Table:
+        """Per-subject capped cliques -> edge rows tagged by pair bucket."""
+        g = group.drop_duplicates(["subj", "ent"]).sort_values(
+            ["subj", "ent"], kind="mergesort"
+        )
+        out_a, out_b = [], []
+        for _, ents in g.groupby("subj", sort=False)["ent"]:
+            e = ents.to_numpy()[:TRIANGLE_MENTION_CAP]
+            if len(e) < 2:
+                continue
+            ia, ib = np.triu_indices(len(e), k=1)
+            out_a.append(e[ia]); out_b.append(e[ib])
+        if not out_a:
+            return pa.table(
+                {"ent_a": pa.array([], pa.string()), "ent_b": pa.array([], pa.string()),
+                 "ebucket": pa.array([], pa.int32())}
+            )
+        pairs = pd.DataFrame(
+            {"ent_a": np.concatenate(out_a), "ent_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+        ebucket = np.fromiter(
+            (zlib.crc32(f"{a}\x00{b}".encode()) % num_buckets
+             for a, b in zip(pairs["ent_a"], pairs["ent_b"])),
+            dtype=np.int32, count=len(pairs),
+        )
+        return pa.table(
+            {"ent_a": pa.array(pairs["ent_a"], pa.string()),
+             "ent_b": pa.array(pairs["ent_b"], pa.string()),
+             "ebucket": pa.array(ebucket)}
+        )
+
+    def dedup_edges(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["ent_a", "ent_b"])
+        return pa.table(
+            {"ent_a": pa.array(g["ent_a"], pa.string()),
+             "ent_b": pa.array(g["ent_b"], pa.string())}
+        )
+
+    edges = (
+        triples.map_batches(mentions, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(edge_partials, batch_format="pandas")
+        .groupby("ebucket")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    # exact degrees: per-batch partial counts -> one small aggregate
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            batch["ent_a"].cast(pa.string()).chunks + batch["ent_b"].cast(pa.string()).chunks
+        )
+        agg = pa.table({"node": nodes}).group_by("node").aggregate([("node", "count")])
+        return pa.table(
+            {"node": agg["node"], "d_part": agg["node_count"].cast(pa.int64())}
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d_part", alias_name="deg"))
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["node"].cast(pa.string()), "payload": t["deg"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    two_str = [("ent_a", pa.string()), ("ent_b", pa.string())]
+    with_da = _bucketed_attach(
+        edges, degrees, key_col="ent_a", payload_type=pa.int64(), out_col="deg_a",
+        pair_fields=two_str, num_buckets=num_buckets, key_type=pa.string(),
+    )
+    with_db = _bucketed_attach(
+        with_da, degrees, key_col="ent_b", payload_type=pa.int64(), out_col="deg_b",
+        pair_fields=two_str + [("deg_a", pa.int64())],
+        num_buckets=num_buckets, key_type=pa.string(),
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        da = batch["deg_a"].to_numpy(zero_copy_only=False)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False)
+        a = np.asarray(batch["ent_a"].to_pylist(), dtype=object)
+        b = np.asarray(batch["ent_b"].to_pylist(), dtype=object)
+        # a < b lexicographically already, so ties (da == db) keep a as src
+        a_first = da <= db
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string()),
+             "wbucket": pa.array(_doc_bucket(list(src), num_buckets))}
+        )
+
+    def wedges(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["src", "dst"], kind="mergesort")
+        apex, va, vb = [], [], []
+        for u, dsts in g.groupby("src", sort=False)["dst"]:
+            d = dsts.to_numpy()
+            if len(d) < 2:
+                continue
+            ia, ib = np.triu_indices(len(d), k=1)
+            apex.append(np.repeat(u, len(ia)))
+            va.append(d[ia]); vb.append(d[ib])
+        if not apex:
+            return pa.table(
+                {"apex": pa.array([], pa.string()), "v": pa.array([], pa.string()),
+                 "w": pa.array([], pa.string()), "pair_key": pa.array([], pa.string())}
+            )
+        apex = np.concatenate(apex)
+        va, vb = np.concatenate(va), np.concatenate(vb)
+        lo = np.minimum(va, vb)  # canonical (lexicographic) closing-edge key
+        hi = np.maximum(va, vb)
+        lo_a, hi_a = pa.array(lo, pa.string()), pa.array(hi, pa.string())
+        # NB: numpy fixed-width unicode ops silently strip trailing "\x00" —
+        # the key join must go through Arrow, not np.char.add
+        key = pc.binary_join_element_wise(lo_a, hi_a, "\x00")
+        return pa.table(
+            {"apex": pa.array(apex, pa.string()), "v": lo_a, "w": hi_a, "pair_key": key}
+        )
+
+    cand = (
+        with_db.map_batches(orient, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    edge_keys = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.binary_join_element_wise(
+                    t["ent_a"].cast(pa.string()), t["ent_b"].cast(pa.string()), "\x00"
+                ),
+                "payload": pa.repeat(1, t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    closed = _bucketed_attach(
+        cand, edge_keys, key_col="pair_key", payload_type=pa.int64(), out_col="__hit",
+        pair_fields=[("apex", pa.string()), ("v", pa.string()), ("w", pa.string()),
+                     ("pair_key", pa.string())],
+        num_buckets=num_buckets, key_type=pa.string(),
+    )
+
+    def vertex_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["__hit"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {"entity": pa.array([], pa.string()), "t_part": pa.array([], pa.int64())}
+            )
+        nodes = pa.chunked_array(
+            t["apex"].cast(pa.string()).chunks
+            + t["v"].cast(pa.string()).chunks
+            + t["w"].cast(pa.string()).chunks,
+            type=pa.string(),
+        )
+        agg = pa.table({"entity": nodes}).group_by("entity").aggregate([("entity", "count")])
+        return pa.table(
+            {"entity": agg["entity"], "t_part": agg["entity_count"].cast(pa.int64())}
+        )
+
+    return (
+        closed.map_batches(vertex_partial, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(Sum("t_part", alias_name="n_triangles"))
+    )
