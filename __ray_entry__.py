@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": kg.kg_incremental,
         "kg_skew_canonicalize": kg.kg_skew_canonicalize,
         "kg_store_diff": kg.kg_store_diff,
+        "kg_quads": kg.kg_quads,
         "kg_pagerank": graph.kg_pagerank,
         "kg_pattern_join": graph.kg_pattern_join,
         "kg_bgp": bgp.kg_bgp,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         corpus,
         dedup,
         graph,
+        kg,
         oracle,
         relational,
         similarity,
@@ -175,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": oracle.KG_TRIPLES_SQL,
         "kg_skew_canonicalize": oracle.KG_TRIPLES_NOBNODE_SQL,
         "kg_store_diff": oracle.KG_STORE_DIFF_SQL,
+        "kg_quads": kg.KG_QUADS_SQL,
         "kg_entity_cooccurrence": graph.KG_ENTITY_COOC_SQL,
         "kg_triangle_count": graph.KG_TRIANGLES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -148,3 +148,37 @@ def decode_bnode_label(label: str) -> str:
     return _BNODE_ESC_RE.sub(
         lambda m: chr(int(m.group(1) or m.group(2) or m.group(3), 16)), label
     )
+
+
+# ------------------------------------------------------------------ N-Quads
+
+def parse_nquads(text: str) -> list[tuple]:
+    """N-Quads lines → (s, p, o, graph|None). The graph term is an optional
+    IRI or blank node (RDF 1.1 N-Quads grammar); None = default graph."""
+    quads = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        s, pos = _parse_term(line, 0)
+        p, pos = _parse_term(line, pos)
+        o, pos = _parse_term(line, pos)
+        rest = line[pos:].strip()
+        g = None
+        if rest != ".":
+            g, pos = _parse_term(line, pos)
+            if isinstance(g, Literal):
+                raise ParseError(f"literal graph label in N-Quads line: {raw!r}")
+            rest = line[pos:].strip()
+            if rest != ".":
+                raise ParseError(f"trailing content in N-Quads line: {raw!r}")
+        quads.append((s, p, o, g))
+    return quads
+
+
+def to_nquads(quads) -> str:
+    return "".join(
+        f"{term_to_nt(s)} {term_to_nt(p)} {term_to_nt(o)}"
+        + (f" {term_to_nt(g)} .\n" if g is not None else " .\n")
+        for s, p, o, g in quads
+    )

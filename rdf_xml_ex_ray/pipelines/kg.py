@@ -719,3 +719,48 @@ def kg_store_diff(sf_dir: str, delta_mod: int = INCR_DELTA_MOD):
         old.map_batches(tag(2), batch_format="pyarrow")
     )
     return union.groupby("__bucket").map_groups(diff_group, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ kg_quads
+
+# Named-graph (quad) view of the flagship KG: every triple goes into the
+# named graph of the conversation that owns its subject (subjects embed
+# conv_id — conv/turn IRIs carry it in the path, toolUse bnode labels in
+# the '{conv_id}!b{k}' prefix). This is the RDF-dataset shape the N-Quads
+# sink/store partitions by, and the provenance primitive for per-document
+# KG lineage. Derivation is pure Arrow (split on '/' / '!'), no row loop.
+from .oracle import KG_TRIPLES_SQL  # noqa: E402  (appended section)
+
+_CONV_IRI_PREFIX = "http://example.org/conv/"
+
+KG_QUADS_SQL = f"""
+SELECT subj, subj_kind, pred, obj_kind, obj_value, obj_lang, obj_datatype,
+       '{_CONV_IRI_PREFIX}' ||
+         CASE WHEN subj_kind = 'bnode' THEN split_part(subj, '!', 1)
+              ELSE split_part(replace(subj, '{_CONV_IRI_PREFIX}', ''), '/', 1)
+         END AS graph,
+       'iri' AS graph_kind
+FROM ( {KG_TRIPLES_SQL} ) AS base
+"""
+
+
+def kg_quads(sf_dir: str):
+    """Quad-row Dataset: flagship triples + per-conversation named graph."""
+    import pyarrow as pa
+
+    triples = kg_triples_dataset(sf_dir)
+
+    def add_graph(batch: pa.Table) -> pa.Table:
+        subj = batch["subj"].cast(pa.string())
+        bnode_conv = pc.list_element(pc.split_pattern(subj, "!"), 0)
+        stripped = pc.replace_substring(subj, _CONV_IRI_PREFIX, "")
+        iri_conv = pc.list_element(pc.split_pattern(stripped, "/"), 0)
+        conv = pc.if_else(pc.equal(batch["subj_kind"], "bnode"), bnode_conv, iri_conv)
+        graph = pc.binary_join_element_wise(
+            pa.array([_CONV_IRI_PREFIX] * batch.num_rows, pa.string()), conv, ""
+        )
+        return batch.append_column("graph", graph).append_column(
+            "graph_kind", pa.repeat("iri", batch.num_rows)
+        )
+
+    return triples.map_batches(add_graph, batch_format="pyarrow")

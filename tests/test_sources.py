@@ -300,3 +300,42 @@ def test_sink_bnode_labels_spec_valid(ray_session, tmp_path):
         a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
         b = orig[cols].fillna("~").sort_values(cols).reset_index(drop=True)
         assert a.equals(b), fmt
+
+
+def test_nquads_sink_source_roundtrip(ray_session, tmp_path):
+    """Quad store write -> read preserves quads incl. named graphs, default
+    graph (null), bnode graph labels, and spec-valid encoded bnode labels."""
+    import glob
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.sources.nquads import QUAD_SCHEMA, read_nquads, write_nquads
+
+    rows = [
+        # (subj, subj_kind, pred, obj_kind, obj_value, lang, dt, graph, graph_kind)
+        ("http://e/s1", "iri", "http://e/p", "literal", 'say "hi"\n', "en", None,
+         "http://e/g1", "iri"),
+        ("c0!b1", "bnode", "http://e/p", "bnode", "c0!b2", None, None,
+         "http://e/g1", "iri"),
+        ("http://e/s2", "iri", "http://e/p", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer", None, None),  # default graph
+        ("http://e/s3", "iri", "http://e/p", "iri", "http://e/o", None, None,
+         "g!b0", "bnode"),  # bnode graph label
+    ]
+    tbl = pa.table(
+        {n: pa.array([r[i] for r in rows]) for i, n in enumerate(QUAD_SCHEMA.names)},
+        schema=QUAD_SCHEMA,
+    )
+    out = str(tmp_path / "nq")
+    write_nquads(rd.from_arrow(tbl), out, num_buckets=2).to_pandas()
+    files = sorted(glob.glob(f"{out}/part-*.nq"))
+    text = "".join(open(f, encoding="utf-8").read() for f in files)
+    for lbl in re.findall(r"_:(\S+)", text):
+        assert re.fullmatch(r"[A-Za-z0-9_]+", lbl), lbl
+    back = read_nquads(files).to_pandas()
+    cols = list(QUAD_SCHEMA.names)
+    a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    b = tbl.to_pandas()[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
