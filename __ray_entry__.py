@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": corpus.group_quantiles,
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "token_postings": corpus.token_postings,
+        "corpus_search": corpus.corpus_search,
         "token_heavy_hitters": corpus.token_heavy_hitters,
         "group_topk": corpus.group_topk,
         "doc_chunk": corpus.doc_chunk,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": corpus.TFIDF_SQL,
         "doc_stratified_sample": corpus.DOC_STRATIFIED_SAMPLE_SQL,
         "token_postings": corpus.TOKEN_POSTINGS_SQL,
+        "corpus_search": corpus.CORPUS_SEARCH_SQL,
         "corpus_clean": corpus.CORPUS_CLEAN_SQL,
         "doc_decontaminate": corpus.DOC_DECONTAMINATE_SQL,
         "token_bigram_lm": corpus.TOKEN_BIGRAM_LM_SQL,

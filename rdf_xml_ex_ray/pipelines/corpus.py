@@ -2068,3 +2068,69 @@ def corpus_source_stats(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- corpus_search
+
+# Conjunctive (AND) term search with term-frequency ranking — the serving
+# twin of token_postings: given K query terms, return the top-N documents
+# containing ALL of them, ranked by total tf. Documents are row-atomic, so
+# the entire match+score is MAP-ONLY (per-batch explode → filter to the
+# query set → per-doc tf); the only global step is the top-N sort over the
+# (already tiny) candidate set — no exchange touches non-matching docs.
+SEARCH_TERMS = ("table", "join", "fast")
+SEARCH_TOPN = 20
+
+CORPUS_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN {str(tuple(SEARCH_TERMS))}
+  GROUP BY doc_id, token
+),
+hits AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY doc_id
+  HAVING count(DISTINCT token) = {len(SEARCH_TERMS)}
+)
+SELECT doc_id, tf_total FROM hits
+ORDER BY tf_total DESC, doc_id LIMIT {SEARCH_TOPN}
+"""
+
+
+def corpus_search(sf_dir: str, terms: tuple = SEARCH_TERMS, topn: int = SEARCH_TOPN):
+    """Top-N docs containing ALL query terms, ranked by summed tf."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    term_set = pa.array(sorted(terms), pa.string())
+    n_terms = len(terms)
+
+    def match(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _explode_lower_tokens(batch)
+        keep = pc.is_in(toks, value_set=term_set)
+        mask = keep.to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "tf_total": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {"doc_id": doc_ids[mask], "token": toks.filter(keep).to_pandas()}
+        )
+        per = df.groupby("doc_id")["token"].agg(["count", "nunique"])
+        hits = per[per["nunique"] == n_terms]
+        return pa.table(
+            {
+                "doc_id": pa.array(hits.index.to_numpy(dtype=np.int64)),
+                "tf_total": pa.array(hits["count"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(match, batch_format="pyarrow")
+        .sort(["tf_total", "doc_id"], descending=[True, False])
+        .limit(topn)
+    )
