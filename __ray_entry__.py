@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": graph.kg_degrees,
         "kg_entity_cooccurrence": graph.kg_entity_cooccurrence,
         "kg_triangle_count": graph.kg_triangle_count,
+        "kg_char_sets": graph.kg_char_sets,
+        "kg_cardinality_profile": graph.kg_cardinality_profile,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_keep": corpus.dedup_keep,
@@ -181,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_quads": kg.KG_QUADS_SQL,
         "kg_entity_cooccurrence": graph.KG_ENTITY_COOC_SQL,
         "kg_triangle_count": graph.KG_TRIANGLES_SQL,
+        "kg_char_sets": graph.KG_CHAR_SETS_SQL,
+        "kg_cardinality_profile": graph.KG_CARDINALITY_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

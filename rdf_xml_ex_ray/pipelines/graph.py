@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .oracle import KG_TRIPLES_SQL
+from .oracle import KG_TRIPLES_SQL, RDF_TYPE_SQL
 from ..stages.broadcast import put_broadcast, resolve_broadcast
 
 SEED = "http://example.org/conv/c0"
@@ -1079,3 +1079,198 @@ def kg_triangle_count(sf_dir: str, num_buckets: int = TRIANGLE_NUM_BUCKETS):
         .groupby("entity")
         .aggregate(Sum("t_part", alias_name="n_triangles"))
     )
+
+
+# ------------------------------------------------------- characteristic sets
+
+# Characteristic sets (Neumann & Moerkotte, ICDE 2011): the DISTINCT
+# predicate-set signature of each subject, with subject counts — the
+# standard RDF structure-discovery / cardinality-estimation summary (how
+# many "shapes" of entity the KG contains and how common each is). One
+# subject-hash bucketed exchange; set assembly and counting are
+# vectorized per bucket; the output is as small as the schema is regular.
+CHARSET_NUM_BUCKETS = 64
+
+KG_CHAR_SETS_SQL = f"""
+WITH kt AS (
+  SELECT DISTINCT subj, pred FROM ( {KG_TRIPLES_SQL} ) AS base
+),
+sig AS (
+  SELECT subj, string_agg(pred, '|' ORDER BY pred) AS pred_set,
+         count(*) AS n_preds
+  FROM kt GROUP BY subj
+)
+SELECT pred_set, CAST(max(n_preds) AS BIGINT) AS n_preds,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM sig GROUP BY pred_set
+"""
+
+
+def kg_char_sets(sf_dir: str, num_buckets: int = CHARSET_NUM_BUCKETS):
+    """(pred_set, n_preds, n_subjects): distinct predicate-set signatures."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _doc_bucket
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uniq = batch.select(["subj", "pred"]).group_by(["subj", "pred"]).aggregate([])
+        return pa.table(
+            {
+                "subj": uniq["subj"].cast(pa.string()),
+                "pred": uniq["pred"].cast(pa.string()),
+                "sbucket": pa.array(_doc_bucket(uniq["subj"].to_pylist(), num_buckets)),
+            }
+        )
+
+    def signatures(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["subj", "pred"]).sort_values(
+            ["subj", "pred"], kind="mergesort"
+        )
+        per = g.groupby("subj", sort=False)["pred"].agg(["|".join, "size"])
+        per.columns = ["pred_set", "n_preds"]
+        agg = per.groupby("pred_set").agg(
+            n_preds=("n_preds", "max"), n_subj=("n_preds", "size")
+        )
+        return pa.table(
+            {
+                "pred_set": pa.array(agg.index, pa.string()),
+                "n_preds_part": pa.array(agg["n_preds"].to_numpy(), pa.int64()),
+                "n_subj_part": pa.array(agg["n_subj"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        triples.map_batches(tag, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(signatures, batch_format="pandas")
+        .groupby("pred_set")
+        .aggregate(
+            Max("n_preds_part", alias_name="n_preds"),
+            Sum("n_subj_part", alias_name="n_subjects"),
+        )
+    )
+
+
+# ------------------------------------------------------ cardinality profile
+
+# Per-(class, predicate) out-degree profile — the SHACL-style shape
+# summary (does every Turn have exactly one role? how many turns does a
+# Conversation have?). min/max/total are exact integers; the "mean" is
+# published as the exact (n_triples, n_subjects) pair instead of a float
+# so the hash compare stays bit-exact.
+KG_CARDINALITY_SQL = f"""
+WITH base AS ( {KG_TRIPLES_SQL} ),
+types AS (
+  SELECT subj, obj_value AS cls FROM base
+  WHERE pred = {RDF_TYPE_SQL}
+),
+po AS (
+  SELECT t.cls, b.subj, b.pred, count(*) AS card
+  FROM base b JOIN types t ON t.subj = b.subj
+  WHERE b.pred <> {RDF_TYPE_SQL}
+  GROUP BY t.cls, b.subj, b.pred
+)
+SELECT cls, pred,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(card) AS BIGINT) AS n_triples,
+       CAST(min(card) AS BIGINT) AS min_card,
+       CAST(max(card) AS BIGINT) AS max_card
+FROM po GROUP BY cls, pred
+"""
+
+
+def kg_cardinality_profile(sf_dir: str, num_buckets: int = CHARSET_NUM_BUCKETS):
+    """(class, pred, n_subjects, n_triples, min_card, max_card)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .dedup import _doc_bucket
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(sf_dir).materialize()
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        """Subject-bucket co-location of type rows and property rows."""
+        is_type = pc.equal(batch["pred"], rdf_type)
+        t = batch.select(["subj", "pred", "obj_value"])
+        return pa.table(
+            {
+                "subj": t["subj"].cast(pa.string()),
+                "pred": t["pred"].cast(pa.string()),
+                "cls": pc.if_else(is_type, t["obj_value"].cast(pa.string()), None),
+                "sbucket": pa.array(_doc_bucket(t["subj"].to_pylist(), num_buckets)),
+            }
+        )
+
+    def per_subject(group: pd.DataFrame) -> pa.Table:
+        """All rows of a subject co-locate: join class to its predicate
+        cardinalities inside the bucket, emit (cls, pred, subj-card) rows."""
+        types = group.loc[group["cls"].notna(), ["subj", "cls"]]
+        props = group.loc[group["cls"].isna(), ["subj", "pred"]]
+        if types.empty or props.empty:
+            return pa.table(
+                {"cls": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
+                 "card": pa.array([], pa.int64())}
+            )
+        card = (
+            props.groupby(["subj", "pred"], sort=False).size().reset_index(name="card")
+        )
+        joined = card.merge(types, on="subj")
+        return pa.table(
+            {
+                "cls": pa.array(joined["cls"], pa.string()),
+                "pred": pa.array(joined["pred"], pa.string()),
+                "card": pa.array(joined["card"].to_numpy(dtype="int64")),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        """Per-batch partial profile keyed by cls\\x00pred."""
+        df = batch.to_pandas()
+        agg = df.groupby(["cls", "pred"], sort=False)["card"].agg(
+            ["size", "sum", "min", "max"]
+        )
+        key = [f"{c}\x00{p}" for c, p in agg.index]
+        return pa.table(
+            {
+                "cp": pa.array(key, pa.string()),
+                "ns_part": pa.array(agg["size"].to_numpy(dtype="int64")),
+                "nt_part": pa.array(agg["sum"].to_numpy(dtype="int64")),
+                "mn_part": pa.array(agg["min"].to_numpy(dtype="int64")),
+                "mx_part": pa.array(agg["max"].to_numpy(dtype="int64")),
+            }
+        )
+
+    agg = (
+        triples.map_batches(tag, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(per_subject, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cp")
+        .aggregate(
+            Sum("ns_part", alias_name="n_subjects"),
+            Sum("nt_part", alias_name="n_triples"),
+            Min("mn_part", alias_name="min_card"),
+            Max("mx_part", alias_name="max_card"),
+        )
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["cp"].cast(pa.string()), "\x00")
+        return pa.table(
+            {
+                "cls": pc.list_element(parts, 0),
+                "pred": pc.list_element(parts, 1),
+                "n_subjects": batch["n_subjects"].cast(pa.int64()),
+                "n_triples": batch["n_triples"].cast(pa.int64()),
+                "min_card": batch["min_card"].cast(pa.int64()),
+                "max_card": batch["max_card"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(split, batch_format="pyarrow")
