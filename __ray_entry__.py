@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "token_postings": corpus.token_postings,
         "corpus_search": corpus.corpus_search,
+        "corpus_phrase_search": corpus.corpus_phrase_search,
         "token_heavy_hitters": corpus.token_heavy_hitters,
         "group_topk": corpus.group_topk,
         "doc_chunk": corpus.doc_chunk,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": corpus.DOC_STRATIFIED_SAMPLE_SQL,
         "token_postings": corpus.TOKEN_POSTINGS_SQL,
         "corpus_search": corpus.CORPUS_SEARCH_SQL,
+        "corpus_phrase_search": corpus.CORPUS_PHRASE_SEARCH_SQL,
         "corpus_clean": corpus.CORPUS_CLEAN_SQL,
         "doc_decontaminate": corpus.DOC_DECONTAMINATE_SQL,
         "token_bigram_lm": corpus.TOKEN_BIGRAM_LM_SQL,

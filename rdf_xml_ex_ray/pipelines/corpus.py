@@ -2134,3 +2134,44 @@ def corpus_search(sf_dir: str, terms: tuple = SEARCH_TERMS, topn: int = SEARCH_T
         .sort(["tf_total", "doc_id"], descending=[True, False])
         .limit(topn)
     )
+
+
+# ------------------------------------------------------ corpus_phrase_search
+
+# Exact-phrase (adjacent-token) search — the positional complement of
+# corpus_search's bag-of-words AND. Both engines evaluate the SAME RE2
+# pattern (Arrow's match_substring_regex and DuckDB's regexp_matches are
+# both RE2), so token-boundary semantics are engine-identical by
+# construction: the phrase must be delimited by ASCII whitespace or
+# text edges. Map-only: no exchange touches non-matching documents.
+PHRASE = ("table", "hash")
+_PHRASE_RE = (
+    f"(^|[{ASCII_WS}])" + f"[{ASCII_WS}]+".join(PHRASE) + f"([{ASCII_WS}]|$)"
+)
+
+CORPUS_PHRASE_SEARCH_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE regexp_matches(lower(text), '{_PHRASE_RE}')
+"""
+
+
+def corpus_phrase_search(sf_dir: str):
+    """(doc_id, source) of documents containing the phrase as adjacent
+    whitespace-delimited tokens."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            pc.utf8_lower(batch["text"].cast(pa.string())), _PHRASE_RE
+        )
+        t = batch.filter(hit)
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "source": t["source"].cast(pa.string())}
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")
