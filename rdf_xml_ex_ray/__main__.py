@@ -61,6 +61,20 @@ def main(argv=None) -> int:
     expc.add_argument("--buckets", type=int, default=16)
     expc.add_argument("--num-cpus", type=int, default=None)
 
+    bgp_p = sub.add_parser(
+        "bgp", help="basic-graph-pattern query over a triple store (SPARQL-style BGP)"
+    )
+    bgp_p.add_argument("store", nargs="?", help="parquet triple-store dir (e.g. <kg-out>/triples)")
+    bgp_p.add_argument("--sf-dir", help="build the flagship triples from this sf dir instead")
+    bgp_p.add_argument(
+        "--pattern", action="append", required=True, metavar="'S P O'",
+        help="triple pattern: ?var, <iri>, or a raw constant per position (repeatable)",
+    )
+    bgp_p.add_argument("--project", help="comma list of output variables (default: all)")
+    bgp_p.add_argument("--out", help="write the binding table as parquet instead of printing")
+    bgp_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
+    bgp_p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -171,6 +185,50 @@ def main(argv=None) -> int:
                 )
                 store.write_parquet(args.out, **kwargs)
                 print(json.dumps({"n_docs": store.count(), "format": "parquet", "out": args.out}))
+        elif args.cmd == "bgp":
+            import ray.data as rd
+
+            from rdf_xml_ex_ray.core.model import TRIPLE_COLUMNS
+            from rdf_xml_ex_ray.pipelines.bgp import bgp_execute
+
+            pats = []
+            for spec in args.pattern:
+                toks = spec.split()
+                if len(toks) != 3:
+                    parser.error(f"--pattern {spec!r}: expected exactly 3 terms")
+                pats.append(
+                    tuple(
+                        t if t.startswith("?") else (t[1:-1] if t.startswith("<") and t.endswith(">") else t)
+                        for t in toks
+                    )
+                )
+            all_vars = [t[1:] for p in pats for t in p if t.startswith("?")]
+            project = (
+                args.project.split(",") if args.project else list(dict.fromkeys(all_vars))
+            )
+            if args.store:
+                triples = rd.read_parquet(args.store).map_batches(
+                    lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+                    batch_format="pyarrow",
+                )
+            elif args.sf_dir:
+                from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+
+                triples = kg_triples_dataset(args.sf_dir).materialize()
+            else:
+                parser.error("bgp: need a store dir or --sf-dir")
+            try:
+                res = bgp_execute(triples, pats, project)
+            except ValueError as exc:  # disconnected BGP / unbound projection
+                parser.error(f"bgp: {exc}")
+            if args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"n_bindings": res.count(), "out": args.out}))
+            else:
+                rows = res.take(args.limit)
+                for r in rows:
+                    print(json.dumps(r))
+                print(json.dumps({"n_bindings": res.count(), "shown": len(rows)}))
         elif args.cmd == "decode":
             import pyarrow.compute as pc
 

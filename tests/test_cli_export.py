@@ -109,3 +109,31 @@ def test_export_corpus_jsonl_roundtrip(clean_store, tmp_path):
     assert set(got["doc_id"]) == set(want["doc_id"])
     merged = got.merge(want, on="doc_id", suffixes=("_j", "_p"))
     assert (merged["text_j"] == merged["text_p"]).all()
+
+
+def test_cli_bgp_over_store(kg_store):
+    """BGP subcommand: pattern query over an exported store, both the
+    printed-bindings path and a projected parquet output."""
+    proc = run_cli(
+        "bgp", os.path.join(kg_store, "triples"),
+        "--pattern", "?conv <http://example.org/convo#turn> ?t",
+        "--pattern", "?t <http://example.org/convo#toolUse> ?b",
+        "--project", "conv,t",
+        "--limit", "5", "--num-cpus", "4",
+    )
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines() if x.startswith("{")]
+    summary = lines[-1]
+    assert summary["n_bindings"] > 0 and summary["shown"] == 5
+    assert set(lines[0]) == {"conv", "t"}
+
+
+def test_cli_bgp_rejects_cartesian(kg_store):
+    proc = run_cli(
+        "bgp", os.path.join(kg_store, "triples"),
+        "--pattern", "?a <http://example.org/convo#turn> ?b",
+        "--pattern", "?x <http://example.org/convo#tool> ?y",
+        "--num-cpus", "4",
+        check=False,
+    )
+    assert proc.returncode != 0
+    assert "disconnected" in proc.stderr
