@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": streaming.events_funnel,
         "events_watermark": streaming.events_watermark,
         "events_rollup": streaming.events_rollup,
+        "events_gapfill": streaming.events_gapfill,
         # ---- beyond the driver's 50: covered by the repo gate ----
         "kg_reachability": graph.kg_reachability,
         "kg_degrees": graph.kg_degrees,
@@ -259,5 +260,6 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": streaming.EVENTS_TRANSITIONS_SQL,
         "events_watermark": streaming.EVENTS_WATERMARK_SQL,
         "events_rollup": streaming.EVENTS_ROLLUP_SQL,
+        "events_gapfill": streaming.EVENTS_GAPFILL_SQL,
         "events_inter_arrival": streaming.EVENTS_INTER_ARRIVAL_SQL,
     }

@@ -1098,3 +1098,97 @@ def events_inter_arrival(sf_dir: str, num_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(_inter_arrival_bucket, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------ events_gapfill
+
+# Gap-fill + forward-fill: densify each user's event stream onto an hourly
+# grid (min..max hour of that user), carrying the last observed ``value``
+# across empty hours — the time-series regularization primitive feeding
+# downstream window features. Vectorized per bucket: one sort, then
+# searchsorted boundaries give both the per-hour event count AND the
+# forward-filled value in O(grid + events) with no per-user Python loop
+# (the index of the last event at-or-before each grid hour IS the ffill).
+HOUR_US = 3_600_000_000
+
+EVENTS_GAPFILL_SQL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS ts_us, event_id, value
+  FROM events
+),
+span AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM b GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM span),
+hourly AS (
+  SELECT user_id, hr, value,
+         row_number() OVER (PARTITION BY user_id, hr ORDER BY ts_us DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, hr) AS n_ev
+  FROM b
+),
+hlast AS (SELECT user_id, hr, n_ev, value AS lastv FROM hourly WHERE rn = 1),
+j AS (
+  SELECT g.user_id, g.hr, coalesce(h.n_ev, 0) AS n_events, h.lastv
+  FROM grid g LEFT JOIN hlast h USING (user_id, hr)
+)
+SELECT user_id, CAST(hr AS BIGINT) AS hour, CAST(n_events AS BIGINT) AS n_events,
+       last_value(lastv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING) AS last_value
+FROM j
+"""
+
+
+def _gapfill_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy(dtype=np.int64)
+    hrs = g["ts_us"].to_numpy(dtype=np.int64) // HOUR_US
+    vals = g["value"].to_numpy(dtype=np.float64)
+    out_u, out_h, out_n, out_v = [], [], [], []
+    starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+    bounds = np.append(starts, len(g))
+    for i, j in zip(bounds[:-1], bounds[1:]):
+        h, v = hrs[i:j], vals[i:j]
+        grid = np.arange(h[0], h[-1] + 1, dtype=np.int64)
+        right = np.searchsorted(h, grid, side="right")
+        left = np.searchsorted(h, grid, side="left")
+        out_u.append(np.full(len(grid), users[i], dtype=np.int64))
+        out_h.append(grid)
+        out_n.append((right - left).astype(np.int64))
+        # within a (user, hour) the sort puts the (ts, event_id)-last event
+        # last, so right-1 indexes exactly the SQL's rn=1 row — and for an
+        # empty hour it indexes the most recent earlier event: the ffill
+        out_v.append(v[right - 1])
+    return pd.DataFrame(
+        {
+            "user_id": np.concatenate(out_u),
+            "hour": np.concatenate(out_h),
+            "n_events": np.concatenate(out_n),
+            "last_value": np.concatenate(out_v),
+        }
+    )
+
+
+def events_gapfill(sf_dir: str, num_buckets: int = 64):
+    """(user_id, hour, n_events, last_value) on each user's dense hour grid."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "value": batch["value"].cast(pa.float64()),
+                "user_bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(_gapfill_bucket, batch_format="pandas")
+    )
