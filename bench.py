@@ -103,6 +103,10 @@ def run_bench() -> dict:
     # the pair-compute — the gap vs knn_graph widens with corpus size
     # (subquadratic growth evidence recorded in BASELINE.md)
     timed("knn_graph_ann", lambda: similarity.knn_graph_ann(SF_DIR))
+    # the general BGP join engine (r4): 5 patterns, 4 bucketed exchanges
+    from rdf_xml_ex_ray.pipelines import bgp
+
+    timed("kg_bgp", lambda: bgp.kg_bgp(SF_DIR))
 
     headline = timings["kg_triples"]
     result = {
