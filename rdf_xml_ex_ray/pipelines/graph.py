@@ -167,13 +167,20 @@ def kg_pattern_join(sf_dir: str):
     The triple scan runs ONCE (materialized) and the three pattern branches
     are cheap filters over the cached blocks; each join is one bucketed
     exchange (stages/join.py), so the whole pattern is 3 shuffles total —
-    the textbook partitioned-hash-join plan for a BGP, not a driver loop."""
+    the textbook partitioned-hash-join plan for a BGP, not a driver loop.
+    Triple input built at a quarter of the parse width and join buckets
+    scaled to 2x blocks — the join phase is exchange-width-bound (see
+    pipelines/bgp.py's measured 35.7 s -> 6.9 s block-width note)."""
     from ray.data.aggregate import Sum
 
+    from ..stages.broadcast import cluster_cpus
     from ..stages.join import bucketed_equijoin
     from .kg import kg_triples_dataset
 
-    triples = kg_triples_dataset(sf_dir).materialize()
+    triples = kg_triples_dataset(
+        sf_dir, parallelism=max(4, cluster_cpus() // 4)
+    ).materialize()
+    join_buckets = max(32, 2 * triples.num_blocks())
     turns = triples.map_batches(_pred_edge(P_TURN, "conv", "turn"), batch_format="pyarrow")
     tooluse = triples.map_batches(
         _pred_edge(P_TOOLUSE, "turn2", "bnode"), batch_format="pyarrow"
@@ -188,6 +195,7 @@ def kg_pattern_join(sf_dir: str):
         right_key="bnode2",
         left_fields=[("turn2", s), ("bnode", s)],
         right_fields=[("bnode2", s), ("tool", s)],
+        num_buckets=join_buckets,
         key_type=s,
     ).map_batches(
         lambda t: pa.table({"turn2": t["turn2"], "tool": t["tool"]}), batch_format="pyarrow"
@@ -199,6 +207,7 @@ def kg_pattern_join(sf_dir: str):
         right_key="turn2",
         left_fields=[("conv", s), ("turn", s)],
         right_fields=[("turn2", s), ("tool", s)],
+        num_buckets=join_buckets,
         key_type=s,
     )
 
@@ -754,9 +763,12 @@ def kg_describe(
     set-semantics fixpoint (cycle-safe) and a hard convergence bound."""
     from ray.data.aggregate import Max
 
+    from ..stages.broadcast import cluster_cpus
     from .kg import kg_triples_dataset
 
-    triples = kg_triples_dataset(sf_dir).materialize()
+    triples = kg_triples_dataset(
+        sf_dir, parallelism=max(4, cluster_cpus() // 4)
+    ).materialize()
 
     def seed_nodes(batch: pa.Table) -> pa.Table:
         t = batch.filter(
@@ -894,10 +906,16 @@ def kg_triangle_count(sf_dir: str, num_buckets: int = TRIANGLE_NUM_BUCKETS):
     import pandas as pd
     from ray.data.aggregate import Sum
 
+    from ..stages.broadcast import cluster_cpus
     from .dedup import _bucketed_attach, _doc_bucket
     from .kg import kg_triples_dataset
 
-    triples = kg_triples_dataset(sf_dir)
+    # quarter parse width + buckets >= 2x blocks: all seven exchanges here
+    # are width-bound, not data-bound (pipelines/bgp.py measured note)
+    triples = kg_triples_dataset(
+        sf_dir, parallelism=max(4, cluster_cpus() // 4)
+    ).materialize()
+    num_buckets = max(num_buckets, 2 * triples.num_blocks())
 
     def mentions(batch: pa.Table) -> pa.Table:
         t = batch.filter(
@@ -1111,10 +1129,12 @@ def kg_char_sets(sf_dir: str, num_buckets: int = CHARSET_NUM_BUCKETS):
     import pandas as pd
     from ray.data.aggregate import Max, Sum
 
+    from ..stages.broadcast import cluster_cpus
     from .dedup import _doc_bucket
     from .kg import kg_triples_dataset
 
-    triples = kg_triples_dataset(sf_dir)
+    triples = kg_triples_dataset(sf_dir, parallelism=max(4, cluster_cpus() // 4))
+    num_buckets = max(num_buckets, 2 * 8 * max(4, cluster_cpus() // 4))
 
     def tag(batch: pa.Table) -> pa.Table:
         uniq = batch.select(["subj", "pred"]).group_by(["subj", "pred"]).aggregate([])
@@ -1188,10 +1208,14 @@ def kg_cardinality_profile(sf_dir: str, num_buckets: int = CHARSET_NUM_BUCKETS):
     import pandas as pd
     from ray.data.aggregate import Max, Min, Sum
 
+    from ..stages.broadcast import cluster_cpus
     from .dedup import _doc_bucket
     from .kg import kg_triples_dataset
 
-    triples = kg_triples_dataset(sf_dir).materialize()
+    triples = kg_triples_dataset(
+        sf_dir, parallelism=max(4, cluster_cpus() // 4)
+    ).materialize()
+    num_buckets = max(num_buckets, 2 * triples.num_blocks())
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
     def tag(batch: pa.Table) -> pa.Table:
