@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": streaming.events_watermark,
         "events_rollup": streaming.events_rollup,
         "events_gapfill": streaming.events_gapfill,
+        "events_outlier": streaming.events_outlier,
         # ---- beyond the driver's 50: covered by the repo gate ----
         "kg_reachability": graph.kg_reachability,
         "kg_degrees": graph.kg_degrees,
@@ -261,5 +262,6 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark": streaming.EVENTS_WATERMARK_SQL,
         "events_rollup": streaming.EVENTS_ROLLUP_SQL,
         "events_gapfill": streaming.EVENTS_GAPFILL_SQL,
+        "events_outlier": streaming.EVENTS_OUTLIER_SQL,
         "events_inter_arrival": streaming.EVENTS_INTER_ARRIVAL_SQL,
     }

@@ -1192,3 +1192,85 @@ def events_gapfill(sf_dir: str, num_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(_gapfill_bucket, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------ events_outlier
+
+# Per-user outlier gate: flag events whose value strictly exceeds that
+# user's exact 95th percentile (rank rule: ascending sort, the value at
+# index ceil(0.95·n)−1 — the doc_length_filter exact-percentile
+# convention, replayed identically in SQL via row_number). All
+# comparisons are exact doubles: no interpolation, no float arithmetic.
+OUTLIER_Q = 0.95
+
+EVENTS_OUTLIER_SQL = f"""
+WITH r AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+thr AS (
+  SELECT user_id, value AS p95 FROM r WHERE rk = CAST(ceil({OUTLIER_Q} * n) AS BIGINT)
+)
+SELECT e.event_id, e.user_id, e.value, t.p95
+FROM events e JOIN thr t USING (user_id)
+WHERE e.value > t.p95
+"""
+
+
+def _outlier_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+    users = g["user_id"].to_numpy(dtype=np.int64)
+    vals = g["value"].to_numpy(dtype=np.float64)
+    eids = g["event_id"].to_numpy(dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+    bounds = np.append(starts, len(g))
+    out = []
+    for i, j in zip(bounds[:-1], bounds[1:]):
+        n = j - i
+        p95 = vals[i + int(np.ceil(OUTLIER_Q * n)) - 1]
+        mask = vals[i:j] > p95
+        if mask.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": eids[i:j][mask],
+                        "user_id": users[i:j][mask],
+                        "value": vals[i:j][mask],
+                        "p95": p95,
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="float64"),
+                "p95": pd.Series([], dtype="float64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def events_outlier(sf_dir: str, num_buckets: int = 64):
+    """(event_id, user_id, value, p95) for events above the user's exact
+    p95 — one user-hash exchange, one sorted pass per bucket."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "user_bucket", pa.array((uid % num_buckets).astype(np.int32))
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(_outlier_bucket, batch_format="pandas")
+    )

@@ -39,7 +39,7 @@ EVENT_OPS = [
     "events_asof_join", "events_range_join", "events_funnel",
     "events_retention", "events_latest_state", "events_rate_limit",
     "events_transitions", "events_watermark", "events_rollup",
-    "events_inter_arrival",
+    "events_inter_arrival", "events_gapfill", "events_outlier",
 ]
 
 
