@@ -68,8 +68,9 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:%(pp)s)?:(?:%(pl)s)?)
     | (?P<kw_a>a(?=[\s<("'\[]|\#|$))
     | (?P<kw_bool>(?:true|false)(?=[\s.;,)\]]|\#|$))
+    | (?P<graph_kw>[Gg][Rr][Aa][Pp][Hh](?=[ \t\r\n<_\[{#]))
     | (?P<dtsep>\^\^)
-    | (?P<punct>[.;,()\[\]])
+    | (?P<punct>[.;,()\[\]{}])
     """
     % {"esc": _ECHAR_OR_UCHAR, "bl": _BNODE_LABEL, "pp": _PN_PREFIX, "pl": _PN_LOCAL},
     re.X,
@@ -303,3 +304,72 @@ def parse_turtle(text: str, base: str | None = None) -> list[tuple]:
     it mid-document); with no base, relative IRIs pass through unresolved.
     """
     return _TurtleParser(text, base).parse()
+
+
+# ------------------------------------------------------------------- TriG
+
+class _TriGParser(_TurtleParser):
+    """TriG 1.1 = Turtle + graph blocks: ``[GRAPH] label { triples }``,
+    label-less ``{ triples }`` (default graph), and bare Turtle statements
+    (also default graph). Inherits every Turtle production; only the
+    statement dispatcher and the brace-block loop are new."""
+
+    def __init__(self, text: str, base: str | None):
+        super().__init__(text, base)
+        self.quads: list[tuple] = []
+
+    def _peek2(self):
+        return self.tokens[self.i + 1] if self.i + 1 < len(self.tokens) else (None, None)
+
+    def _flush(self, graph):
+        self.quads.extend((s, p, o, graph) for s, p, o in self.triples)
+        self.triples.clear()
+
+    def parse_quads(self):
+        while self._peek()[0] is not None:
+            kind, val = self._peek()
+            if kind in ("prefix_kw", "base_kw"):
+                self._statement()  # directives mutate parser state only
+            elif kind == "graph_kw":
+                self._next()
+                graph = self._graph_label()
+                self._wrapped_graph(graph)
+            elif kind == "punct" and val == "{":
+                self._wrapped_graph(None)
+            elif kind in ("iriref", "pname", "bnode") and self._peek2() == ("punct", "{"):
+                graph = self._graph_label()
+                self._wrapped_graph(graph)
+            else:
+                self._statement()
+                self._flush(None)
+        return self.quads
+
+    def _graph_label(self):
+        kind, val = self._next()
+        if kind == "iriref":
+            return self._iri(val)
+        if kind == "pname":
+            return self._pname(val)
+        if kind == "bnode":
+            return BNode(val[2:])
+        raise ParseError(f"bad TriG graph label: {val!r}")
+
+    def _wrapped_graph(self, graph):
+        self._expect_punct("{")
+        while self._peek() != ("punct", "}"):
+            subj, had_props = self._subject()
+            nxt = self._peek()
+            if nxt in (("punct", "."), ("punct", "}")):
+                if not had_props:
+                    raise ParseError("subject without predicate-object list in graph block")
+            else:
+                self._predicate_object_list(subj)
+            if self._peek() == ("punct", "."):
+                self._next()  # '.' separators; the one before '}' is optional
+        self._next()  # '}'
+        self._flush(graph)
+
+
+def parse_trig(text: str, base: str | None = None) -> list[tuple]:
+    """TriG document → list of (subject, predicate, object, graph|None)."""
+    return _TriGParser(text, base).parse_quads()

@@ -339,3 +339,65 @@ def test_nquads_sink_source_roundtrip(ray_session, tmp_path):
     a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
     b = tbl.to_pandas()[cols].fillna("~").sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_trig_sink_source_roundtrip(ray_session, tmp_path):
+    """TriG write -> read preserves quads: named-graph blocks, default
+    graph, bnode graph labels, spec-valid encoded bnode labels — and the
+    emitted files parse with the GENERAL TriG grammar (not a subset)."""
+    import glob
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.sources.nquads import QUAD_SCHEMA
+    from rdf_xml_ex_ray.sources.trig import read_trig, write_trig
+
+    rows = [
+        ("http://e/s1", "iri", "http://e/p", "literal", 'say "hi"\n', "en", None,
+         "http://e/g1", "iri"),
+        ("c0!b1", "bnode", "http://e/p", "bnode", "c0!b2", None, None,
+         "http://e/g1", "iri"),
+        ("http://e/s2", "iri", "http://e/p", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer", None, None),
+        ("http://e/s3", "iri", "http://e/p", "iri", "http://e/o", None, None,
+         "g!b0", "bnode"),
+    ]
+    tbl = pa.table(
+        {n: pa.array([r[i] for r in rows]) for i, n in enumerate(QUAD_SCHEMA.names)},
+        schema=QUAD_SCHEMA,
+    )
+    out = str(tmp_path / "trig")
+    write_trig(rd.from_arrow(tbl), out, num_buckets=2).to_pandas()
+    files = sorted(glob.glob(f"{out}/part-*.trig"))
+    text = "".join(open(f, encoding="utf-8").read() for f in files)
+    for lbl in re.findall(r"_:(\S+)", text):
+        assert re.fullmatch(r"[A-Za-z0-9_]+", lbl), lbl
+    back = read_trig(files).to_pandas()
+    cols = list(QUAD_SCHEMA.names)
+    a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    b = tbl.to_pandas()[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_trig_general_grammar_forms(ray_session, tmp_path):
+    """The TriG reader is the general grammar: GRAPH keyword, label-less
+    default block, collections and shorthand literals inside blocks."""
+    doc = """
+@prefix ex: <http://e/> .
+ex:s ex:p "default" .
+GRAPH ex:g1 { ex:a ex:p 1, 2 ; a ex:T . }
+ex:g2 { ex:b ex:p (1 2) }
+{ ex:c ex:p true . }
+"""
+    f = tmp_path / "t.trig"
+    f.write_text(doc, encoding="utf-8")
+    from rdf_xml_ex_ray.sources.trig import read_trig
+
+    df = read_trig(str(f)).to_pandas()
+    # 1 default + 3 in g1 + 5 in g2 (list head + 2x first/rest) + 1 anon
+    assert len(df) == 10
+    assert set(df["graph"].dropna()) == {"http://e/g1", "http://e/g2"}
+    assert (df["graph"].isna()).sum() == 2  # bare statement + anon block
+    assert (df["obj_datatype"] == "http://www.w3.org/2001/XMLSchema#integer").sum() == 4
