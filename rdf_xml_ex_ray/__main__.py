@@ -40,10 +40,15 @@ def main(argv=None) -> int:
     decode.add_argument("--base", default=None)
     decode.add_argument("--num-cpus", type=int, default=None)
 
-    export = sub.add_parser("export", help="export a parquet triple store to .nt / .ttl")
+    export = sub.add_parser(
+        "export", help="export a parquet triple store to .nt / .ttl / .nq / .trig"
+    )
     export.add_argument("store", help="triple-store parquet dir (e.g. <kg-out>/triples)")
     export.add_argument("--out", required=True)
-    export.add_argument("--format", choices=["nt", "ttl"], default="nt")
+    export.add_argument(
+        "--format", choices=["nt", "ttl", "nq", "trig"], default="nt",
+        help="nq/trig use the store's graph column, else the per-conversation graph",
+    )
     export.add_argument(
         "--prefix", action="append", default=[], metavar="PFX=NS",
         help="extra Turtle prefix (repeatable), e.g. --prefix c=http://example.org/convo#",
@@ -119,11 +124,37 @@ def main(argv=None) -> int:
 
             from rdf_xml_ex_ray.core.model import TRIPLE_COLUMNS
 
-            store = rd.read_parquet(args.store).map_batches(
-                lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+            raw = rd.read_parquet(args.store)
+            has_graph = "graph" in raw.schema().names
+            keep = TRIPLE_COLUMNS + (["graph", "graph_kind"] if has_graph else [])
+            store = raw.map_batches(
+                lambda t: t.select([c for c in keep if c in t.column_names]),
                 batch_format="pyarrow",
             )
-            if args.format == "ttl":
+            if args.format in ("nq", "trig"):
+                if not has_graph:
+                    from rdf_xml_ex_ray.pipelines.kg import add_conv_graph
+
+                    store = store.map_batches(add_conv_graph, batch_format="pyarrow")
+                if args.format == "nq":
+                    from rdf_xml_ex_ray.sources.nquads import write_nquads
+
+                    stats = write_nquads(store, args.out, num_buckets=args.buckets).to_pandas()
+                else:
+                    from rdf_xml_ex_ray.sources.trig import write_trig
+
+                    stats = write_trig(store, args.out, num_buckets=args.buckets).to_pandas()
+                print(
+                    json.dumps(
+                        {
+                            "n_quads": int(stats["n_quads"].sum()),
+                            "files": len(stats),
+                            "format": args.format,
+                            "out": args.out,
+                        }
+                    )
+                )
+            elif args.format == "ttl":
                 from rdf_xml_ex_ray.sources.turtle import DEFAULT_PREFIXES, write_turtle
 
                 import re as _re
@@ -147,16 +178,17 @@ def main(argv=None) -> int:
                 from rdf_xml_ex_ray.sources.ntriples import write_ntriples
 
                 stats = write_ntriples(store, args.out, num_buckets=args.buckets).to_pandas()
-            print(
-                json.dumps(
-                    {
-                        "n_triples": int(stats["n_triples"].sum()),
-                        "files": len(stats),
-                        "format": args.format,
-                        "out": args.out,
-                    }
+            if args.format in ("nt", "ttl"):
+                print(
+                    json.dumps(
+                        {
+                            "n_triples": int(stats["n_triples"].sum()),
+                            "files": len(stats),
+                            "format": args.format,
+                            "out": args.out,
+                        }
+                    )
                 )
-            )
         elif args.cmd == "export-corpus":
             import ray.data as rd
 

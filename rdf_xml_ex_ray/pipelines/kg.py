@@ -744,23 +744,24 @@ FROM ( {KG_TRIPLES_SQL} ) AS base
 """
 
 
-def kg_quads(sf_dir: str):
-    """Quad-row Dataset: flagship triples + per-conversation named graph."""
+def add_conv_graph(batch):
+    """Triple rows → quad rows: per-conversation named graph derived from
+    the subject (pure Arrow; shared by kg_quads and the export CLI)."""
     import pyarrow as pa
 
-    triples = kg_triples_dataset(sf_dir)
+    subj = batch["subj"].cast(pa.string())
+    bnode_conv = pc.list_element(pc.split_pattern(subj, "!"), 0)
+    stripped = pc.replace_substring(subj, _CONV_IRI_PREFIX, "")
+    iri_conv = pc.list_element(pc.split_pattern(stripped, "/"), 0)
+    conv = pc.if_else(pc.equal(batch["subj_kind"], "bnode"), bnode_conv, iri_conv)
+    graph = pc.binary_join_element_wise(
+        pa.array([_CONV_IRI_PREFIX] * batch.num_rows, pa.string()), conv, ""
+    )
+    return batch.append_column("graph", graph).append_column(
+        "graph_kind", pa.repeat("iri", batch.num_rows)
+    )
 
-    def add_graph(batch: pa.Table) -> pa.Table:
-        subj = batch["subj"].cast(pa.string())
-        bnode_conv = pc.list_element(pc.split_pattern(subj, "!"), 0)
-        stripped = pc.replace_substring(subj, _CONV_IRI_PREFIX, "")
-        iri_conv = pc.list_element(pc.split_pattern(stripped, "/"), 0)
-        conv = pc.if_else(pc.equal(batch["subj_kind"], "bnode"), bnode_conv, iri_conv)
-        graph = pc.binary_join_element_wise(
-            pa.array([_CONV_IRI_PREFIX] * batch.num_rows, pa.string()), conv, ""
-        )
-        return batch.append_column("graph", graph).append_column(
-            "graph_kind", pa.repeat("iri", batch.num_rows)
-        )
 
-    return triples.map_batches(add_graph, batch_format="pyarrow")
+def kg_quads(sf_dir: str):
+    """Quad-row Dataset: flagship triples + per-conversation named graph."""
+    return kg_triples_dataset(sf_dir).map_batches(add_conv_graph, batch_format="pyarrow")

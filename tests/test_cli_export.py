@@ -137,3 +137,26 @@ def test_cli_bgp_rejects_cartesian(kg_store):
     )
     assert proc.returncode != 0
     assert "disconnected" in proc.stderr
+
+
+def test_cli_export_quads(kg_store, tmp_path_factory):
+    """export --format nq/trig: per-conversation named graphs derived at
+    export time; the .nq file re-reads to the same quad count."""
+    d = tmp_path_factory.mktemp("quads")
+    proc = run_cli(
+        "export", os.path.join(kg_store, "triples"),
+        "--out", str(d / "nq"), "--format", "nq", "--buckets", "4", "--num-cpus", "4",
+    )
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["n_quads"] > 0 and info["format"] == "nq"
+    text = "".join(
+        open(f, encoding="utf-8").read() for f in glob.glob(str(d / "nq" / "part-*.nq"))
+    )
+    assert text.count("\n") == info["n_quads"]
+    assert "<http://example.org/conv/c" in text.splitlines()[0].rsplit(" ", 2)[-2]
+    proc2 = run_cli(
+        "export", os.path.join(kg_store, "triples"),
+        "--out", str(d / "trig"), "--format", "trig", "--buckets", "4", "--num-cpus", "4",
+    )
+    info2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert info2["n_quads"] == info["n_quads"]
