@@ -44,7 +44,11 @@ def _make_events(seed: int, n: int = 800):
     )
 
 
-KG_OPS = ["kg_triples", "kg_conv_stats", "kg_pred_counts", "kg_bgp", "kg_quads"]
+KG_OPS = [
+    "kg_triples", "kg_conv_stats", "kg_pred_counts", "kg_bgp", "kg_quads",
+    "kg_describe", "kg_char_sets", "kg_cardinality_profile",
+    "kg_triangle_count", "kg_pattern_join",
+]
 
 
 @pytest.mark.parametrize("seed", [7, 41])
