@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": graph.kg_pagerank,
         "kg_pattern_join": graph.kg_pattern_join,
         "kg_bgp": bgp.kg_bgp,
+        "kg_sparql": bgp.kg_sparql,
         "kg_describe": graph.kg_describe,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": graph.KG_DEGREES_SQL,
         "kg_pattern_join": graph.KG_PATTERN_JOIN_SQL,
         "kg_bgp": bgp.KG_BGP_SQL,
+        "kg_sparql": bgp.KG_SPARQL_SQL,
         "kg_describe": graph.KG_DESCRIBE_SQL,
         "kg_pagerank": graph.KG_PAGERANK_SQL,
         "kg_incremental": oracle.KG_TRIPLES_SQL,

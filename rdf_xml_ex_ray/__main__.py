@@ -80,6 +80,16 @@ def main(argv=None) -> int:
     bgp_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     bgp_p.add_argument("--num-cpus", type=int, default=None)
 
+    sparql_p = sub.add_parser(
+        "sparql", help="SPARQL SELECT (restricted fragment) over a triple store"
+    )
+    sparql_p.add_argument("query", help="SELECT [DISTINCT] ?v… WHERE { s p o . … } [LIMIT n]")
+    sparql_p.add_argument("store", nargs="?", help="parquet triple-store dir")
+    sparql_p.add_argument("--sf-dir", help="build the flagship triples from this sf dir instead")
+    sparql_p.add_argument("--out", help="write the binding table as parquet instead of printing")
+    sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
+    sparql_p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -253,6 +263,36 @@ def main(argv=None) -> int:
                 res = bgp_execute(triples, pats, project)
             except ValueError as exc:  # disconnected BGP / unbound projection
                 parser.error(f"bgp: {exc}")
+            if args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"n_bindings": res.count(), "out": args.out}))
+            else:
+                rows = res.take(args.limit)
+                for r in rows:
+                    print(json.dumps(r))
+                print(json.dumps({"n_bindings": res.count(), "shown": len(rows)}))
+        elif args.cmd == "sparql":
+            import ray.data as rd
+
+            from rdf_xml_ex_ray.core.model import TRIPLE_COLUMNS
+            from rdf_xml_ex_ray.core.terms import ParseError as _PE
+            from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+            if args.store:
+                triples = rd.read_parquet(args.store).map_batches(
+                    lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+                    batch_format="pyarrow",
+                )
+            elif args.sf_dir:
+                from rdf_xml_ex_ray.pipelines.kg import kg_triples_dataset
+
+                triples = kg_triples_dataset(args.sf_dir).materialize()
+            else:
+                parser.error("sparql: need a store dir or --sf-dir")
+            try:
+                res = sparql_select(triples, args.query)
+            except (ValueError, _PE) as exc:
+                parser.error(f"sparql: {exc}")
             if args.out:
                 res.write_parquet(args.out)
                 print(json.dumps({"n_bindings": res.count(), "out": args.out}))

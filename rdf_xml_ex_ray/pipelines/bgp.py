@@ -225,3 +225,73 @@ JOIN kt t4 ON t4.subj = t3.obj_value AND t4.pred = '{_C}tool'
 JOIN kt t5 ON t5.subj = t1.obj_value AND t5.pred = '{_C}index'
 WHERE t1.pred = '{_C}turn'
 """
+
+
+# ---------------------------------------------------------------- SPARQL
+
+def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
+    """Run a restricted SPARQL SELECT (core/sparql.py fragment) against a
+    triple-row Dataset. DISTINCT dedups bindings through one bucketed
+    exchange; LIMIT is made deterministic by sorting on the projection
+    (SPARQL leaves un-ORDERed LIMIT implementation-defined — a distributed
+    engine must pin it or two runs disagree)."""
+    import pandas as pd
+
+    from ..core.sparql import parse_select
+
+    q = parse_select(query)
+    res = bgp_execute(triples_ds, q["patterns"], q["project"], num_buckets=num_buckets)
+
+    if q["distinct"]:
+        from .dedup import _doc_bucket
+
+        cols = q["project"]
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            key = _key_expr(batch, cols) if len(cols) > 1 else batch[cols[0]].cast(pa.string())
+            return batch.append_column(
+                "__dbucket", pa.array(_doc_bucket(key.to_pylist(), 64))
+            )
+
+        def drop_dups(group: pd.DataFrame) -> pd.DataFrame:
+            return group.drop_duplicates(cols)[cols]
+
+        res = (
+            res.map_batches(add_key, batch_format="pyarrow")
+            .groupby("__dbucket")
+            .map_groups(drop_dups, batch_format="pandas")
+        )
+    if q["limit"] is not None:
+        res = res.sort(q["project"]).limit(q["limit"])
+    return res
+
+
+KG_SPARQL_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT DISTINCT ?conv ?tool
+WHERE { ?conv c:turn ?t . ?t c:toolUse ?u . ?u c:tool ?tool }
+"""
+
+KG_SPARQL_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT DISTINCT t1.subj AS conv, t3.obj_value AS tool
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}toolUse'
+JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+WHERE t1.pred = '{_C}turn'
+"""
+
+
+def kg_sparql(sf_dir: str):
+    """SPARQL SELECT DISTINCT front-end over the flagship KG: which tools
+    does each conversation use (set semantics) — parsed from query text,
+    planned and executed by the BGP engine."""
+    from ..stages.broadcast import cluster_cpus
+    from .kg import kg_triples_dataset
+
+    triples = kg_triples_dataset(
+        sf_dir, parallelism=max(4, cluster_cpus() // 4)
+    ).materialize()
+    return sparql_select(triples, KG_SPARQL_QUERY)

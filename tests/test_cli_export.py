@@ -160,3 +160,27 @@ def test_cli_export_quads(kg_store, tmp_path_factory):
     )
     info2 = json.loads(proc2.stdout.strip().splitlines()[-1])
     assert info2["n_quads"] == info["n_quads"]
+
+
+def test_cli_sparql_over_store(kg_store):
+    proc = run_cli(
+        "sparql",
+        "PREFIX c: <http://example.org/convo#> "
+        "SELECT DISTINCT ?conv ?tool WHERE { ?conv c:turn ?t . "
+        "?t c:toolUse ?u . ?u c:tool ?tool } LIMIT 5",
+        os.path.join(kg_store, "triples"),
+        "--num-cpus", "4",
+    )
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines() if x.startswith("{")]
+    assert lines[-1]["n_bindings"] == 5  # LIMIT applied before count
+    assert set(lines[0]) == {"conv", "tool"}
+
+
+def test_cli_sparql_rejects_bad_query(kg_store):
+    proc = run_cli(
+        "sparql", "SELECT ?x WHERE { ?x ex:p ?y }",
+        os.path.join(kg_store, "triples"), "--num-cpus", "4",
+        check=False,
+    )
+    assert proc.returncode != 0
+    assert "undeclared prefix" in proc.stderr

@@ -1,0 +1,85 @@
+"""SPARQL SELECT front-end: parser fragment coverage, loud rejection of
+out-of-fragment syntax, and executor semantics (DISTINCT, deterministic
+LIMIT) against the BGP engine on a tiny graph."""
+
+import pyarrow as pa
+import pytest
+
+from rdf_xml_ex_ray.core.sparql import parse_select
+from rdf_xml_ex_ray.core.terms import ParseError
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def test_parse_full_form():
+    q = parse_select(
+        """
+        PREFIX ex: <http://e/>
+        SELECT DISTINCT ?a ?b
+        WHERE { ?a ex:knows ?b . ?b a ex:T . ?a ex:name "Ann" }
+        LIMIT 5
+        """
+    )
+    assert q["project"] == ["a", "b"]
+    assert q["distinct"] is True
+    assert q["limit"] == 5
+    assert q["patterns"] == [
+        ("?a", "http://e/knows", "?b"),
+        ("?b", RDF_TYPE, "http://e/T"),
+        ("?a", "http://e/name", "Ann"),
+    ]
+
+
+def test_parse_star_binds_all_vars_in_order():
+    q = parse_select("SELECT * WHERE { ?x <http://e/p> ?y . ?y <http://e/q> ?z }")
+    assert q["project"] == ["x", "y", "z"]
+    assert q["distinct"] is False and q["limit"] is None
+
+
+def test_parse_keywords_case_insensitive():
+    q = parse_select("select ?x where { ?x <http://e/p> "
+                     '"v" } limit 2')
+    assert q["project"] == ["x"] and q["limit"] == 2
+
+
+def test_parse_rejects_out_of_fragment():
+    with pytest.raises(ParseError):
+        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?y . FILTER(?y > 3) }")
+    with pytest.raises(ParseError):
+        parse_select("SELECT ?x WHERE { }")
+    with pytest.raises(ParseError):
+        parse_select("SELECT WHERE { ?x <http://e/p> ?y }")
+    with pytest.raises(ParseError):
+        parse_select("PREFIX ex <http://e/> SELECT ?x WHERE { ?x ex:p ?y }")
+    with pytest.raises(ParseError, match="undeclared prefix"):
+        parse_select("SELECT ?x WHERE { ?x ex:p ?y }")
+
+
+def test_executor_distinct_and_limit(ray_session):
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [
+        ("a", "http://e/p", "x"), ("a", "http://e/p", "y"),
+        ("b", "http://e/p", "x"), ("b", "http://e/p", "x2"),
+        ("a", "http://e/q", "q1"), ("b", "http://e/q", "q2"),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("iri")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    # bag semantics: ?s bound twice per subject via p-join against q
+    bag = sparql_select(ds, "SELECT ?s WHERE { ?s <http://e/p> ?o . ?s <http://e/q> ?w }")
+    assert sorted(r["s"] for r in bag.take_all()) == ["a", "a", "b", "b"]
+    dedup = sparql_select(
+        ds, "SELECT DISTINCT ?s WHERE { ?s <http://e/p> ?o . ?s <http://e/q> ?w }"
+    )
+    assert sorted(r["s"] for r in dedup.take_all()) == ["a", "b"]
+    lim = sparql_select(ds, "SELECT ?o WHERE { <a> <http://e/p> ?o } LIMIT 1")
+    assert [r["o"] for r in lim.take_all()] == ["x"]  # deterministic: sorted
