@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangle_count": graph.kg_triangle_count,
         "kg_char_sets": graph.kg_char_sets,
         "kg_cardinality_profile": graph.kg_cardinality_profile,
+        "kg_shacl_check": graph.kg_shacl_check,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_keep": corpus.dedup_keep,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangle_count": graph.KG_TRIANGLES_SQL,
         "kg_char_sets": graph.KG_CHAR_SETS_SQL,
         "kg_cardinality_profile": graph.KG_CARDINALITY_SQL,
+        "kg_shacl_check": graph.KG_SHACL_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

@@ -1298,3 +1298,138 @@ def kg_cardinality_profile(sf_dir: str, num_buckets: int = CHARSET_NUM_BUCKETS):
         )
 
     return agg.map_batches(split, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ kg_shacl_check
+
+# SHACL-style cardinality validation: for each (class, predicate, min, max)
+# shape constraint, count the subjects of that class whose predicate
+# out-degree falls outside [min, max] — including subjects MISSING the
+# predicate entirely (count 0), which kg_cardinality_profile by design
+# cannot see. max = -1 encodes "unbounded" identically on both engines.
+# The constraint table is a module constant replayed as VALUES in the twin.
+SHACL_CONSTRAINTS = [
+    # (class IRI, predicate IRI, min_card, max_card; -1 = unbounded)
+    ("http://example.org/convo#Turn", "http://example.org/convo#role", 1, 1),
+    ("http://example.org/convo#Turn", "http://example.org/convo#text", 1, 1),
+    ("http://example.org/convo#Turn", "http://example.org/convo#index", 1, 1),
+    ("http://example.org/convo#Turn", "http://example.org/convo#tsMicros", 1, 1),
+    ("http://example.org/convo#Turn", "http://example.org/convo#toolUse", 0, 1),
+    ("http://example.org/convo#Conversation", "http://example.org/convo#turn", 1, -1),
+]
+
+_SHACL_VALUES = ",\n  ".join(
+    f"('{c}', '{p}', {mn}, {mx})" for c, p, mn, mx in SHACL_CONSTRAINTS
+)
+
+KG_SHACL_SQL = f"""
+WITH base AS ( {KG_TRIPLES_SQL} ),
+cons(cls, pred, min_card, max_card) AS (VALUES
+  {_SHACL_VALUES}
+),
+types AS (
+  SELECT subj, obj_value AS cls FROM base WHERE pred = {RDF_TYPE_SQL}
+),
+pcnt AS (
+  SELECT subj, pred, count(*) AS n FROM base
+  WHERE pred <> {RDF_TYPE_SQL} GROUP BY subj, pred
+),
+per AS (
+  SELECT c.cls, c.pred, c.min_card, c.max_card, t.subj, coalesce(p.n, 0) AS n
+  FROM cons c
+  JOIN types t ON t.cls = c.cls
+  LEFT JOIN pcnt p ON p.subj = t.subj AND p.pred = c.pred
+)
+SELECT cls, pred, CAST(min_card AS BIGINT) AS min_card,
+       CAST(max_card AS BIGINT) AS max_card,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(CASE WHEN n < min_card
+                      OR (max_card >= 0 AND n > max_card)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM per GROUP BY cls, pred, min_card, max_card
+"""
+
+
+def kg_shacl_check(sf_dir: str, constraints=None, num_buckets: int = CHARSET_NUM_BUCKETS):
+    """(cls, pred, min_card, max_card, n_subjects, n_violations) per shape
+    constraint. One subject-hash exchange co-locates each subject's type
+    row with its predicate counts; the constraint table is a broadcast-size
+    constant; the final aggregate is constraints-sized."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import cluster_cpus
+    from .dedup import _doc_bucket
+    from .kg import kg_triples_dataset
+
+    cons = constraints if constraints is not None else SHACL_CONSTRAINTS
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    triples = kg_triples_dataset(sf_dir, parallelism=max(4, cluster_cpus() // 4))
+    num_buckets = max(num_buckets, 2 * 8 * max(4, cluster_cpus() // 4))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        is_type = pc.equal(batch["pred"], rdf_type)
+        return pa.table(
+            {
+                "subj": batch["subj"].cast(pa.string()),
+                "pred": batch["pred"].cast(pa.string()),
+                "cls": pc.if_else(is_type, batch["obj_value"].cast(pa.string()), None),
+                "sbucket": pa.array(_doc_bucket(batch["subj"].to_pylist(), num_buckets)),
+            }
+        )
+
+    def check_bucket(group: pd.DataFrame) -> pa.Table:
+        types = group.loc[group["cls"].notna(), ["subj", "cls"]].drop_duplicates()
+        props = group.loc[group["cls"].isna(), ["subj", "pred"]]
+        counts = (
+            props.groupby(["subj", "pred"], sort=False).size() if len(props) else None
+        )
+        out = {"ck": [], "ns_part": [], "nv_part": []}
+        for ci, (cls, pred, mn, mx) in enumerate(cons):
+            subjects = types.loc[types["cls"] == cls, "subj"]
+            if subjects.empty:
+                continue
+            if counts is not None:
+                n = counts.reindex(
+                    pd.MultiIndex.from_product([subjects, [pred]]), fill_value=0
+                ).to_numpy()
+            else:
+                n = np.zeros(len(subjects), dtype=np.int64)
+            viol = (n < mn) | ((mx >= 0) & (n > mx))
+            out["ck"].append(ci)
+            out["ns_part"].append(len(subjects))
+            out["nv_part"].append(int(viol.sum()))
+        return pa.table(
+            {
+                "ck": pa.array(out["ck"], pa.int64()),
+                "ns_part": pa.array(out["ns_part"], pa.int64()),
+                "nv_part": pa.array(out["nv_part"], pa.int64()),
+            }
+        )
+
+    agg = (
+        triples.map_batches(tag, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(check_bucket, batch_format="pandas")
+        .groupby("ck")
+        .aggregate(
+            Sum("ns_part", alias_name="n_subjects"),
+            Sum("nv_part", alias_name="n_violations"),
+        )
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        idx = batch["ck"].to_pylist()
+        return pa.table(
+            {
+                "cls": pa.array([cons[i][0] for i in idx], pa.string()),
+                "pred": pa.array([cons[i][1] for i in idx], pa.string()),
+                "min_card": pa.array([cons[i][2] for i in idx], pa.int64()),
+                "max_card": pa.array([cons[i][3] for i in idx], pa.int64()),
+                "n_subjects": batch["n_subjects"].cast(pa.int64()),
+                "n_violations": batch["n_violations"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(expand, batch_format="pyarrow")
