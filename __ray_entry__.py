@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ann": similarity.knn_graph_ann,
         "knn_recall_eval": similarity.knn_recall_eval,
         "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_hybrid_search": similarity.ann_hybrid_search,
         "doc_semdedup": similarity.doc_semdedup,
         "embedding_kmeans": similarity.embedding_kmeans,
         # text analysis
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_ann": similarity.KNN_GRAPH_ANN_SQL,
         "knn_recall_eval": similarity.KNN_RECALL_EVAL_SQL,
         "ann_pq_topk": similarity.ANN_PQ_TOPK_SQL,
+        "ann_hybrid_search": similarity.ANN_HYBRID_SQL,
         "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
         "doc_semdedup": similarity.DOC_SEMDEDUP_SQL,
         "embedding_kmeans": similarity.EMBEDDING_KMEANS_SQL,

@@ -1476,3 +1476,102 @@ def embedding_kmeans(sf_dir: str, iters: int = KM_ITERS):
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- ann_hybrid_search
+
+# Hybrid retrieval: keyword-filter THEN vector-rank — the RAG-serving
+# staple (restrict candidates to documents containing a query term, rank
+# the survivors by embedding cosine). The term filter is map-only over
+# documents; survivors semi-join the embedding store through ONE bucketed
+# int-key exchange (no driver-side id set — the filtered corpus can be
+# arbitrarily large at 100 TB); ranking reuses the brute-force partial
+# top-k + merge machinery (same (sim DESC, vec_id) total order and
+# round-half-away emission as ann_topk, so cross-block ties are safe).
+HYBRID_TERM = "vector"
+# single shared RE2 boundary pattern (corpus_phrase_search precedent):
+# Arrow match_substring_regex and DuckDB regexp_matches are both RE2, so
+# token membership is engine-identical by construction
+from .text import ASCII_WS as _HY_WS  # noqa: E402  (appended section)
+
+_HYBRID_RE = f"(^|[{_HY_WS}]){HYBRID_TERM}([{_HY_WS}]|$)"
+
+ANN_HYBRID_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+docs_f AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '{_HYBRID_RE}')
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q
+  JOIN embeddings e ON e.vec_id <> q.query_id
+  JOIN docs_f d ON d.doc_id = e.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       round(sim, 4) AS cos_sim
+FROM sims
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_hybrid_search(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .dedup import NUM_JOIN_BUCKETS, _bucketed_attach
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    queries_ref = put_broadcast(_read_queries(path))
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def term_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(
+            pc.utf8_lower(batch["text"].cast(pa.string())), _HYBRID_RE
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "payload": pa.repeat(1, t.num_rows)}
+        )
+
+    doc_ids = docs.map_batches(term_filter, batch_format="pyarrow")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def emb_fields(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": batch["vec_id"].cast(pa.int64()), "embedding": batch["embedding"]}
+        )
+
+    survivors = _bucketed_attach(
+        emb.map_batches(emb_fields, batch_format="pyarrow"),
+        doc_ids,
+        key_col="vec_id",
+        payload_type=pa.int64(),
+        out_col="__hit",
+        pair_fields=[("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))],
+        num_buckets=NUM_JOIN_BUCKETS,
+    )
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["__hit"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        q = resolve_broadcast(queries_ref)
+        vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        sims = q["mat"] @ _normalize(mat).T
+        return _partial_topk(q["ids"], sims, vec_ids)
+
+    partials = survivors.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(_merge_topk, batch_format="pandas")
