@@ -51,8 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_entities": kg.kg_top_entities,
         "kg_direct_mapping": relational.kg_direct_mapping,
         "kg_incremental": kg.kg_incremental,
-        "kg_skew_canonicalize": kg.kg_skew_canonicalize,
-        "kg_store_diff": kg.kg_store_diff,
         "kg_quads": kg.kg_quads,
         "kg_pagerank": graph.kg_pagerank,
         "kg_pattern_join": graph.kg_pattern_join,
@@ -110,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": streaming.events_gapfill,
         "events_outlier": streaming.events_outlier,
         # ---- beyond the driver's 50: covered by the repo gate ----
+        "kg_skew_canonicalize": kg.kg_skew_canonicalize,
+        "kg_store_diff": kg.kg_store_diff,
         "kg_reachability": graph.kg_reachability,
         "kg_degrees": graph.kg_degrees,
         "kg_entity_cooccurrence": graph.kg_entity_cooccurrence,
