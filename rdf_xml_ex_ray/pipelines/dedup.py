@@ -1535,3 +1535,98 @@ def dedup_stats(sf_dir: str):
         )
 
     return hist.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- dedup_recall_eval
+
+# Index-quality gauge for the dedup family — the ann_recall_eval analogue:
+# how many of the near-duplicate pairs certified by the EXACT word-5-gram
+# Jaccard operator (dedup_ngram_jaccard, J >= RECALL_TRUTH_T) does the
+# MinHash+LSH pipeline recover? Both operands are the existing oracled
+# pipelines (3-word-shingle MinHash banding vs 5-gram exact Jaccard — a
+# cross-metric evaluation, gram sizes per their own definitions); the
+# comparison is one pair-key bucketed attach + a constant-size aggregate.
+RECALL_TRUTH_T = 0.5
+
+DEDUP_RECALL_EVAL_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ( {DEDUP_NGRAM_JACCARD_SQL} ) AS x
+  WHERE jaccard >= {RECALL_TRUTH_T}
+),
+found AS (
+  SELECT doc_a, doc_b FROM ( {DEDUP_MINHASH_SQL} ) AS y
+),
+hit AS (
+  SELECT t.doc_a FROM truth t JOIN found f
+    ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit) /
+             greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+"""
+
+
+def dedup_recall_eval(sf_dir: str, truth_t: float = RECALL_TRUTH_T):
+    """(n_true, n_found, n_hit, recall): MinHash+LSH coverage of the exact
+    5-gram-Jaccard near-dup set."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..core.rounding import np_round_half_away
+
+    truth = dedup_ngram_jaccard(sf_dir).filter(expr=f"jaccard >= {truth_t}")
+    found = dedup_minhash(sf_dir)
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["doc_a"], pa.string()), pc.cast(batch["doc_b"], pa.string()), "\x00"
+        )
+        return pa.table({"key": key})
+
+    truth_keys = truth.map_batches(pair_key, batch_format="pyarrow").materialize()
+    found_keys = found.map_batches(pair_key, batch_format="pyarrow").materialize()
+
+    payload = found_keys.map_batches(
+        lambda t: pa.table({"doc_id": t["key"], "payload": pa.repeat(1, t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    attached = _bucketed_attach(
+        truth_keys, payload, key_col="key", payload_type=pa.int64(), out_col="__hit",
+        pair_fields=[("key", pa.string())], key_type=pa.string(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "t_part": pa.array([batch.num_rows], pa.int64()),
+                "h_part": pa.array(
+                    [pc.sum(pc.is_valid(batch["__hit"]).cast(pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        attached.map_batches(partial, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum("t_part", alias_name="n_true"), Sum("h_part", alias_name="n_hit"))
+    )
+    n_found = found_keys.count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_true = batch["n_true"].to_pylist()[0] if batch.num_rows else 0
+        n_hit = batch["n_hit"].to_pylist()[0] if batch.num_rows else 0
+        recall = float(np_round_half_away(np.array([n_hit / max(n_true, 1)]), 4)[0])
+        return pa.table(
+            {
+                "n_true": pa.array([n_true], pa.int64()),
+                "n_found": pa.array([n_found], pa.int64()),
+                "n_hit": pa.array([n_hit], pa.int64()),
+                "recall": pa.array([recall], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
