@@ -2175,3 +2175,140 @@ def corpus_phrase_search(sf_dir: str):
         )
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- corpus_bm25
+
+# BM25-ranked disjunctive search over the query terms — the lexical-ranking
+# baseline every retrieval stack ships. Like tfidf, the idf factor is the
+# LINEAR N/df (dividing the same two integers is IEEE-deterministic on both
+# engines, where ln() would hinge on libm equality); the BM25 novelty kept
+# here is the tf-saturation + length-normalization term, which is pure
+# rational arithmetic evaluated in the IDENTICAL expression order in numpy
+# and SQL, so every double is bit-equal. Two passes over documents (the
+# doc_length_filter two-pass precedent): a stats pass reduces to 2+K driver
+# scalars (N, sum(dl), df per query term — constant size), then a map-only
+# scoring pass + global top-N sort.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+_BM25_SCORE_SQL = f"""
+  (n.nd / df.df) * (tf.tf * ({BM25_K1} + 1.0)) /
+  (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / n.avgdl))
+"""
+
+CORPUS_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[{ASCII_WS}]+')) AS token
+  FROM documents
+),
+t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM t GROUP BY doc_id),
+n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         (SELECT CAST(count(*) AS DOUBLE) FROM t) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM t
+  WHERE token IN {str(tuple(SEARCH_TERMS))}
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM t
+  WHERE token IN {str(tuple(SEARCH_TERMS))}
+  GROUP BY token
+),
+scores AS (
+  SELECT tf.doc_id, sum({_BM25_SCORE_SQL}) AS score
+  FROM tf
+  JOIN df ON df.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scores ORDER BY round(score, 4) DESC, doc_id LIMIT {BM25_TOPN}
+"""
+# NB: the cut ranks by the ROUNDED score on BOTH engines (knn_graph_ann
+# precedent) — raw doubles 1 ulp apart at the top-N boundary must not
+# flip the selected set between engines.
+
+
+def corpus_bm25(sf_dir: str, terms: tuple = SEARCH_TERMS, topn: int = BM25_TOPN):
+    """Top-N docs under BM25 (linear-idf variant) for the query terms."""
+    import ray.data as rd
+
+    from ..core.rounding import np_round_half_away
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    term_list = sorted(terms)
+    term_set = pa.array(term_list, pa.string())
+
+    # ---- pass 1: corpus stats (reduces to 2 + K scalars on the driver)
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _explode_lower_tokens(batch)
+        keep = pc.is_in(toks, value_set=term_set)
+        mask = keep.to_numpy(zero_copy_only=False)
+        dfp = np.zeros(len(term_list), dtype=np.int64)
+        if mask.any():
+            hit = pd.DataFrame(
+                {"doc_id": doc_ids[mask], "token": toks.filter(keep).to_pandas()}
+            ).drop_duplicates()
+            vc = hit["token"].value_counts()
+            for i, w in enumerate(term_list):
+                dfp[i] = int(vc.get(w, 0))
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_toks": pa.array([len(doc_ids)], pa.int64()),
+                **{f"df_{i}": pa.array([dfp[i]], pa.int64()) for i in range(len(term_list))},
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n_docs", alias_name="N"), Sum("n_toks", alias_name="T")] + [
+        Sum(f"df_{i}", alias_name=f"DF{i}") for i in range(len(term_list))
+    ]
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").groupby("one").aggregate(*aggs).take_all()[0]
+    nd = float(stats["N"])
+    avgdl = float(stats["T"]) / nd
+    dfs = {term_list[i]: float(stats[f"DF{i}"]) for i in range(len(term_list))}
+
+    # ---- pass 2: map-only scoring (expression order mirrors the SQL twin)
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _explode_lower_tokens(batch)
+        dl_all = pd.Series(doc_ids).groupby(doc_ids).size()  # tokens per doc
+        keep = pc.is_in(toks, value_set=term_set)
+        mask = keep.to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        df_ = pd.DataFrame({"doc_id": doc_ids[mask], "token": toks.filter(keep).to_pandas()})
+        tf = df_.groupby(["doc_id", "token"]).size().reset_index(name="tf")
+        tfv = tf["tf"].to_numpy(dtype=np.float64)
+        dlv = dl_all.loc[tf["doc_id"]].to_numpy(dtype=np.float64)
+        dfv = tf["token"].map(dfs).to_numpy(dtype=np.float64)
+        part = (nd / dfv) * (tfv * (BM25_K1 + 1.0)) / (
+            tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dlv / avgdl)
+        )
+        agg = pd.DataFrame({"doc_id": tf["doc_id"], "part": part}).groupby("doc_id")["part"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(dtype=np.int64)),
+                "score": pa.array(
+                    np_round_half_away(agg.to_numpy(dtype=np.float64), 4), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(topn)
+    )
