@@ -33,6 +33,11 @@ NASTY_TEXTS = [
     # length-prefixed exactly so "a\x1fb","c" cannot collide with "a","b\x1fc"
     "a\x1fb c a\x1fb c d",
     "a b\x1fc a b\x1fc d",
+    # search-op targets: the conjunctive terms and the phrase, delimited by
+    # HOSTILE whitespace (tab/CR/FF) — the ASCII_WS boundary must match
+    "table\thash join\rfast table",
+    "fast\x0cjoin table hash table hash",
+    "join fast TABLE Hash table  hash",
 ]
 
 
@@ -43,6 +48,9 @@ def nasty_dir(tmp_path_factory):
         {
             "doc_id": pa.array(range(len(NASTY_TEXTS)), pa.int64()),
             "text": pa.array(NASTY_TEXTS, pa.string()),
+            "source": pa.array(
+                ["s" + str(i % 3) for i in range(len(NASTY_TEXTS))], pa.string()
+            ),
         }
     )
     pq.write_table(tbl, d / "documents.parquet")
@@ -58,7 +66,8 @@ def nasty_duck(nasty_dir):
 
 TEXT_OPS = ["token_count", "lang_id", "doc_stats", "doc_fingerprint", "doc_winnow", "doc_pii_scrub",
             "dedup_simhash", "dedup_exact",
-            "doc_substring_dedup", "doc_blocklist_filter", "doc_lm_coverage", "corpus_shuffle"]
+            "doc_substring_dedup", "doc_blocklist_filter", "doc_lm_coverage", "corpus_shuffle",
+            "corpus_search", "corpus_phrase_search", "corpus_bm25"]
 
 
 @pytest.mark.parametrize("name", TEXT_OPS)
