@@ -1433,3 +1433,129 @@ def kg_shacl_check(sf_dir: str, constraints=None, num_buckets: int = CHARSET_NUM
         )
 
     return agg.map_batches(expand, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- kg_void_stats
+
+# VoID dataset description (the W3C vocabulary every published RDF dataset
+# ships): exact triple/entity/term cardinalities — void:triples,
+# void:distinctSubjects, void:properties, void:distinctObjects,
+# void:classes, plus entity count (distinct IRIs in subject position).
+# Exact distincts at scale: per-batch local dedup -> ONE tagged
+# (kind, value)-bucketed exchange -> per-bucket dedup + per-kind partial
+# counts -> constant-size final sum. No driver-side sets.
+VOID_NUM_BUCKETS = 64
+
+KG_VOID_SQL = f"""
+WITH base AS ( {KG_TRIPLES_SQL} )
+SELECT
+  CAST(count(*) AS BIGINT) AS n_triples,
+  CAST(count(DISTINCT subj) AS BIGINT) AS n_distinct_subjects,
+  CAST(count(DISTINCT pred) AS BIGINT) AS n_properties,
+  CAST(count(DISTINCT row(obj_value, obj_kind, obj_lang, obj_datatype)) AS BIGINT)
+      AS n_distinct_objects,
+  CAST(count(DISTINCT CASE WHEN pred = {RDF_TYPE_SQL} THEN obj_value END) AS BIGINT)
+      AS n_classes,
+  CAST(count(DISTINCT CASE WHEN subj_kind = 'iri' THEN subj END) AS BIGINT)
+      AS n_entities
+FROM base
+"""
+
+
+def kg_void_stats(sf_dir: str, num_buckets: int = VOID_NUM_BUCKETS):
+    """One-row VoID summary of the flagship KG (exact distinct counts)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import cluster_cpus
+    from .dedup import _doc_bucket
+    from .kg import kg_triples_dataset
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    triples = kg_triples_dataset(sf_dir, parallelism=max(4, cluster_cpus() // 4))
+    num_buckets = max(num_buckets, 2 * 8 * max(4, cluster_cpus() // 4))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        """(kind, value) rows, locally deduped; n_triples rides as kind 't'
+        partial counts (value = batch row count, deduped trivially unique)."""
+        subj = batch["subj"].cast(pa.string())
+        obj_key = pc.binary_join_element_wise(
+            batch["obj_value"].cast(pa.string()),
+            batch["obj_kind"].cast(pa.string()),
+            pc.fill_null(batch["obj_lang"].cast(pa.string()), "\x01"),
+            pc.fill_null(batch["obj_datatype"].cast(pa.string()), "\x01"),
+            "\x00",
+        )
+        is_type = pc.equal(batch["pred"], rdf_type)
+        is_iri_subj = pc.equal(batch["subj_kind"], "iri")
+        parts = [
+            pa.table({"kind": pa.repeat("s", batch.num_rows), "value": subj}),
+            pa.table(
+                {"kind": pa.repeat("p", batch.num_rows),
+                 "value": batch["pred"].cast(pa.string())}
+            ),
+            pa.table({"kind": pa.repeat("o", batch.num_rows), "value": obj_key}),
+            pa.table(
+                {"kind": pa.repeat("c", pc.sum(is_type.cast(pa.int64())).as_py() or 0),
+                 "value": batch.filter(is_type)["obj_value"].cast(pa.string())}
+            ),
+            pa.table(
+                {"kind": pa.repeat("e", pc.sum(is_iri_subj.cast(pa.int64())).as_py() or 0),
+                 "value": batch.filter(is_iri_subj)["subj"].cast(pa.string())}
+            ),
+        ]
+        t = pa.concat_tables(parts)
+        uniq = t.group_by(["kind", "value"]).aggregate([])
+        key = pc.binary_join_element_wise(uniq["kind"], uniq["value"], "\x00")
+        out = pa.table(
+            {
+                "kind": uniq["kind"],
+                "value": uniq["value"],
+                "vbucket": pa.array(_doc_bucket(key.to_pylist(), num_buckets)),
+                "nt_part": pa.nulls(uniq.num_rows, pa.int64()),
+            }
+        )
+        # one extra row carries this batch's raw triple count
+        extra = pa.table(
+            {
+                "kind": pa.array(["t"], pa.string()),
+                "value": pa.array([""], pa.string()),
+                "vbucket": pa.array([0], pa.int32()),
+                "nt_part": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, extra])
+
+    def count_bucket(group: pd.DataFrame) -> pa.Table:
+        trip = group.loc[group["kind"] == "t", "nt_part"].sum()
+        vals = group.loc[group["kind"] != "t", ["kind", "value"]].drop_duplicates()
+        per = vals.groupby("kind").size()
+        kinds = list(per.index) + (["t"] if trip else [])
+        counts = [int(per[k]) for k in per.index] + ([int(trip)] if trip else [])
+        return pa.table(
+            {"kind": pa.array(kinds, pa.string()), "n_part": pa.array(counts, pa.int64())}
+        )
+
+    agg = (
+        triples.map_batches(tag, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("kind")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    # the final aggregate is <= 6 (kind, n) rows — constant-size driver
+    # state, same license as corpus_shuffle's histogram / corpus_bm25's
+    # stats scalars
+    rows = agg.take_all()
+    d = {r["kind"]: r["n"] for r in rows}
+    return pd.DataFrame(
+        {
+            "n_triples": [d.get("t", 0)],
+            "n_distinct_subjects": [d.get("s", 0)],
+            "n_properties": [d.get("p", 0)],
+            "n_distinct_objects": [d.get("o", 0)],
+            "n_classes": [d.get("c", 0)],
+            "n_entities": [d.get("e", 0)],
+        }
+    )
