@@ -33,7 +33,9 @@ _TOKEN_RE = re.compile(
       (?P<kw>(?:PREFIX|SELECT|DISTINCT|WHERE|LIMIT)\b)
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
-    | (?P<pname>[A-Za-z][\w\-]*:[A-Za-z0-9_][\w\-.]*)
+    # PN_LOCAL must not END with '.', or 'ex:o.' (statement dot, no space)
+    # would lex the terminator into the IRI (SPARQL/Turtle PN_LOCAL rule).
+    | (?P<pname>[A-Za-z][\w\-]*:[A-Za-z0-9_](?:[\w\-.]*[\w\-])?)
     | (?P<pname_ns>[A-Za-z][\w\-]*:)
     | (?P<a_kw>a(?![\w:]))
     | (?P<literal>"(?:[^"\\]|\\.)*")
@@ -44,6 +46,25 @@ _TOKEN_RE = re.compile(
     re.X | re.I,
 )
 _WS_RE = re.compile(r"(?:\s+|\#[^\n]*)+")
+
+# SPARQL ECHAR: \t \b \n \r \f \" \' \\ — decoded to the CONTROL character,
+# never the letter; unknown escapes are a loud error (reject, don't guess).
+_ECHAR = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+_ESC_RE = re.compile(r"\\(.)")
+
+
+def _unescape_literal(body: str) -> str:
+    def sub(m: re.Match) -> str:
+        c = m.group(1)
+        try:
+            return _ECHAR[c]
+        except KeyError:
+            raise ParseError(f"unknown literal escape \\{c!r} in SPARQL string")
+
+    return _ESC_RE.sub(sub, body)
 
 
 def _tokenize(text: str):
@@ -105,7 +126,7 @@ class _SelectParser:
         if k == "a_kw":
             return RDF_TYPE
         if k == "literal":
-            return re.sub(r"\\(.)", r"\1", v[1:-1])
+            return _unescape_literal(v[1:-1])
         raise ParseError(f"bad SPARQL term: {v!r}")
 
     def parse(self):

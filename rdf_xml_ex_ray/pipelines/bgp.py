@@ -74,6 +74,10 @@ def _scan(triples_ds, pattern):
             m = pc.equal(batch[a], batch[b])
             mask = m if mask is None else pc.and_(mask, m)
         t = batch.filter(mask) if mask is not None else batch
+        if not var_cols:
+            # all-constant pattern: a zero-column Arrow table always reports
+            # 0 rows, so keep the match count visible for existence checks
+            return pa.table({"__present": pa.repeat(True, t.num_rows)})
         return pa.table({v: t[pos].cast(pa.string()) for v, pos in var_cols.items()})
 
     return triples_ds.map_batches(project, batch_format="pyarrow")
@@ -129,7 +133,24 @@ def bgp_execute(triples_ds, patterns, project: list[str], num_buckets: int | Non
         except Exception:  # lazy/unknown plan — keep the stage default
             num_buckets = 32
 
-    ordered = _order_patterns(patterns)
+    # All-constant patterns bind no variables, so they can't participate in
+    # the shared-variable join ordering (feeding them in would wrongly
+    # reject the rest of the BGP as disconnected). They are existence
+    # checks: absent -> zero solutions; present -> the unit solution (the
+    # triple store is canonical/set-semantics, so multiplicity is 1).
+    const_checks = [p for p in patterns if not _pattern_vars(p)]
+    var_patterns = [p for p in patterns if _pattern_vars(p)]
+    if not var_patterns:
+        raise ValueError("BGP contains only constant patterns; no variables to bind")
+    for chk in const_checks:
+        if _scan(triples_ds, chk).count() == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.schema([(v, pa.string()) for v in project]).empty_table()
+            )
+
+    ordered = _order_patterns(var_patterns)
     acc = _scan(triples_ds, ordered[0])
     bound = list(dict.fromkeys(_pattern_vars(ordered[0])))
 

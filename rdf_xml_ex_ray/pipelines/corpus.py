@@ -2221,19 +2221,25 @@ df AS (
   GROUP BY token
 ),
 scores AS (
-  SELECT tf.doc_id, sum({_BM25_SCORE_SQL}) AS score
+  SELECT tf.doc_id,
+         sum(CAST(floor(({_BM25_SCORE_SQL}) * 1000000.0 + 0.5) AS BIGINT)) AS si
   FROM tf
   JOIN df ON df.token = tf.token
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN n
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS score
-FROM scores ORDER BY round(score, 4) DESC, doc_id LIMIT {BM25_TOPN}
+SELECT doc_id, round(si / 1000000.0, 4) AS score
+FROM scores ORDER BY round(si / 1000000.0, 4) DESC, doc_id LIMIT {BM25_TOPN}
 """
-# NB: the cut ranks by the ROUNDED score on BOTH engines (knn_graph_ann
-# precedent) — raw doubles 1 ulp apart at the top-N boundary must not
-# flip the selected set between engines.
+# NB: per-term parts are quantized to INTEGER micro-units (floor(x*1e6+.5),
+# parts are strictly positive) BEFORE the per-doc sum, so the sum is exact
+# integer arithmetic and independent of summation ORDER — sum() order is
+# unspecified in SQL while the Python side sums in token-sorted order, and
+# float addition is non-associative, so summing raw doubles could differ by
+# 1 ulp at an exact round(.,4) half-way point and flip the top-N boundary.
+# The final cut still ranks by the ROUNDED score on BOTH engines
+# (knn_graph_ann precedent).
 
 
 def corpus_bm25(sf_dir: str, terms: tuple = SEARCH_TERMS, topn: int = BM25_TOPN):
@@ -2297,12 +2303,20 @@ def corpus_bm25(sf_dir: str, terms: tuple = SEARCH_TERMS, topn: int = BM25_TOPN)
         part = (nd / dfv) * (tfv * (BM25_K1 + 1.0)) / (
             tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dlv / avgdl)
         )
-        agg = pd.DataFrame({"doc_id": tf["doc_id"], "part": part}).groupby("doc_id")["part"].sum()
+        # integer micro-units before the sum — order-independent, exact
+        # (mirrors the SQL twin's floor(part*1e6+0.5) cast; parts > 0)
+        part_int = np.floor(part * 1e6 + 0.5).astype(np.int64)
+        agg = (
+            pd.DataFrame({"doc_id": tf["doc_id"], "part": part_int})
+            .groupby("doc_id")["part"]
+            .sum()
+        )
         return pa.table(
             {
                 "doc_id": pa.array(agg.index.to_numpy(dtype=np.int64)),
                 "score": pa.array(
-                    np_round_half_away(agg.to_numpy(dtype=np.float64), 4), pa.float64()
+                    np_round_half_away(agg.to_numpy(dtype=np.float64) / 1e6, 4),
+                    pa.float64(),
                 ),
             }
         )

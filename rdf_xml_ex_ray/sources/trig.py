@@ -92,20 +92,27 @@ def write_trig(quads_ds, out_dir: str, num_buckets: int = 16):
 
     def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["gbucket"].iloc[0])
+        # graph_kind participates in BOTH the sort and the open-block key:
+        # an IRI graph and a bnode graph can share the same raw label, and
+        # keying on the label alone would merge them into one block under
+        # the first row's kind (silently reassigning quads).
         g = group.sort_values(
-            ["graph", "subj", "pred", "obj_value"], kind="mergesort", na_position="first"
+            ["graph_kind", "graph", "subj", "pred", "obj_value"],
+            kind="mergesort",
+            na_position="first",
         )
         lines: list[str] = []
-        current: str | None = None  # open named-graph block, by raw label
+        current: tuple[str, str] | None = None  # open block, (kind, label)
         n = 0
         for r in g.itertuples():
             glabel = r.graph if isinstance(r.graph, str) else None
-            if glabel != current:
+            gkey = (r.graph_kind, glabel) if glabel is not None else None
+            if gkey != current:
                 if current is not None:
                     lines.append("}\n")
-                if glabel is not None:
+                if gkey is not None:
                     lines.append(f"{term_to_nt(_term_out(r.graph_kind, glabel))} {{\n")
-                current = glabel
+                current = gkey
             s = _term_out(r.subj_kind, r.subj)
             o = row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype)
             if isinstance(o, BNode):

@@ -83,6 +83,24 @@ def test_bgp_matches_pandas_joins(ray_session):
     assert len(got) > 0
 
 
+def test_constant_only_pattern_is_existence_check(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_triples_table(TINY))
+    # present constant pattern: unit solution — rest of the BGP unaffected
+    got = bgp_execute(
+        ds, [("a", "knows", "b"), ("?x", "type", "Robot")], ["x"]
+    ).to_pandas()
+    assert got["x"].tolist() == ["c"]
+    # absent constant pattern: zero solutions, schema preserved (check via
+    # .schema() — Ray's to_pandas drops column names on 0-row datasets)
+    empty = bgp_execute(ds, [("a", "knows", "zz"), ("?x", "type", "Robot")], ["x"])
+    assert empty.count() == 0 and empty.schema().names == ["x"]
+    # a BGP of only constant patterns has nothing to bind — reject loudly
+    with pytest.raises(ValueError, match="only constant"):
+        bgp_execute(ds, [("a", "knows", "b")], [])
+
+
 def test_repeated_var_self_loop(ray_session):
     import ray.data as rd
 

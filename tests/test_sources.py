@@ -381,6 +381,39 @@ def test_trig_sink_source_roundtrip(ray_session, tmp_path):
     assert a.equals(b)
 
 
+def test_trig_iri_and_bnode_graphs_same_label_stay_distinct(ray_session, tmp_path):
+    """An IRI graph and a bnode graph with an identical RAW label must land
+    in separate blocks — the block key is (graph_kind, label), not label."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.sources.nquads import QUAD_SCHEMA
+    from rdf_xml_ex_ray.sources.trig import read_trig, write_trig
+
+    rows = [
+        ("http://e/s1", "iri", "http://e/p", "iri", "http://e/o1", None, None,
+         "glabel", "bnode"),
+        ("http://e/s2", "iri", "http://e/p", "iri", "http://e/o2", None, None,
+         "glabel", "iri"),
+    ]
+    tbl = pa.table(
+        {n: pa.array([r[i] for r in rows]) for i, n in enumerate(QUAD_SCHEMA.names)},
+        schema=QUAD_SCHEMA,
+    )
+    out = str(tmp_path / "trig2")
+    write_trig(rd.from_arrow(tbl), out, num_buckets=1).to_pandas()
+    back = read_trig(sorted(glob.glob(f"{out}/part-*.trig"))).to_pandas()
+    cols = list(QUAD_SCHEMA.names)
+    a = back[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    b = tbl.to_pandas()[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert set(zip(back["graph_kind"], back["graph"])) == {
+        ("bnode", "glabel"), ("iri", "glabel"),
+    }
+
+
 def test_trig_general_grammar_forms(ray_session, tmp_path):
     """The TriG reader is the general grammar: GRAPH keyword, label-less
     default block, collections and shorthand literals inside blocks."""

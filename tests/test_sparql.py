@@ -42,6 +42,28 @@ def test_parse_keywords_case_insensitive():
     assert q["project"] == ["x"] and q["limit"] == 2
 
 
+def test_parse_pname_must_not_absorb_statement_dot():
+    # 'ex:o.' (statement terminator, no space) — PN_LOCAL must not end with
+    # '.', so the dot lexes as the triple terminator, not into the IRI.
+    q = parse_select(
+        "PREFIX ex: <http://e/> SELECT ?s WHERE { ?s ex:p ex:o. ?s ex:q ?w }"
+    )
+    assert q["patterns"] == [
+        ("?s", "http://e/p", "http://e/o"),
+        ("?s", "http://e/q", "?w"),
+    ]
+    # interior dots are still legal PN_LOCAL
+    q2 = parse_select("PREFIX ex: <http://e/> SELECT ?s WHERE { ?s ex:p ex:v1.2x }")
+    assert q2["patterns"] == [("?s", "http://e/p", "http://e/v1.2x")]
+
+
+def test_literal_echar_decodes_control_chars():
+    q = parse_select(r'SELECT ?s WHERE { ?s <http://e/p> "line\nbreak\t\"q\"\\" }')
+    assert q["patterns"][0][2] == 'line\nbreak\t"q"\\'
+    with pytest.raises(ParseError, match="unknown literal escape"):
+        parse_select(r'SELECT ?s WHERE { ?s <http://e/p> "bad\qesc" }')
+
+
 def test_parse_rejects_out_of_fragment():
     with pytest.raises(ParseError):
         parse_select("SELECT ?x WHERE { ?x <http://e/p> ?y . FILTER(?y > 3) }")
