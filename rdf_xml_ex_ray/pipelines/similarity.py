@@ -843,31 +843,70 @@ def knn_graph(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
 # ----------------------------------------------------------- knn_graph_ann
 
 # ANN-blocked kNN graph — the 100-TB path knn_graph (exact, all-pairs)
-# verifies. Every vector is a QUERY probing its KNN_PROBE top cells of a
-# 64-cell integer-exact coarse quantizer, and a CANDIDATE only inside its
-# own cell: total pair-compute drops from n²/2 to ~n² × probe_mass (the
-# share of corpus mass in probed cells, ≈ KNN_PROBE/KNN_CELLS for balanced
-# cells — 1/16 here), and shrinks further as cells are added at scale.
-# Cell assignment and probe ranking are exact integer arithmetic on both
-# engines (same construction as _IVF_CODEBOOK), so DuckDB replays the
-# whole graph and the oracle hash-checks it end to end; knn_recall_eval
-# grades its recall against the exact graph.
-KNN_CELLS = 64
-KNN_PROBE = 4
+# verifies. Every vector is a QUERY probing the top `probe` cells of an
+# integer-exact coarse quantizer, and a CANDIDATE only inside its own
+# cell: total pair-compute drops from n²/2 to ~n² × probe_mass (the share
+# of corpus mass in probed cells). Cell assignment and probe ranking are
+# exact integer arithmetic on both engines (same construction as
+# _IVF_CODEBOOK), so DuckDB replays the whole graph and the oracle
+# hash-checks it end to end; knn_recall_eval grades recall vs exact.
+#
+# BOTH knobs are corpus-scaled configs, derivable by a STATIC oracle:
+# - cells = the smallest power of two in [16, 256] with cells² >= n
+#   (≈ √n, so mean cell size also grows ≈ √n) — integer thresholds the
+#   SQL twin reproduces with a CASE on count(*); the codebook is one
+#   fixed 256-row table of which the first `cells` rows are active.
+# - probe = cells // 2, the RECALL-TARGETED default: the synthetic sf*
+#   embeddings are label-independent ISOTROPIC noise (measured: within-
+#   label cos sim = across-label = 0.0), and on isotropic data any cell-
+#   probing index has recall ≈ probed mass — recall@5 0.8 therefore
+#   *requires* probing ~half the corpus (measured 0.82 @ mass 0.50 at
+#   sf0.1; still 2× under brute). On clustered data the same index hits
+#   the target at a small fraction of that mass
+#   (tests/test_similarity.py::test_knn_ann_clustered_data_low_mass).
+KNN_CELLS_MAX = 256
 
-_KNN_CODEBOOK = np.random.RandomState(17).randint(-99, 100, size=(KNN_CELLS, LSH_DIM)).astype(np.float64)
+_KNN_CODEBOOK = np.random.RandomState(17).randint(
+    -99, 100, size=(KNN_CELLS_MAX, LSH_DIM)
+).astype(np.float64)
+
+
+def _knn_config(n: int) -> tuple[int, int]:
+    """(cells, probe) for an n-vector corpus — smallest power of two in
+    [16, 256] with cells² >= n; probe = half the cells (see block note)."""
+    cells = 16
+    while cells * cells < n and cells < KNN_CELLS_MAX:
+        cells *= 2
+    return cells, cells // 2
+
 
 _KNN_SCORES_EXPR = "[" + ", ".join(
-    f"list_dot_product(qv, {_int_literal(_KNN_CODEBOOK[c])})" for c in range(KNN_CELLS)
+    f"list_dot_product(qv, {_int_literal(_KNN_CODEBOOK[c])})"
+    for c in range(KNN_CELLS_MAX)
 ) + "]"
+
+# the SQL twin derives the same (cells, probe) from count(*): the CASE
+# thresholds are exactly _knn_config's integer rule, and the full 256-row
+# codebook scores are sliced to the active prefix
+_KNN_NC_SQL = """
+  SELECT CASE WHEN count(*) <= 256 THEN 16 WHEN count(*) <= 1024 THEN 32
+              WHEN count(*) <= 4096 THEN 64 WHEN count(*) <= 16384 THEN 128
+              ELSE 256 END AS cells
+  FROM e
+"""
 
 KNN_GRAPH_ANN_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nc AS ({_KNN_NC_SQL}),
 qz AS (
   SELECT vec_id, v, list_transform(v, x -> round(x * {IVF_QSCALE})) AS qv
   FROM e
 ),
-sc AS (SELECT vec_id, v, {_KNN_SCORES_EXPR} AS scores FROM qz),
+sc AS (
+  SELECT vec_id, v,
+         list_slice({_KNN_SCORES_EXPR}, 1, (SELECT cells FROM nc)) AS scores
+  FROM qz
+),
 cells AS (
   SELECT vec_id, v, scores,
          list_position(scores, list_max(scores)) - 1 AS cell
@@ -877,9 +916,13 @@ ranked_probes AS (
   SELECT c.vec_id AS src, c.v AS qvec, g.cell AS pc,
          row_number() OVER (PARTITION BY c.vec_id
                             ORDER BY c.scores[g.cell + 1] DESC, g.cell) AS pr
-  FROM cells c, generate_series(0, {KNN_CELLS - 1}) AS g(cell)
+  FROM cells c, generate_series(0, {KNN_CELLS_MAX - 1}) AS g(cell)
+  WHERE g.cell < (SELECT cells FROM nc)
 ),
-probes AS (SELECT src, qvec, pc FROM ranked_probes WHERE pr <= {KNN_PROBE}),
+probes AS (
+  SELECT src, qvec, pc FROM ranked_probes
+  WHERE pr <= (SELECT cells // 2 FROM nc)
+),
 sims AS (
   SELECT p.src, t.vec_id AS dst, list_cosine_similarity(p.qvec, t.v) AS sim
   FROM probes p JOIN cells t ON t.cell = p.pc AND t.vec_id <> p.src
@@ -897,17 +940,23 @@ FROM sims QUALIFY rank <= {KNN_K}
 # on both engines for exactly the values the oracle hash compares.
 
 
-def _knn_cells_probes(raw_mat: np.ndarray):
-    """(cell, probes) per vector under the 64-cell graph quantizer: argmax
-    first-max cell, top-KNN_PROBE probe cells by (score DESC, cell ASC) —
-    both identical to the SQL twin's list_position / row_number ranking."""
-    scores = _ivf_quantize(raw_mat) @ _KNN_CODEBOOK.T
+def _knn_cells_probes(raw_mat: np.ndarray, cells: int, probe: int):
+    """(cell, probes) per vector under the `cells`-row prefix of the graph
+    quantizer: argmax first-max cell, top-`probe` probe cells by
+    (score DESC, cell ASC) — both identical to the SQL twin's
+    list_position / row_number ranking."""
+    scores = _ivf_quantize(raw_mat) @ _KNN_CODEBOOK[:cells].T
     cell = np.argmax(scores, axis=1).astype(np.int64)
-    probes = np.argsort(-scores, axis=1, kind="stable")[:, :KNN_PROBE].astype(np.int64)
+    probes = np.argsort(-scores, axis=1, kind="stable")[:, :probe].astype(np.int64)
     return cell, probes
 
 
-def knn_graph_ann(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
+def knn_graph_ann(
+    sf_dir: str,
+    k: int = KNN_K,
+    chunk_cap: int = KNN_CHUNK_CAP,
+    probe: int | None = None,
+):
     """Approximate kNN graph, cell-blocked (see block comment above).
 
     Topology: one counting pass (per-cell candidate + probing-query totals
@@ -925,16 +974,19 @@ def knn_graph_ann(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n_cells, n_probe = _knn_config(ds.count())  # metadata-only row count
+    if probe is not None:  # recall/compute trade knob (oracle uses default)
+        n_probe = min(probe, n_cells)
 
     def cell_counts(batch: pa.Table) -> pa.Table:
         raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        cell, probes = _knn_cells_probes(raw)
+        cell, probes = _knn_cells_probes(raw, n_cells, n_probe)
         return pa.table(
             {
-                "cell": pa.array(np.arange(KNN_CELLS, dtype=np.int64)),
-                "n_cand_part": pa.array(np.bincount(cell, minlength=KNN_CELLS).astype(np.int64)),
+                "cell": pa.array(np.arange(n_cells, dtype=np.int64)),
+                "n_cand_part": pa.array(np.bincount(cell, minlength=n_cells).astype(np.int64)),
                 "n_query_part": pa.array(
-                    np.bincount(probes.ravel(), minlength=KNN_CELLS).astype(np.int64)
+                    np.bincount(probes.ravel(), minlength=n_cells).astype(np.int64)
                 ),
             }
         )
@@ -945,8 +997,8 @@ def knn_graph_ann(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
         .aggregate(Sum("n_cand_part", alias_name="n_cand"), Sum("n_query_part", alias_name="n_query"))
         .take_all()
     )
-    cc = np.ones(KNN_CELLS, dtype=np.int64)  # candidate chunks per cell
-    qc = np.ones(KNN_CELLS, dtype=np.int64)  # query chunks per cell
+    cc = np.ones(n_cells, dtype=np.int64)  # candidate chunks per cell
+    qc = np.ones(n_cells, dtype=np.int64)  # query chunks per cell
     for r in counts:
         cc[int(r["cell"])] = max(1, -(-int(r["n_cand"]) // chunk_cap))
         qc[int(r["cell"])] = max(1, -(-int(r["n_query"]) // chunk_cap))
@@ -957,7 +1009,7 @@ def knn_graph_ann(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
         cc_, qc_ = b["cc"], b["qc"]
         vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        cell, probes = _knn_cells_probes(raw)
+        cell, probes = _knn_cells_probes(raw, n_cells, n_probe)
         n = len(vids)
         # candidate side: own cell, own cand-chunk, replicated to every
         # query chunk of that cell
@@ -969,7 +1021,7 @@ def knn_graph_ann(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
         # query side: each probed cell, own query-chunk there, replicated to
         # every cand chunk of that cell
         pcf = probes.reshape(-1)
-        row_f = np.repeat(np.arange(n, dtype=np.int64), KNN_PROBE)
+        row_f = np.repeat(np.arange(n, dtype=np.int64), n_probe)
         ccnt = cc_[pcf]
         idx_q = np.repeat(row_f, ccnt)
         offs2 = np.r_[0, np.cumsum(ccnt)]
@@ -1062,12 +1114,14 @@ GROUP BY b.src
 """
 
 
-def knn_recall_eval(sf_dir: str):
+def knn_recall_eval(sf_dir: str, probe: int | None = None):
     """Per-vector hit count of knn_graph_ann's edges among the exact
     graph's top-k — same union → groupby(src) shape as ann_recall_eval,
-    integer outputs so the oracle compare is exact."""
+    integer outputs so the oracle compare is exact. ``probe`` overrides
+    the recall-targeted default for trade-curve measurement (the oracle
+    only replays the default)."""
     brute = knn_graph(sf_dir)
-    approx = knn_graph_ann(sf_dir)
+    approx = knn_graph_ann(sf_dir, probe=probe)
 
     def tag(role: int):
         def f(batch: pa.Table) -> pa.Table:
