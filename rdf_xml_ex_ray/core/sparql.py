@@ -7,14 +7,27 @@ executor evaluates:
 
     PREFIX pfx: <ns> ...
     SELECT [DISTINCT] ?v1 ?v2 | *
-    WHERE { s p o . s p o ... }
-    [LIMIT n]
+    WHERE {
+        s p o . ...
+        FILTER ( expr ) ...
+        OPTIONAL { s p o . ... } ...
+    }
+    [ORDER BY (?v | ASC(?v) | DESC(?v)) ...]
+    [LIMIT n] [OFFSET n]
 
-Terms: ``?var``, ``<iri>``, ``pfx:local``, ``a`` (rdf:type), and plain
+Terms: ``?var``, ``<iri>``, ``pfx:local``, ``a`` (rdf:type), plain
 ``"literal"`` constants (matched against the object VALUE column,
 kind-agnostic — the same convention as pipelines/bgp._scan and its SQL
-twins). Property paths, FILTER, OPTIONAL and UNION are out of scope; the
-parser rejects anything outside the fragment loudly rather than guessing.
+twins) and signed numeric literals. FILTER expressions support ``&&``,
+``||``, parentheses, ``BOUND(?v)`` / ``!BOUND(?v)`` and the comparisons
+``= != < <= > >=``; ordering comparisons (``< <= > >=``) require one
+NUMERIC operand — they evaluate under SQL TRY_CAST-to-double semantics
+(an unparseable or unbound value fails the comparison), while ``=``/``!=``
+against a string/IRI constant or another variable compare exact strings.
+String ORDER BY uses byte/codepoint order on both engines. Property
+paths, UNION, GROUP BY, sub-selects and expression projections stay out
+of scope; the parser rejects anything outside the fragment loudly rather
+than guessing.
 """
 
 from __future__ import annotations
@@ -25,12 +38,18 @@ from .terms import ParseError
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+_KEYWORDS = (
+    "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
+    "ASC|DESC|BOUND|UNION|GRAPH"
+)
+
 # NB: regex alternation is first-match — the full pname (with local part)
 # must precede the bare namespace form so "ex:s" lexes as one token while
-# "ex:" (in a PREFIX decl) still lexes as pname_ns.
+# "ex:" (in a PREFIX decl) still lexes as pname_ns; multi-char operators
+# precede their single-char prefixes (<= before <, && before unlexable &).
 _TOKEN_RE = re.compile(
     r"""
-      (?P<kw>(?:PREFIX|SELECT|DISTINCT|WHERE|LIMIT)\b)
+      (?P<kw>(?:""" + _KEYWORDS + r""")\b)
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
     # PN_LOCAL must not END with '.', or 'ex:o.' (statement dot, no space)
@@ -39,9 +58,10 @@ _TOKEN_RE = re.compile(
     | (?P<pname_ns>[A-Za-z][\w\-]*:)
     | (?P<a_kw>a(?![\w:]))
     | (?P<literal>"(?:[^"\\]|\\.)*")
-    | (?P<integer>\d+)
+    | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<punct>[{}.;])
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!)
+    | (?P<punct>[{}.;()])
     """,
     re.X | re.I,
 )
@@ -88,14 +108,26 @@ def _tokenize(text: str):
     return out
 
 
+# ------------------------------------------------------- FILTER expressions
+#
+# AST (plain tuples, consumed by pipelines/bgp._filter_mask):
+#   ("or",  [expr, ...])           ("and", [expr, ...])
+#   ("not", expr)                  ("bound", varname)
+#   ("cmp", op, operand, operand)  op in {=, !=, <, <=, >, >=}
+# operands: ("var", name) | ("num", float) | ("str", s) — IRI/pname/literal
+# constants all become ("str", resolved-string), matching the bgp engine's
+# kind-agnostic string-identity convention.
+
+
 class _SelectParser:
     def __init__(self, text: str):
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
 
-    def _peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+    def _peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else (None, None)
 
     def _next(self):
         if self.i >= len(self.toks):
@@ -104,17 +136,13 @@ class _SelectParser:
         self.i += 1
         return t
 
-    def _expect(self, kind):
+    def _expect(self, kind, val=None):
         k, v = self._next()
-        if k != kind:
-            raise ParseError(f"expected {kind}, got {v!r}")
+        if k != kind or (val is not None and v != val):
+            raise ParseError(f"expected {val or kind}, got {v!r}")
         return v
 
-    def _term(self) -> str:
-        """→ the BGP executor's term syntax: '?var' or a raw constant."""
-        k, v = self._next()
-        if k == "var":
-            return v
+    def _resolve_const(self, k, v) -> str:
         if k == "iriref":
             return v[1:-1]
         if k == "pname":
@@ -128,6 +156,101 @@ class _SelectParser:
         if k == "literal":
             return _unescape_literal(v[1:-1])
         raise ParseError(f"bad SPARQL term: {v!r}")
+
+    def _term(self) -> str:
+        """→ the BGP executor's term syntax: '?var' or a raw constant
+        string (numbers keep their literal spelling — the store holds
+        lexical forms)."""
+        k, v = self._next()
+        if k == "var":
+            return v
+        if k == "number":
+            return v
+        return self._resolve_const(k, v)
+
+    # -------------------------------------------------- FILTER expr parser
+
+    def _expr(self):
+        parts = [self._and_expr()]
+        while self._peek() == ("op", "||"):
+            self._next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _and_expr(self):
+        parts = [self._unary_expr()]
+        while self._peek() == ("op", "&&"):
+            self._next()
+            parts.append(self._unary_expr())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _unary_expr(self):
+        if self._peek() == ("op", "!"):
+            self._next()
+            # '!' only before BOUND: BOUND is 2-valued, so negation is safe;
+            # negating a comparison would need SQL's 3-valued NOT (NULL
+            # operands) — out of fragment rather than silently divergent.
+            if self._peek()[0] != "BOUND":
+                raise ParseError("'!' is only supported before BOUND(...)")
+            return ("not", self._unary_expr())
+        if self._peek()[0] == "BOUND":
+            self._next()
+            self._expect("punct", "(")
+            var = self._expect("var")[1:]
+            self._expect("punct", ")")
+            return ("bound", var)
+        if self._peek() == ("punct", "("):
+            self._next()
+            inner = self._expr()
+            self._expect("punct", ")")
+            return inner
+        return self._comparison()
+
+    def _operand(self):
+        k, v = self._peek()
+        if k == "var":
+            self._next()
+            return ("var", v[1:])
+        if k == "number":
+            self._next()
+            return ("num", float(v))
+        if k in ("iriref", "pname", "literal", "a_kw"):
+            self._next()
+            return ("str", self._resolve_const(k, v))
+        raise ParseError(f"bad FILTER operand: {v!r}")
+
+    def _comparison(self):
+        lhs = self._operand()
+        k, op = self._next()
+        if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ParseError(f"expected comparison operator in FILTER, got {op!r}")
+        rhs = self._operand()
+        if op in ("<", "<=", ">", ">=") and lhs[0] != "num" and rhs[0] != "num":
+            raise ParseError(
+                f"ordering comparison {op!r} needs one numeric operand "
+                "(string collation is engine-defined; out of fragment)"
+            )
+        if lhs[0] != "var" and rhs[0] != "var":
+            raise ParseError("FILTER comparison must reference a variable")
+        return ("cmp", op, lhs, rhs)
+
+    # ------------------------------------------------------- group parser
+
+    def _triple_block(self, patterns: list):
+        """One or more 's p o' triples separated/terminated by '.'."""
+        found = False
+        while True:
+            k, v = self._peek()
+            if k in (None, "FILTER", "OPTIONAL", "UNION") or (k, v) == ("punct", "}"):
+                break
+            s = self._term()
+            p = self._term()
+            o = self._term()
+            patterns.append((s, p, o))
+            found = True
+            if self._peek() == ("punct", "."):
+                self._next()
+        return found
 
     def parse(self):
         while self._peek()[0] == "PREFIX":
@@ -156,28 +279,80 @@ class _SelectParser:
             if not project:
                 raise ParseError("SELECT needs at least one ?var or *")
         self._expect("WHERE")
-        if self._next() != ("punct", "{"):
-            raise ParseError("expected { after WHERE")
-        patterns = []
+        self._expect("punct", "{")
+        patterns: list = []
+        optionals: list[list] = []
+        filters: list = []
         while self._peek() != ("punct", "}"):
-            s = self._term()
-            p = self._term()
-            o = self._term()
-            patterns.append((s, p, o))
-            if self._peek() == ("punct", "."):
+            k, v = self._peek()
+            if k is None:
+                raise ParseError("unterminated WHERE block")
+            if k == "FILTER":
                 self._next()
+                self._expect("punct", "(")
+                filters.append(self._expr())
+                self._expect("punct", ")")
+                if self._peek() == ("punct", "."):
+                    self._next()
+            elif k == "OPTIONAL":
+                self._next()
+                self._expect("punct", "{")
+                group: list = []
+                if not self._triple_block(group):
+                    raise ParseError("empty OPTIONAL block")
+                self._expect("punct", "}")
+                optionals.append(group)
+                if self._peek() == ("punct", "."):
+                    self._next()
+            elif k == "UNION":
+                raise ParseError("UNION is out of the supported fragment")
+            else:
+                if not self._triple_block(patterns):
+                    raise ParseError(f"bad WHERE content: {v!r}")
         self._next()  # }
         if not patterns:
-            raise ParseError("empty WHERE block")
-        limit = None
-        if self._peek()[0] == "LIMIT":
+            raise ParseError("WHERE block needs at least one required pattern")
+
+        order_by: list[tuple[str, bool]] = []
+        if self._peek()[0] == "ORDER":
             self._next()
-            limit = int(self._expect("integer"))
+            self._expect("BY")
+            while True:
+                k, v = self._peek()
+                if k == "var":
+                    self._next()
+                    order_by.append((v[1:], False))
+                elif k in ("ASC", "DESC"):
+                    self._next()
+                    self._expect("punct", "(")
+                    var = self._expect("var")[1:]
+                    self._expect("punct", ")")
+                    order_by.append((var, k == "DESC"))
+                else:
+                    break
+            if not order_by:
+                raise ParseError("ORDER BY needs at least one sort key")
+
+        limit = offset = None
+        while self._peek()[0] in ("LIMIT", "OFFSET"):
+            kw = self._next()[0]
+            val = self._expect("number")
+            if not re.fullmatch(r"\d+", val):
+                raise ParseError(f"{kw} needs a non-negative integer, got {val!r}")
+            if kw == "LIMIT":
+                limit = int(val)
+            else:
+                offset = int(val)
         if self._peek()[0] is not None:
             raise ParseError(f"trailing content after query: {self._peek()[1]!r}")
+        if offset is not None and limit is None:
+            raise ParseError(
+                "OFFSET without LIMIT is out of fragment (unbounded "
+                "driver-side skip); add a LIMIT"
+            )
         if project is None:
             seen: dict[str, None] = {}
-            for pat in patterns:
+            for pat in patterns + [p for g in optionals for p in g]:
                 for t in pat:
                     if t.startswith("?"):
                         seen[t[1:]] = None
@@ -185,12 +360,17 @@ class _SelectParser:
         return {
             "project": project,
             "patterns": patterns,
+            "optionals": optionals,
+            "filters": filters,
             "distinct": distinct,
+            "order_by": order_by,
             "limit": limit,
+            "offset": offset,
         }
 
 
 def parse_select(text: str) -> dict:
-    """SPARQL SELECT (restricted fragment) → {project, patterns, distinct,
-    limit} ready for pipelines/bgp.bgp_execute."""
+    """SPARQL SELECT (restricted fragment) → {project, patterns, optionals,
+    filters, distinct, order_by, limit, offset} ready for
+    pipelines/bgp.sparql_select / bgp_execute."""
     return _SelectParser(text).parse()

@@ -26,6 +26,7 @@ graph.kg_pattern_join, which is the hand-wired instance of this planner).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -114,10 +115,125 @@ def _key_expr(table: pa.Table, shared: list[str]):
     )
 
 
-def bgp_execute(triples_ds, patterns, project: list[str], num_buckets: int | None = None):
+def _join_onto(acc, bound: list[str], rhs, pvars: list[str], num_buckets: int, how: str):
+    """One bucketed exchange joining the binding table ``acc`` (columns =
+    ``bound``) with ``rhs`` (columns = ``pvars``) on their shared
+    variables; returns (joined, bound + new vars). ``how`` 'left' keeps
+    unmatched acc rows with null new-var columns (OPTIONAL)."""
+    from ..stages.join import bucketed_equijoin
+
+    s = pa.string()
+    shared = sorted(set(bound) & set(pvars))
+    new = [v for v in pvars if v not in bound]
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__kl", _key_expr(batch, shared))
+
+    # the right side carries only NEW vars + its key (shared vars are
+    # equal by the join predicate; duplicating them would collide)
+    def right_project(batch: pa.Table) -> pa.Table:
+        cols = {v: batch[v] for v in new}
+        cols["__kr"] = _key_expr(batch, shared)
+        return pa.table(cols)
+
+    left = acc.map_batches(add_key, batch_format="pyarrow")
+    right = rhs.map_batches(right_project, batch_format="pyarrow")
+    joined = bucketed_equijoin(
+        left,
+        right,
+        left_key="__kl",
+        right_key="__kr",
+        left_fields=[(v, s) for v in bound] + [("__kl", s)],
+        right_fields=[(v, s) for v in new] + [("__kr", s)],
+        num_buckets=num_buckets,
+        key_type=s,
+        how=how,
+    ).map_batches(lambda t: t.drop_columns(["__kl", "__kr"]), batch_format="pyarrow")
+    return joined, bound + new
+
+
+def _join_group(triples_ds, patterns, num_buckets: int):
+    """Inner-join a connected pattern group left-deep; returns (acc, bound)."""
+    ordered = _order_patterns(patterns)
+    acc = _scan(triples_ds, ordered[0])
+    bound = list(dict.fromkeys(_pattern_vars(ordered[0])))
+    for pattern in ordered[1:]:
+        acc, bound = _join_onto(
+            acc, bound, _scan(triples_ds, pattern),
+            list(dict.fromkeys(_pattern_vars(pattern))), num_buckets, "inner",
+        )
+    return acc, bound
+
+
+# ------------------------------------------------------ FILTER evaluation
+#
+# Two-valued evaluation with null -> False, which coincides with SQL's
+# three-valued WHERE semantics for every construct the parser admits:
+# a NULL comparison is never satisfied, AND/OR propagate identically when
+# the only sink is "keep row iff true", and '!' is restricted to BOUND
+# (2-valued) at parse time. Numeric comparisons follow TRY_CAST-to-double
+# semantics: an unparseable lexical form fails the comparison.
+
+_CMP_NUM = {
+    "=": np.equal, "!=": np.not_equal, "<": np.less,
+    "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+}
+
+
+def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
+    import pandas as pd
+
+    kind = expr[0]
+    if kind == "or":
+        return np.logical_or.reduce([_filter_mask(e, tbl) for e in expr[1]])
+    if kind == "and":
+        return np.logical_and.reduce([_filter_mask(e, tbl) for e in expr[1]])
+    if kind == "not":
+        return ~_filter_mask(expr[1], tbl)
+    if kind == "bound":
+        return ~np.asarray(tbl[expr[1]].combine_chunks().is_null())
+    op, lhs, rhs = expr[1], expr[2], expr[3]
+    numeric = lhs[0] == "num" or rhs[0] == "num"
+    valid = np.ones(tbl.num_rows, dtype=bool)
+
+    def operand(o):
+        nonlocal valid
+        if o[0] == "var":
+            s = tbl[o[1]].to_pandas()
+            if numeric:
+                v = pd.to_numeric(s, errors="coerce").to_numpy(np.float64, na_value=np.nan)
+                valid &= ~np.isnan(v)
+                return v
+            valid &= s.notna().to_numpy()
+            return s.to_numpy(dtype=object)
+        return o[1]
+
+    a, b = operand(lhs), operand(rhs)
+    if numeric:
+        with np.errstate(invalid="ignore"):
+            m = _CMP_NUM[op](a, b)
+    else:
+        m = np.equal(a, b) if op == "=" else np.not_equal(a, b)
+    return np.asarray(m, dtype=bool) & valid
+
+
+def bgp_execute(
+    triples_ds,
+    patterns,
+    project: list[str],
+    num_buckets: int | None = None,
+    optionals=(),
+    filters=(),
+):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
     ``project`` (bag semantics — identical to the SQL twin's inner joins).
+
+    ``optionals`` is a list of pattern groups, each evaluated as its own
+    inner BGP and LEFT-joined onto the required bindings on their shared
+    variables (SPARQL OPTIONAL; unmatched rows carry nulls). ``filters``
+    is a list of core/sparql FILTER ASTs applied to the full binding table
+    (all vars visible) before projection.
 
     ``num_buckets`` defaults to 2× the input's block count (floor 32):
     Ray's sort-based groupby uses reduce_partitions = map_blocks, so a
@@ -125,8 +241,6 @@ def bgp_execute(triples_ds, patterns, project: list[str], num_buckets: int | Non
     the exchange dispatch dominates (the repo-wide buckets ≥ blocks rule;
     measured on this operator: 4 joins over 2×96-block scans cost 35.7 s
     vs 6.9 s over 2×24-block scans at sf0.1, identical output)."""
-    from ..stages.join import bucketed_equijoin
-
     if num_buckets is None:
         try:
             num_buckets = max(32, 2 * triples_ds.num_blocks())
@@ -150,45 +264,58 @@ def bgp_execute(triples_ds, patterns, project: list[str], num_buckets: int | Non
                 pa.schema([(v, pa.string()) for v in project]).empty_table()
             )
 
-    ordered = _order_patterns(var_patterns)
-    acc = _scan(triples_ds, ordered[0])
-    bound = list(dict.fromkeys(_pattern_vars(ordered[0])))
+    acc, bound = _join_group(triples_ds, var_patterns, num_buckets)
+    required_bound = set(bound)
 
-    s = pa.string()
-    for pattern in ordered[1:]:
-        nxt = _scan(triples_ds, pattern)
-        pvars = list(dict.fromkeys(_pattern_vars(pattern)))
-        shared = sorted(set(bound) & set(pvars))
-        new = [v for v in pvars if v not in bound]
+    for group in optionals:
+        gvars_all = {v for p in group for v in _pattern_vars(p)}
+        shared = gvars_all & set(bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group shares no variable with the required "
+                f"patterns (cartesian): {group}"
+            )
+        if not shared <= required_bound:
+            # a var bound only by a previous OPTIONAL is nullable; joining
+            # through it needs SPARQL's compatible-mapping (null-matches-
+            # anything) semantics — out of fragment, reject loudly
+            raise ValueError(
+                f"OPTIONAL group joins through nullable variables "
+                f"{sorted(shared - required_bound)} bound by an earlier "
+                "OPTIONAL; out of the supported fragment"
+            )
+        grp_acc, grp_bound = _join_group(triples_ds, group, num_buckets)
+        acc, bound = _join_onto(acc, bound, grp_acc, grp_bound, num_buckets, "left")
 
-        def add_key(name, keys):
-            def f(batch: pa.Table) -> pa.Table:
-                return batch.append_column(name, _key_expr(batch, keys))
+    if filters:
+        fvars = set()
 
-            return f
+        def _vars_of(e, out):
+            if e[0] in ("or", "and"):
+                for sub in e[1]:
+                    _vars_of(sub, out)
+            elif e[0] == "not":
+                _vars_of(e[1], out)
+            elif e[0] == "bound":
+                out.add(e[1])
+            else:
+                for o in (e[2], e[3]):
+                    if o[0] == "var":
+                        out.add(o[1])
 
-        left = acc.map_batches(add_key("__kl", shared), batch_format="pyarrow")
-        # the right side carries only NEW vars + its key (shared vars are
-        # equal by the join predicate; duplicating them would collide)
-        def right_project(batch: pa.Table, _keys=shared, _new=new) -> pa.Table:
-            cols = {v: batch[v] for v in _new}
-            cols["__kr"] = _key_expr(batch, _keys)
-            return pa.table(cols)
+        for f in filters:
+            _vars_of(f, fvars)
+        missing_f = sorted(fvars - set(bound))
+        if missing_f:
+            raise ValueError(f"FILTER references unbound variables: {missing_f}")
 
-        right = nxt.map_batches(right_project, batch_format="pyarrow")
-        acc = bucketed_equijoin(
-            left,
-            right,
-            left_key="__kl",
-            right_key="__kr",
-            left_fields=[(v, s) for v in bound] + [("__kl", s)],
-            right_fields=[(v, s) for v in new] + [("__kr", s)],
-            num_buckets=num_buckets,
-            key_type=s,
-        ).map_batches(
-            lambda t: t.drop_columns(["__kl", "__kr"]), batch_format="pyarrow"
-        )
-        bound = bound + new
+        def apply_filters(batch: pa.Table) -> pa.Table:
+            m = np.ones(batch.num_rows, dtype=bool)
+            for f in filters:
+                m &= _filter_mask(f, batch)
+            return batch.filter(pa.array(m))
+
+        acc = acc.map_batches(apply_filters, batch_format="pyarrow")
 
     missing = [v for v in project if v not in bound]
     if missing:
@@ -252,38 +379,82 @@ WHERE t1.pred = '{_C}turn'
 
 def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
     """Run a restricted SPARQL SELECT (core/sparql.py fragment) against a
-    triple-row Dataset. DISTINCT dedups bindings through one bucketed
-    exchange; LIMIT is made deterministic by sorting on the projection
-    (SPARQL leaves un-ORDERed LIMIT implementation-defined — a distributed
-    engine must pin it or two runs disagree)."""
+    triple-row Dataset: BGP joins + OPTIONAL left-joins + FILTER masks,
+    then DISTINCT (one bucketed exchange), ORDER BY (distributed sort;
+    the remaining projected vars are appended ASC as tie-breakers so the
+    row order is TOTAL — a distributed engine must pin ties or two runs
+    disagree, and the SQL twin must spell the same tie-breakers), and
+    LIMIT/OFFSET. An un-ORDERed LIMIT sorts on the full projection (the
+    established deterministic-LIMIT idiom). OFFSET materializes only
+    offset+limit rows on the driver (the parser requires LIMIT with it)."""
     import pandas as pd
 
     from ..core.sparql import parse_select
 
     q = parse_select(query)
-    res = bgp_execute(triples_ds, q["patterns"], q["project"], num_buckets=num_buckets)
+    res = bgp_execute(
+        triples_ds,
+        q["patterns"],
+        q["project"],
+        num_buckets=num_buckets,
+        optionals=q["optionals"],
+        filters=q["filters"],
+    )
+    cols = q["project"]
 
     if q["distinct"]:
         from .dedup import _doc_bucket
 
-        cols = q["project"]
-
         def add_key(batch: pa.Table) -> pa.Table:
             key = _key_expr(batch, cols) if len(cols) > 1 else batch[cols[0]].cast(pa.string())
+            # OPTIONAL can leave nulls in projected vars; DISTINCT treats
+            # nulls as equal (SQL semantics), so they share one bucket key
+            key = pc.fill_null(key, "\x01null")
             return batch.append_column(
                 "__dbucket", pa.array(_doc_bucket(key.to_pylist(), 64))
             )
 
-        def drop_dups(group: pd.DataFrame) -> pd.DataFrame:
-            return group.drop_duplicates(cols)[cols]
+        def drop_dups(group: pd.DataFrame) -> pa.Table:
+            d = group.drop_duplicates(cols)[cols]
+            return pa.table({c: pa.array(d[c], pa.string()) for c in cols})
 
         res = (
             res.map_batches(add_key, batch_format="pyarrow")
             .groupby("__dbucket")
             .map_groups(drop_dups, batch_format="pandas")
         )
+
+    order_by = list(q["order_by"])
+    if order_by:
+        bad = [v for v, _ in order_by if v not in cols]
+        if bad:
+            raise ValueError(f"ORDER BY variables must be projected: {bad}")
+        keys = [v for v, _ in order_by]
+        desc = [d for _, d in order_by]
+        # total order: remaining projected vars ASC break ties
+        for v in cols:
+            if v not in keys:
+                keys.append(v)
+                desc.append(False)
+        res = res.sort(keys, descending=desc)
+    elif q["limit"] is not None:
+        res = res.sort(cols)
+
     if q["limit"] is not None:
-        res = res.sort(q["project"]).limit(q["limit"])
+        offset = q["offset"] or 0
+        res = res.limit(offset + q["limit"])
+        if offset:
+            import ray
+            import ray.data as rd
+
+            schema = pa.schema([(v, pa.string()) for v in cols])
+            parts = [
+                t.select(cols).cast(schema)
+                for t in ray.get(res.to_arrow_refs())
+                if t.num_rows
+            ]
+            tbl = pa.concat_tables(parts) if parts else schema.empty_table()
+            res = rd.from_arrow(tbl.slice(offset))
     return res
 
 
@@ -316,3 +487,116 @@ def kg_sparql(sf_dir: str):
         sf_dir, parallelism=max(4, cluster_cpus() // 4)
     ).materialize()
     return sparql_select(triples, KG_SPARQL_QUERY)
+
+
+def _kg_triples_quarter(sf_dir: str):
+    from ..stages.broadcast import cluster_cpus
+    from .kg import kg_triples_dataset
+
+    return kg_triples_dataset(
+        sf_dir, parallelism=max(4, cluster_cpus() // 4)
+    ).materialize()
+
+
+# FILTER: numeric range on the turn index (TRY_CAST-to-double semantics on
+# both engines) over a 3-pattern BGP.
+KG_SPARQL_FILTER_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?conv ?turn ?idx
+WHERE {
+  ?conv c:turn ?turn . ?turn c:index ?idx . ?turn c:role role:assistant .
+  FILTER(?idx >= 2 && ?idx < 5)
+}
+"""
+
+KG_SPARQL_FILTER_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS conv, t1.obj_value AS turn, t2.obj_value AS idx
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
+JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}role'
+          AND t3.obj_value = 'http://example.org/role/assistant'
+WHERE t1.pred = '{_C}turn'
+  AND TRY_CAST(t2.obj_value AS DOUBLE) >= 2
+  AND TRY_CAST(t2.obj_value AS DOUBLE) < 5
+"""
+
+
+def kg_sparql_filter(sf_dir: str):
+    """SPARQL FILTER over the flagship KG: assistant turns whose index is
+    in [2, 5) — the numeric comparison runs under TRY_CAST semantics
+    identically on both engines."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_FILTER_QUERY)
+
+
+# OPTIONAL: every assistant turn, with its tool when one was used (null
+# otherwise) — the left-outer bucketed join.
+KG_SPARQL_OPTIONAL_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?turn ?tool
+WHERE {
+  ?turn c:role role:assistant .
+  OPTIONAL { ?turn c:toolUse ?use . ?use c:tool ?tool }
+}
+"""
+
+KG_SPARQL_OPTIONAL_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS turn, u.tool AS tool
+FROM kt t1
+LEFT JOIN (
+  SELECT t2.subj AS s, t3.obj_value AS tool
+  FROM kt t2 JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+  WHERE t2.pred = '{_C}toolUse'
+) u ON u.s = t1.subj
+WHERE t1.pred = '{_C}role'
+  AND t1.obj_value = 'http://example.org/role/assistant'
+"""
+
+
+def kg_sparql_optional(sf_dir: str):
+    """SPARQL OPTIONAL over the flagship KG: assistant turns left-joined
+    to their tool (null when the turn used none)."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_OPTIONAL_QUERY)
+
+
+# ORDER BY + LIMIT/OFFSET: the deterministic distributed sort window. The
+# index is compared as its LEXICAL form on both engines (the store holds
+# strings; '10' sorts before '2'), and ?turn breaks ties so the order is
+# total — the SQL twin spells the identical ORDER BY.
+KG_SPARQL_ORDER_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?turn ?idx
+WHERE {
+  ?conv c:turn ?turn . ?turn c:index ?idx . ?turn c:role role:assistant
+}
+ORDER BY DESC(?idx) ?turn
+LIMIT 20 OFFSET 5
+"""
+
+KG_SPARQL_ORDER_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.obj_value AS turn, t2.obj_value AS idx
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
+JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}role'
+          AND t3.obj_value = 'http://example.org/role/assistant'
+WHERE t1.pred = '{_C}turn'
+ORDER BY idx DESC, turn
+LIMIT 20 OFFSET 5
+"""
+
+
+def kg_sparql_order(sf_dir: str):
+    """SPARQL ORDER BY DESC + LIMIT/OFFSET window over the flagship KG:
+    rows 6-25 of assistant turns by descending lexical index."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_ORDER_QUERY)

@@ -37,14 +37,23 @@ def bucketed_equijoin(
     right_fields: list[tuple[str, pa.DataType]],
     num_buckets: int = NUM_JOIN_BUCKETS,
     key_type: pa.DataType = pa.int64(),
+    how: str = "inner",
 ):
-    """Inner equi-join of two datasets on ``left_key == right_key``.
+    """Equi-join of two datasets on ``left_key == right_key``.
 
     ``left_fields`` / ``right_fields`` are each side's full (name, type)
     output schema (disjoint names; include the key column on whichever
     side(s) should carry it into the output).  Returns a dataset whose
     schema is ``left_fields + right_fields``.
+
+    ``how`` is ``"inner"`` (default) or ``"left"`` — the left-outer flavor
+    keeps unmatched left rows with nulls in every right-side column (the
+    SPARQL OPTIONAL primitive). Same single-exchange shape: a left row and
+    its key-mates land in one bucket group, so the unmatched test needs no
+    second pass.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
     overlap = {n for n, _ in left_fields} & {n for n, _ in right_fields}
     if overlap:
         raise ValueError(f"join output column collision: {sorted(overlap)}")
@@ -75,14 +84,26 @@ def bucketed_equijoin(
         is_left = group["__left"].astype(bool)
         lhs = group.loc[is_left, left_names]
         rhs = group.loc[~is_left, right_names]
-        if len(lhs) == 0 or len(rhs) == 0:
+        if len(lhs) == 0 or (how == "inner" and len(rhs) == 0):
             return out_schema.empty_table()
-        merged = lhs.merge(rhs, left_on=left_key, right_on=right_key, how="inner")
+        if len(rhs) == 0:  # how == "left": all-null right side
+            merged = lhs.copy()
+            for name in right_names:
+                merged[name] = None
+        else:
+            merged = lhs.merge(rhs, left_on=left_key, right_on=right_key, how=how)
         arrays = []
         for name, typ in all_fields:
             s = merged[name]
             if pa.types.is_integer(typ):
-                s = s.astype("int64")
+                if how == "left" and s.isna().any():
+                    # unmatched rows: keep nulls (int64 astype would raise)
+                    s = s.astype(object).where(s.notna(), None)
+                else:
+                    s = s.astype("int64")
+            elif how == "left" and s.dtype.kind == "f" and name in set(right_names):
+                # pandas floatified an unmatched object column — renull
+                s = s.astype(object).where(s.notna(), None)
             arrays.append(pa.array(s, type=typ))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 

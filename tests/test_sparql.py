@@ -66,8 +66,6 @@ def test_literal_echar_decodes_control_chars():
 
 def test_parse_rejects_out_of_fragment():
     with pytest.raises(ParseError):
-        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?y . FILTER(?y > 3) }")
-    with pytest.raises(ParseError):
         parse_select("SELECT ?x WHERE { }")
     with pytest.raises(ParseError):
         parse_select("SELECT WHERE { ?x <http://e/p> ?y }")
@@ -75,6 +73,54 @@ def test_parse_rejects_out_of_fragment():
         parse_select("PREFIX ex <http://e/> SELECT ?x WHERE { ?x ex:p ?y }")
     with pytest.raises(ParseError, match="undeclared prefix"):
         parse_select("SELECT ?x WHERE { ?x ex:p ?y }")
+    with pytest.raises(ParseError, match="UNION"):
+        parse_select(
+            "SELECT ?x WHERE { ?x <http://e/p> ?y UNION { ?x <http://e/q> ?y } }"
+        )
+    # string ordering comparisons are collation-defined — out of fragment
+    with pytest.raises(ParseError, match="numeric"):
+        parse_select('SELECT ?x WHERE { ?x <http://e/p> ?y . FILTER(?y > "a") }')
+    # '!' only before BOUND (3-valued NOT is out of fragment)
+    with pytest.raises(ParseError, match="BOUND"):
+        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?y . FILTER(!(?y = ?x)) }")
+    # OFFSET needs LIMIT (bounded driver-side skip)
+    with pytest.raises(ParseError, match="OFFSET without LIMIT"):
+        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?y } OFFSET 3")
+    # comparison must reference a variable
+    with pytest.raises(ParseError):
+        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?y . FILTER(1 < 2) }")
+
+
+def test_parse_filter_optional_order_offset():
+    q = parse_select(
+        """
+        PREFIX ex: <http://e/>
+        SELECT ?s ?v ?w WHERE {
+          ?s ex:p ?v .
+          FILTER(?v >= 2 && (?v < 9 || ?s = ex:special))
+          OPTIONAL { ?s ex:q ?w . ?w ex:r ?z }
+          FILTER(BOUND(?w) || ?v != 5)
+        }
+        ORDER BY DESC(?v) ?s
+        LIMIT 10 OFFSET 4
+        """
+    )
+    assert q["patterns"] == [("?s", "http://e/p", "?v")]
+    assert q["optionals"] == [
+        [("?s", "http://e/q", "?w"), ("?w", "http://e/r", "?z")]
+    ]
+    assert q["filters"] == [
+        ("and", [
+            ("cmp", ">=", ("var", "v"), ("num", 2.0)),
+            ("or", [
+                ("cmp", "<", ("var", "v"), ("num", 9.0)),
+                ("cmp", "=", ("var", "s"), ("str", "http://e/special")),
+            ]),
+        ]),
+        ("or", [("bound", "w"), ("cmp", "!=", ("var", "v"), ("num", 5.0))]),
+    ]
+    assert q["order_by"] == [("v", True), ("s", False)]
+    assert q["limit"] == 10 and q["offset"] == 4
 
 
 def test_executor_distinct_and_limit(ray_session):
@@ -105,3 +151,73 @@ def test_executor_distinct_and_limit(ray_session):
     assert sorted(r["s"] for r in dedup.take_all()) == ["a", "b"]
     lim = sparql_select(ds, "SELECT ?o WHERE { <a> <http://e/p> ?o } LIMIT 1")
     assert [r["o"] for r in lim.take_all()] == ["x"]  # deterministic: sorted
+
+
+def _num_graph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    rows = [
+        ("s1", "http://e/val", "3"), ("s2", "http://e/val", "10"),
+        ("s3", "http://e/val", "7"), ("s4", "http://e/val", "oops"),
+        ("s1", "http://e/tag", "alpha"), ("s3", "http://e/tag", "beta"),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+
+def test_executor_filter_numeric_and_string(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    # numeric: TRY_CAST semantics — 'oops' fails the comparison silently
+    got = sparql_select(
+        ds, "SELECT ?s WHERE { ?s <http://e/val> ?v . FILTER(?v >= 7) }"
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s2", "s3"]
+    # string equality + || combination
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . '
+        'FILTER(?v = "oops" || ?v < 5) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s4"]
+
+
+def test_executor_optional_left_join(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?t WHERE { ?s <http://e/val> ?v . "
+        "OPTIONAL { ?s <http://e/tag> ?t } } ORDER BY ?s",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s1", "s2", "s3", "s4"]
+    assert got["t"].tolist()[0] == "alpha" and got["t"].tolist()[2] == "beta"
+    assert got["t"].isna().tolist() == [False, True, False, True]
+    # BOUND filters the unmatched rows back out
+    bound = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . "
+        "OPTIONAL { ?s <http://e/tag> ?t } FILTER(!BOUND(?t)) }",
+    ).to_pandas()
+    assert sorted(bound["s"]) == ["s2", "s4"]
+
+
+def test_executor_order_by_offset(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } ORDER BY DESC(?s) LIMIT 2 OFFSET 1",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s3", "s2"]  # s4 skipped by OFFSET 1
