@@ -11,6 +11,7 @@ executor evaluates:
         s p o . ...
         FILTER ( expr ) ...
         OPTIONAL { s p o . ... } ...
+        GRAPH (?g | iri) { s p o . ... } ...
     }
     [ORDER BY (?v | ASC(?v) | DESC(?v)) ...]
     [LIMIT n] [OFFSET n]
@@ -236,21 +237,44 @@ class _SelectParser:
 
     # ------------------------------------------------------- group parser
 
-    def _triple_block(self, patterns: list):
-        """One or more 's p o' triples separated/terminated by '.'."""
+    def _triple_block(self, patterns: list, graph: str | None = None):
+        """One or more 's p o' triples separated/terminated by '.'. With
+        ``graph`` set (a ``?var`` or constant IRI), each triple becomes a
+        quad pattern bound to that graph term (SPARQL GRAPH block)."""
         found = False
         while True:
             k, v = self._peek()
-            if k in (None, "FILTER", "OPTIONAL", "UNION") or (k, v) == ("punct", "}"):
+            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH") or (k, v) == (
+                "punct",
+                "}",
+            ):
                 break
             s = self._term()
             p = self._term()
             o = self._term()
-            patterns.append((s, p, o))
+            patterns.append((s, p, o) if graph is None else (s, p, o, graph))
             found = True
             if self._peek() == ("punct", "."):
                 self._next()
         return found
+
+    def _graph_block(self, patterns: list):
+        """``GRAPH (?var | iri) { triples }`` → quad patterns appended to
+        ``patterns``. Nested GRAPH / OPTIONAL / FILTER inside the block are
+        out of fragment and rejected by the closing-brace expectation."""
+        k, v = self._next()
+        if k == "var":
+            gterm = v
+        elif k in ("iriref", "pname"):
+            gterm = self._resolve_const(k, v)
+        else:
+            raise ParseError(f"GRAPH needs a ?var or IRI, got {v!r}")
+        self._expect("punct", "{")
+        if not self._triple_block(patterns, graph=gterm):
+            raise ParseError("empty GRAPH block")
+        self._expect("punct", "}")
+        if self._peek() == ("punct", "."):
+            self._next()
 
     def parse(self):
         while self._peek()[0] == "PREFIX":
@@ -304,6 +328,9 @@ class _SelectParser:
                 optionals.append(group)
                 if self._peek() == ("punct", "."):
                     self._next()
+            elif k == "GRAPH":
+                self._next()
+                self._graph_block(patterns)
             elif k == "UNION":
                 raise ParseError("UNION is out of the supported fragment")
             else:

@@ -46,17 +46,24 @@ def _pattern_vars(pattern) -> list[str]:
 
 
 def _scan(triples_ds, pattern):
-    """One triple pattern -> Dataset of its variable bindings.
+    """One triple/quad pattern -> Dataset of its variable bindings.
 
     Constants are Arrow equality filters (obj constants match ``obj_value``
     — term-kind-agnostic string identity, mirroring the SQL twin's join on
     the value column). A variable repeated within one pattern becomes an
     equality filter between its positions.
+
+    A 4-term pattern binds/filters the ``graph`` column of a quad-row
+    Dataset (SPARQL ``GRAPH``); 3-term patterns against a quad store scan
+    the union of all named graphs (the union-default-graph convention).
     """
+    if len(pattern) not in (3, 4):
+        raise ValueError(f"pattern must have 3 (triple) or 4 (quad) terms: {pattern}")
+    positions = _POSITIONS if len(pattern) == 3 else _POSITIONS + ("graph",)
     var_cols: dict[str, str] = {}  # var name -> first position bound to it
     eq_pairs: list[tuple[str, str]] = []
     filters: list[tuple[str, str]] = []
-    for pos, term in zip(_POSITIONS, pattern):
+    for pos, term in zip(positions, pattern):
         if _is_var(term):
             v = term[1:]
             if v in var_cols:
@@ -600,3 +607,78 @@ def kg_sparql_order(sf_dir: str):
     """SPARQL ORDER BY DESC + LIMIT/OFFSET window over the flagship KG:
     rows 6-25 of assistant turns by descending lexical index."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_ORDER_QUERY)
+
+
+# ------------------------------------------------- GRAPH (quad) patterns
+
+def _kg_quads_quarter(sf_dir: str):
+    """Quad-row view of the flagship KG at join-phase width (see
+    _kg_triples_quarter — pattern scans collapse the data before any
+    exchange, so the input is built at a quarter of the parse width)."""
+    from .kg import add_conv_graph
+
+    return _kg_triples_quarter(sf_dir).map_batches(
+        add_conv_graph, batch_format="pyarrow"
+    )
+
+
+# Quad BGP: per named graph (= conversation provenance), every assistant
+# turn that used a tool. All three patterns share ?g, so each join's
+# composite key carries (turn-or-use, graph) — co-location by graph is the
+# partitioning assumption a multi-document store would exploit.
+_KG_BGP_GRAPH_PATTERNS = [
+    ("?turn", _C + "role", "http://example.org/role/assistant", "?g"),
+    ("?turn", _C + "toolUse", "?use", "?g"),
+    ("?use", _C + "tool", "?tool", "?g"),
+]
+
+from .kg import KG_QUADS_SQL  # noqa: E402  (appended section; no cycle)
+
+KG_BGP_GRAPH_SQL = f"""
+WITH kq AS (
+  SELECT subj, pred, obj_value, graph FROM ( {KG_QUADS_SQL} ) AS base
+)
+SELECT t1.graph AS g, t1.subj AS turn, t3.obj_value AS tool
+FROM kq t1
+JOIN kq t2 ON t2.subj = t1.subj AND t2.graph = t1.graph
+          AND t2.pred = '{_C}toolUse'
+JOIN kq t3 ON t3.subj = t2.obj_value AND t3.graph = t2.graph
+          AND t3.pred = '{_C}tool'
+WHERE t1.pred = '{_C}role'
+  AND t1.obj_value = 'http://example.org/role/assistant'
+"""
+
+
+def kg_bgp_graph(sf_dir: str):
+    """Named-graph BGP over the quad view of the flagship KG: (graph,
+    assistant turn, tool) matches where every pattern is constrained to
+    the SAME named graph — the ?g variable joins through the graph column
+    exactly like any other shared variable."""
+    return bgp_execute(
+        _kg_quads_quarter(sf_dir), _KG_BGP_GRAPH_PATTERNS, ["g", "turn", "tool"]
+    )
+
+
+KG_SPARQL_GRAPH_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT DISTINCT ?g ?tool
+WHERE { GRAPH ?g { ?t c:toolUse ?u . ?u c:tool ?tool } }
+"""
+
+KG_SPARQL_GRAPH_SQL = f"""
+WITH kq AS (
+  SELECT subj, pred, obj_value, graph FROM ( {KG_QUADS_SQL} ) AS base
+)
+SELECT DISTINCT t1.graph AS g, t2.obj_value AS tool
+FROM kq t1
+JOIN kq t2 ON t2.subj = t1.obj_value AND t2.graph = t1.graph
+          AND t2.pred = '{_C}tool'
+WHERE t1.pred = '{_C}toolUse'
+"""
+
+
+def kg_sparql_graph(sf_dir: str):
+    """SPARQL GRAPH-pattern front-end: which named graphs (conversations)
+    used which tools — parsed from `GRAPH ?g { … }` query text and
+    evaluated as quad patterns by the BGP engine."""
+    return sparql_select(_kg_quads_quarter(sf_dir), KG_SPARQL_GRAPH_QUERY)

@@ -221,3 +221,76 @@ def test_executor_order_by_offset(ray_session):
         "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } ORDER BY DESC(?s) LIMIT 2 OFFSET 1",
     ).to_pandas()
     assert got["s"].tolist() == ["s3", "s2"]  # s4 skipped by OFFSET 1
+
+
+def test_parse_graph_block():
+    q = parse_select(
+        """
+        PREFIX ex: <http://e/>
+        SELECT ?g ?o WHERE {
+          GRAPH ?g { ?s ex:p ?o . ?o ex:q ex:c }
+          GRAPH ex:g1 { ?s ex:r ?w }
+          ?s ex:t ?u
+        }
+        """
+    )
+    assert q["patterns"] == [
+        ("?s", "http://e/p", "?o", "?g"),
+        ("?o", "http://e/q", "http://e/c", "?g"),
+        ("?s", "http://e/r", "?w", "http://e/g1"),
+        ("?s", "http://e/t", "?u"),
+    ]
+    # SELECT * picks up the graph variable too
+    star = parse_select("SELECT * WHERE { GRAPH ?g { ?s <http://e/p> ?o } }")
+    assert star["project"] == ["s", "o", "g"]
+    with pytest.raises(ParseError, match="empty GRAPH"):
+        parse_select("SELECT ?g WHERE { GRAPH ?g { } ?s <http://e/p> ?o }")
+    with pytest.raises(ParseError, match="GRAPH needs"):
+        parse_select('SELECT ?s WHERE { GRAPH "lit" { ?s <http://e/p> ?o } }')
+
+
+def _quad_graph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    rows = [
+        ("s1", "http://e/p", "x", "g1"), ("s1", "http://e/q", "y", "g1"),
+        ("s2", "http://e/p", "x", "g2"), ("s2", "http://e/q", "y", "g1"),
+        ("s3", "http://e/p", "z", "g2"), ("s3", "http://e/q", "w", "g2"),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    graphs = []
+    for s, p, o, g in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("iri")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None); graphs.append(g)
+    tbl = pa.table(cols, schema=TRIPLE_SCHEMA).append_column(
+        "graph", pa.array(graphs, pa.string())
+    )
+    return rd.from_arrow(tbl)
+
+
+def test_executor_graph_patterns(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _quad_graph()
+    # same-graph constraint: only subjects whose p AND q live in ONE graph
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?g WHERE { GRAPH ?g { ?s <http://e/p> ?x . "
+        "?s <http://e/q> ?y } } ORDER BY ?s",
+    ).to_pandas()
+    assert list(zip(got["s"], got["g"])) == [("s1", "g1"), ("s3", "g2")]
+    # constant graph filter
+    got = sparql_select(
+        ds, "SELECT ?s WHERE { GRAPH <g2> { ?s <http://e/p> ?x } } ORDER BY ?s"
+    ).to_pandas()
+    assert got["s"].tolist() == ["s2", "s3"]
+    # 3-term pattern over the quad store scans the union of graphs
+    got = sparql_select(
+        ds, "SELECT DISTINCT ?s WHERE { ?s <http://e/q> ?y }"
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2", "s3"]
