@@ -55,3 +55,25 @@ def test_describe_scale_path_matches_fast_path(ray_session, sf_dir):
     dist = _sorted(kg_describe(sf_dir, broadcast_node_cap=0).to_pandas(), cols)
     assert len(fast) > 0
     assert fast.equals(dist)
+
+
+def test_triangle_count_scale_paths_match(ray_session, sf_dir):
+    """All four regime combinations agree: guarded broadcast (rank map +
+    sorted key array) vs bucketed-attach distributed (cap=0), and the
+    block-local co-partitioned edge build vs the general sbucket shuffle."""
+    from rdf_xml_ex_ray.pipelines.graph import kg_triangle_count
+
+    cols = ["entity", "n_triangles"]
+    fast = _sorted(kg_triangle_count(sf_dir).to_pandas(), cols)
+    dist = _sorted(
+        kg_triangle_count(sf_dir, broadcast_edge_cap=0).to_pandas(), cols
+    )
+    general = _sorted(
+        kg_triangle_count(
+            sf_dir, co_partitioned=False, broadcast_edge_cap=0
+        ).to_pandas(),
+        cols,
+    )
+    assert len(fast) > 0 and (fast["n_triangles"] > 0).all()
+    assert fast.equals(dist)
+    assert fast.equals(general)
