@@ -41,6 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.broadcast import put_broadcast, resolve_broadcast
+from ..core.embed import embed_matrix
 from ..core.rounding import np_round_half_away, round_half_away
 from .text import ASCII_WS, ascii_words
 
@@ -1073,7 +1074,7 @@ def _embed_block_pairs(group: pd.DataFrame) -> pd.DataFrame:
     cj = int(group["__cj"].iloc[0])
     left = group[group["__chunk"] == ci]
     ids_l = left["vec_id"].to_numpy()
-    mat_l = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+    mat_l = embed_matrix(left["embedding"])
     norms_l = np.linalg.norm(mat_l, axis=1)
     norms_l[norms_l == 0] = 1.0
     if ci == cj:
@@ -1085,7 +1086,7 @@ def _embed_block_pairs(group: pd.DataFrame) -> pd.DataFrame:
     else:
         right = group[group["__chunk"] == cj]
         ids_r = right["vec_id"].to_numpy()
-        mat_r = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        mat_r = embed_matrix(right["embedding"])
         norms_r = np.linalg.norm(mat_r, axis=1)
         norms_r[norms_r == 0] = 1.0
         sims = (mat_l @ mat_r.T) / np.outer(norms_l, norms_r)

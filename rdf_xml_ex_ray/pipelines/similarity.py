@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..core.embed import embed_matrix
 from ..core.rounding import np_round_half_away
 from ..stages.broadcast import put_broadcast, resolve_broadcast
 
@@ -112,7 +113,7 @@ def _read_queries(path: str) -> dict:
     qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
     return {
         "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
-        "mat": _normalize(np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)),
+        "mat": _normalize(embed_matrix(qtbl["embedding"])),
     }
 
 
@@ -125,7 +126,7 @@ def ann_topk(sf_dir: str):
     def batch_topk(batch: pa.Table) -> pa.Table:
         q = resolve_broadcast(queries_ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat = embed_matrix(batch["embedding"])
         sims = q["mat"] @ _normalize(mat).T  # (n_queries, batch)
         return _partial_topk(q["ids"], sims, vec_ids)
 
@@ -268,7 +269,7 @@ def ann_lsh_topk(sf_dir: str):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
-    qraw = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    qraw = embed_matrix(qtbl["embedding"])
     qcells = _sign_cells(qraw)
     probes = np.stack([qcells ^ m for m in (0, 1, 2, 4, 8)], axis=1)  # (nq, 5)
     ref = put_broadcast(
@@ -282,7 +283,7 @@ def ann_lsh_topk(sf_dir: str):
     def lsh_partial_topk(batch: pa.Table) -> pa.Table:
         b = resolve_broadcast(ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         cells = _sign_cells(raw)
         sims = b["mat"] @ _normalize(raw).T
         return _probed_partial_topk(b, cells, vec_ids, sims)
@@ -327,7 +328,7 @@ def ann_filtered_topk(sf_dir: str):
     ref = put_broadcast(
         {
             "ids": np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64),
-            "mat": _normalize(np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)),
+            "mat": _normalize(embed_matrix(qtbl["embedding"])),
             "labels": np.asarray(qtbl["label"].to_pylist(), dtype=np.int64),
         }
     )
@@ -338,7 +339,7 @@ def ann_filtered_topk(sf_dir: str):
         b = resolve_broadcast(ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
-        sims = b["mat"] @ _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64)).T
+        sims = b["mat"] @ _normalize(embed_matrix(batch["embedding"])).T
         sims = np.where(b["labels"][:, None] == labels[None, :], sims, -np.inf)
         out = _partial_topk(b["ids"], sims, vec_ids)
         return out.filter(pc.greater(out["sim"], -np.inf))
@@ -382,7 +383,7 @@ def embedding_centroids(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
         q = np_round_half_away(
-            np.stack(batch["embedding"].to_pylist()).astype(np.float64) * EMBED_QSCALE, 0
+            embed_matrix(batch["embedding"]) * EMBED_QSCALE, 0
         ).astype(np.int64)
         dims = q.shape[1]
         out_l, out_d, out_s, out_n = [], [], [], []
@@ -433,7 +434,7 @@ def ann_ivf_topk(sf_dir: str):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     qtbl = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)])
-    qraw = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    qraw = embed_matrix(qtbl["embedding"])
     qscores = _ivf_scores(qraw)
     # top-N_PROBE cells by (score DESC, cell ASC): stable argsort keeps
     # ascending cell order on exact-integer score ties
@@ -449,7 +450,7 @@ def ann_ivf_topk(sf_dir: str):
     def ivf_partial_topk(batch: pa.Table) -> pa.Table:
         b = resolve_broadcast(ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         cells = _ivf_cells(raw)
         sims = b["mat"] @ _normalize(raw).T
         return _probed_partial_topk(b, cells, vec_ids, sims)
@@ -498,7 +499,7 @@ def ann_range_search(sf_dir: str, thresh: float = RANGE_THRESH):
     def batch_range(batch: pa.Table) -> pa.Table:
         q = resolve_broadcast(queries_ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat = embed_matrix(batch["embedding"])
         sims = q["mat"] @ _normalize(mat).T  # (n_queries, batch)
         qi, vi = np.nonzero(sims >= thresh)
         qids = q["ids"][qi]
@@ -583,7 +584,7 @@ def embedding_pq(sf_dir: str):
     )
 
     def encode(batch: pa.Table) -> pa.Table:
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         qv = _ivf_quantize(raw)
         code = np.zeros(len(raw), dtype=np.int64)
         err = np.zeros(len(raw), dtype=np.int64)
@@ -663,7 +664,7 @@ def ann_pq_topk(sf_dir: str):
     qtbl = pq.read_table(
         path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", N_QUERIES)]
     )
-    qraw = np.stack(qtbl["embedding"].to_pylist()).astype(np.float64)
+    qraw = embed_matrix(qtbl["embedding"])
     qv = _ivf_quantize(qraw)
     # (n_q, M, K) exact-integer distance tables
     dtab = np.stack(
@@ -680,7 +681,7 @@ def ann_pq_topk(sf_dir: str):
     def batch_pq_topk(batch: pa.Table) -> pa.Table:
         b = resolve_broadcast(ref)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         qvb = _ivf_quantize(raw)
         dists = np.zeros((len(b["ids"]), len(vec_ids)), dtype=np.int64)
         for m in range(PQ_M):
@@ -800,8 +801,8 @@ def knn_graph(sf_dir: str, k: int = KNN_K, chunk_cap: int = KNN_CHUNK_CAP):
             return empty
         q_ids = q["vec_id"].to_numpy().astype(np.int64)
         c_ids = c["vec_id"].to_numpy().astype(np.int64)
-        qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
-        cmat = np.stack(c["embedding"].to_numpy()).astype(np.float64)
+        qmat = embed_matrix(q["embedding"])
+        cmat = embed_matrix(c["embedding"])
         qn = np.linalg.norm(qmat, axis=1); qn[qn == 0] = 1.0
         cn = np.linalg.norm(cmat, axis=1); cn[cn == 0] = 1.0
         sims = (qmat @ cmat.T) / (qn[:, None] * cn[None, :])
@@ -979,7 +980,7 @@ def knn_graph_ann(
         n_probe = min(probe, n_cells)
 
     def cell_counts(batch: pa.Table) -> pa.Table:
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         cell, probes = _knn_cells_probes(raw, n_cells, n_probe)
         return pa.table(
             {
@@ -1008,7 +1009,7 @@ def knn_graph_ann(
         b = resolve_broadcast(chunks_ref)
         cc_, qc_ = b["cc"], b["qc"]
         vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         cell, probes = _knn_cells_probes(raw, n_cells, n_probe)
         n = len(vids)
         # candidate side: own cell, own cand-chunk, replicated to every
@@ -1060,8 +1061,8 @@ def knn_graph_ann(
             return empty
         q_ids = q["vec_id"].to_numpy().astype(np.int64)
         c_ids = c["vec_id"].to_numpy().astype(np.int64)
-        qmat = _normalize(np.stack(q["embedding"].to_numpy()).astype(np.float64))
-        cmat = _normalize(np.stack(c["embedding"].to_numpy()).astype(np.float64))
+        qmat = _normalize(embed_matrix(q["embedding"]))
+        cmat = _normalize(embed_matrix(c["embedding"]))
         # rounded before selection — see the SQL twin's ranking note
         sims = np_round_half_away(qmat @ cmat.T, 4)
         out_q, out_v, out_s = [], [], []
@@ -1270,7 +1271,7 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        raw = embed_matrix(batch["embedding"])
         return pa.table(
             {
                 "vec_id": batch["vec_id"].cast(pa.int64()),
@@ -1319,7 +1320,7 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
         if len(left) == 0 or (ci != cj and (group["__chunk"] == cj).sum() == 0):
             return pa.table({"vec_id": pa.array([], pa.int64())})
         ids_l = left["vec_id"].to_numpy().astype(np.int64)
-        mat_l = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        mat_l = embed_matrix(left["embedding"])
         nl = np.linalg.norm(mat_l, axis=1); nl[nl == 0] = 1.0
         if ci == cj:
             sims = (mat_l @ mat_l.T) / np.outer(nl, nl)
@@ -1329,7 +1330,7 @@ def doc_semdedup(sf_dir: str, cell_cap: int = SEMDEDUP_CELL_CAP,
         else:
             right = group[group["__chunk"] == cj]
             ids_r = right["vec_id"].to_numpy().astype(np.int64)
-            mat_r = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+            mat_r = embed_matrix(right["embedding"])
             nr = np.linalg.norm(mat_r, axis=1); nr[nr == 0] = 1.0
             sims = (mat_l @ mat_r.T) / np.outer(nl, nr)
             ii, jj = np.nonzero(sims >= SEMDEDUP_THRESHOLD)
@@ -1462,7 +1463,7 @@ def embedding_kmeans(sf_dir: str, iters: int = KM_ITERS):
     )
     order = np.argsort(np.asarray(seed["vec_id"].to_pylist()))
     cent_ids = np.asarray(seed["vec_id"].to_pylist(), dtype=np.int64)[order]
-    cents = _ivf_quantize(np.stack(seed["embedding"].to_pylist()).astype(np.float64)[order])
+    cents = _ivf_quantize(embed_matrix(seed["embedding"])[order])
 
     def _assign(qv: np.ndarray, cents_: np.ndarray) -> np.ndarray:
         # argmin ||x-c||² = argmin (||c||² - 2 x·c); ties → first (lowest) cell
@@ -1474,7 +1475,7 @@ def embedding_kmeans(sf_dir: str, iters: int = KM_ITERS):
 
         def partial_sums(batch: pa.Table) -> pa.Table:
             ids_, cs = resolve_broadcast(cref)
-            qv = _ivf_quantize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+            qv = _ivf_quantize(embed_matrix(batch["embedding"]))
             cell_idx = _assign(qv, cs)
             out_cell, out_dim, out_s, out_n = [], [], [], []
             for k in range(len(ids_)):
@@ -1520,7 +1521,7 @@ def embedding_kmeans(sf_dir: str, iters: int = KM_ITERS):
 
     def final_assign(batch: pa.Table) -> pa.Table:
         ids_, cs = resolve_broadcast(cref_final)
-        qv = _ivf_quantize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        qv = _ivf_quantize(embed_matrix(batch["embedding"]))
         cell_idx = _assign(qv, cs)
         return pa.table(
             {
@@ -1623,7 +1624,7 @@ def ann_hybrid_search(sf_dir: str):
             )
         q = resolve_broadcast(queries_ref)
         vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        mat = embed_matrix(t["embedding"])
         sims = q["mat"] @ _normalize(mat).T
         return _partial_topk(q["ids"], sims, vec_ids)
 
