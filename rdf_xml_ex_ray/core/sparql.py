@@ -6,13 +6,15 @@ the distributed engine the matching entry point for the fragment the BGP
 executor evaluates:
 
     PREFIX pfx: <ns> ...
-    SELECT [DISTINCT] ?v1 ?v2 | *
+    SELECT [DISTINCT] ?v1 ?v2 | * | ?g1 ... (AGG(*|[DISTINCT] ?v) AS ?alias) ...
     WHERE {
-        s p o . ...
+        s path o . ...                      # path = p | p1/p2 | ^p (mixable)
         FILTER ( expr ) ...
-        OPTIONAL { s p o . ... } ...
-        GRAPH (?g | iri) { s p o . ... } ...
+        OPTIONAL { s path o . ... } ...
+        GRAPH (?g | iri) { s path o . ... } ...
+        { s path o . ... } UNION { ... } [UNION { ... }]   # standalone
     }
+    [GROUP BY ?g1 ...]
     [ORDER BY (?v | ASC(?v) | DESC(?v)) ...]
     [LIMIT n] [OFFSET n]
 
@@ -25,10 +27,13 @@ twins) and signed numeric literals. FILTER expressions support ``&&``,
 NUMERIC operand — they evaluate under SQL TRY_CAST-to-double semantics
 (an unparseable or unbound value fails the comparison), while ``=``/``!=``
 against a string/IRI constant or another variable compare exact strings.
-String ORDER BY uses byte/codepoint order on both engines. Property
-paths, UNION, GROUP BY, sub-selects and expression projections stay out
-of scope; the parser rejects anything outside the fragment loudly rather
-than guessing.
+String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
+engines: UTF-8 byte order = codepoint order). Property paths cover
+sequence ``p1/p2`` and inverse ``^p`` (desugared to fresh-variable
+patterns); transitive ``+``/``*``, alternation ``|``, SUM/AVG, HAVING,
+sub-selects, expression projections and UNION mixed with other patterns
+stay out of scope; the parser rejects anything outside the fragment
+loudly rather than guessing.
 """
 
 from __future__ import annotations
@@ -41,7 +46,7 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
-    "ASC|DESC|BOUND|UNION|GRAPH"
+    "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING"
 )
 
 # NB: regex alternation is first-match — the full pname (with local part)
@@ -61,7 +66,7 @@ _TOKEN_RE = re.compile(
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^)
     | (?P<punct>[{}.;()])
     """,
     re.X | re.I,
@@ -125,6 +130,7 @@ class _SelectParser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._path_n = 0  # fresh-variable counter for property-path desugar
 
     def _peek(self, ahead: int = 0):
         j = self.i + ahead
@@ -237,22 +243,68 @@ class _SelectParser:
 
     # ------------------------------------------------------- group parser
 
+    def _path_elt(self) -> tuple[bool, str]:
+        """One property-path step: ``iri`` or ``^iri`` (inverse)."""
+        inverse = False
+        if self._peek() == ("op", "^"):
+            self._next()
+            inverse = True
+        k, v = self._peek()
+        if k in ("iriref", "pname", "a_kw"):
+            self._next()
+            return inverse, self._resolve_const(k, v)
+        raise ParseError(f"property-path step must be an IRI, got {v!r}")
+
+    def _predicate(self):
+        """Predicate position: a plain ``?var``, or a property path of IRI
+        steps — sequence ``p1/p2`` and inverse ``^p`` only (``|``, ``*``,
+        ``+``, ``?`` stay out of fragment; the transitive cases are the
+        kg_reachability operator's job). Returns the var token or a list
+        of (inverse, iri) steps for the caller to desugar."""
+        k, v = self._peek()
+        if k == "var":
+            self._next()
+            if self._peek()[0] == "op" and self._peek()[1] in ("/", "^"):
+                raise ParseError(
+                    "property paths over a predicate variable are out of fragment"
+                )
+            return v
+        steps = [self._path_elt()]
+        while self._peek() == ("op", "/"):
+            self._next()
+            steps.append(self._path_elt())
+        return steps
+
     def _triple_block(self, patterns: list, graph: str | None = None):
         """One or more 's p o' triples separated/terminated by '.'. With
         ``graph`` set (a ``?var`` or constant IRI), each triple becomes a
-        quad pattern bound to that graph term (SPARQL GRAPH block)."""
+        quad pattern bound to that graph term (SPARQL GRAPH block). A
+        property-path predicate desugars to a chain of patterns through
+        fresh ``?__pN`` variables (excluded from SELECT *)."""
         found = False
         while True:
             k, v = self._peek()
-            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH") or (k, v) == (
-                "punct",
-                "}",
-            ):
+            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP") or (
+                k,
+                v,
+            ) in (("punct", "}"), ("punct", "{")):
                 break
             s = self._term()
-            p = self._term()
+            pred = self._predicate()
             o = self._term()
-            patterns.append((s, p, o) if graph is None else (s, p, o, graph))
+            if isinstance(pred, str):  # ?var predicate
+                patterns.append((s, pred, o) if graph is None else (s, pred, o, graph))
+            else:
+                nodes = [s]
+                for _ in range(len(pred) - 1):
+                    nodes.append(f"?__p{self._path_n}")
+                    self._path_n += 1
+                nodes.append(o)
+                for i, (inverse, iri) in enumerate(pred):
+                    a, b = nodes[i], nodes[i + 1]
+                    if inverse:
+                        a, b = b, a
+                    patterns.append((a, iri, b) if graph is None else (a, iri, b, graph))
             found = True
             if self._peek() == ("punct", "."):
                 self._next()
@@ -294,19 +346,28 @@ class _SelectParser:
             self._next()
             distinct = True
         project: list[str] | None = []
+        aggregates: list[tuple[str, str | None, bool, str]] = []
         if self._peek()[0] == "star":
             self._next()
             project = None  # all vars, in first-appearance order
         else:
-            while self._peek()[0] == "var":
-                project.append(self._next()[1][1:])
-            if not project:
-                raise ParseError("SELECT needs at least one ?var or *")
+            while True:
+                k, v = self._peek()
+                if k == "var":
+                    self._next()
+                    project.append(v[1:])
+                elif (k, v) == ("punct", "("):
+                    aggregates.append(self._aggregate_item())
+                else:
+                    break
+            if not project and not aggregates:
+                raise ParseError("SELECT needs at least one ?var, aggregate or *")
         self._expect("WHERE")
         self._expect("punct", "{")
         patterns: list = []
         optionals: list[list] = []
         filters: list = []
+        unions: list[list[list]] = []  # [construct][branch][pattern]
         while self._peek() != ("punct", "}"):
             k, v = self._peek()
             if k is None:
@@ -332,13 +393,72 @@ class _SelectParser:
                 self._next()
                 self._graph_block(patterns)
             elif k == "UNION":
-                raise ParseError("UNION is out of the supported fragment")
+                raise ParseError("UNION must follow a braced group: { ... } UNION { ... }")
+            elif (k, v) == ("punct", "{"):
+                # braced group: plain (its patterns inline) or UNION chain
+                self._next()
+                grp: list = []
+                if not self._triple_block(grp):
+                    raise ParseError("empty braced group in WHERE")
+                self._expect("punct", "}")
+                if self._peek()[0] == "UNION":
+                    branches = [grp]
+                    while self._peek()[0] == "UNION":
+                        self._next()
+                        self._expect("punct", "{")
+                        b: list = []
+                        if not self._triple_block(b):
+                            raise ParseError("empty UNION branch")
+                        self._expect("punct", "}")
+                        branches.append(b)
+                    unions.append(branches)
+                else:
+                    patterns.extend(grp)
+                if self._peek() == ("punct", "."):
+                    self._next()
             else:
                 if not self._triple_block(patterns):
                     raise ParseError(f"bad WHERE content: {v!r}")
         self._next()  # }
-        if not patterns:
+        if unions:
+            if len(unions) > 1:
+                raise ParseError("multiple UNION constructs are out of fragment")
+            if patterns or optionals:
+                raise ParseError(
+                    "UNION mixed with other required/OPTIONAL patterns is out "
+                    "of fragment (joining a union needs compatible-mapping "
+                    "semantics); FILTER over the union is supported"
+                )
+        if not patterns and not unions:
             raise ParseError("WHERE block needs at least one required pattern")
+
+        group_by: list[str] = []
+        if self._peek()[0] == "GROUP":
+            self._next()
+            self._expect("BY")
+            while self._peek()[0] == "var":
+                group_by.append(self._next()[1][1:])
+            if not group_by:
+                raise ParseError("GROUP BY needs at least one ?var")
+        if aggregates:
+            if distinct:
+                raise ParseError("SELECT DISTINCT with aggregates is out of fragment")
+            bad = sorted(set(project) - set(group_by))
+            if bad:
+                raise ParseError(
+                    f"non-aggregated SELECT variables must appear in GROUP BY: {bad}"
+                )
+            names = project + [a for *_x, a in aggregates]
+            if len(set(names)) != len(names):
+                raise ParseError(f"duplicate output names in SELECT: {names}")
+            if not group_by and any(d for _f, _v, d, _a in aggregates):
+                raise ParseError(
+                    "global COUNT(DISTINCT ...) is out of fragment (needs a "
+                    "distributed distinct; use GROUP BY, or the distinct_kmv / "
+                    "kg_void_stats operators)"
+                )
+        elif group_by:
+            raise ParseError("GROUP BY without aggregate functions in SELECT")
 
         order_by: list[tuple[str, bool]] = []
         if self._peek()[0] == "ORDER":
@@ -379,9 +499,11 @@ class _SelectParser:
             )
         if project is None:
             seen: dict[str, None] = {}
-            for pat in patterns + [p for g in optionals for p in g]:
+            union_pats = [p for u in unions for g in u for p in g]
+            for pat in patterns + union_pats + [p for g in optionals for p in g]:
                 for t in pat:
-                    if t.startswith("?"):
+                    # fresh property-path variables (?__pN) are internal
+                    if t.startswith("?") and not t.startswith("?__p"):
                         seen[t[1:]] = None
             project = list(seen)
         return {
@@ -389,11 +511,48 @@ class _SelectParser:
             "patterns": patterns,
             "optionals": optionals,
             "filters": filters,
+            "unions": unions[0] if unions else [],
+            "group_by": group_by,
+            "aggregates": aggregates,
             "distinct": distinct,
             "order_by": order_by,
             "limit": limit,
             "offset": offset,
         }
+
+    def _aggregate_item(self) -> tuple[str, str | None, bool, str]:
+        """``(AGG(* | [DISTINCT] ?v) AS ?alias)`` in the SELECT clause.
+        AGG in {COUNT, MIN, MAX}; the store holds lexical strings, so
+        SUM/AVG are rejected loudly (arithmetic over lexical forms is
+        engine-defined) and MIN/MAX compare codepoint/byte order — UTF-8
+        byte order equals codepoint order, so both engines agree."""
+        self._expect("punct", "(")
+        fk, fv = self._next()
+        if fk in ("SUM", "AVG"):
+            raise ParseError(f"{fk} is out of fragment (the store holds lexical forms)")
+        if fk not in ("COUNT", "MIN", "MAX"):
+            raise ParseError(f"expected aggregate function, got {fv!r}")
+        self._expect("punct", "(")
+        agg_distinct = False
+        if self._peek()[0] == "DISTINCT":
+            self._next()
+            agg_distinct = True
+        k2, v2 = self._next()
+        if k2 == "star":
+            if fk != "COUNT" or agg_distinct:
+                raise ParseError("'*' is only valid in COUNT(*)")
+            var = None
+        elif k2 == "var":
+            var = v2[1:]
+        else:
+            raise ParseError(f"aggregate argument must be ?var or *, got {v2!r}")
+        if agg_distinct and fk != "COUNT":
+            raise ParseError("DISTINCT is only supported inside COUNT(...)")
+        self._expect("punct", ")")
+        self._expect("AS")
+        alias = self._expect("var")[1:]
+        self._expect("punct", ")")
+        return (fk, var, agg_distinct, alias)
 
 
 def parse_select(text: str) -> dict:

@@ -172,6 +172,49 @@ def _join_group(triples_ds, patterns, num_buckets: int):
     return acc, bound
 
 
+def _union_groups(triples_ds, unions, num_buckets: int):
+    """SPARQL UNION: evaluate each branch as its own inner BGP, pad each
+    result with null string columns for the variables it doesn't bind, and
+    concatenate (bag semantics = SQL UNION ALL). A branch whose all-constant
+    existence check fails contributes zero rows. Returns (acc, bound) with
+    bound = first-appearance order of every variable across branches."""
+    import ray.data as rd
+
+    cols = list(
+        dict.fromkeys(v for g in unions for p in g for v in _pattern_vars(p))
+    )
+
+    def _pad(branch_vars: tuple):
+        def pad(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    v: batch[v].cast(pa.string())
+                    if v in branch_vars
+                    else pa.nulls(n, pa.string())
+                    for v in cols
+                }
+            )
+
+        return pad
+
+    parts = []
+    for g in unions:
+        const_checks = [p for p in g if not _pattern_vars(p)]
+        var_patterns = [p for p in g if _pattern_vars(p)]
+        if not var_patterns:
+            raise ValueError(f"UNION branch contains only constant patterns: {g}")
+        if any(_scan(triples_ds, chk).count() == 0 for chk in const_checks):
+            continue  # failed existence check: branch contributes no rows
+        acc_g, bound_g = _join_group(triples_ds, var_patterns, num_buckets)
+        parts.append(acc_g.map_batches(_pad(tuple(bound_g)), batch_format="pyarrow"))
+    if not parts:
+        empty = pa.schema([(v, pa.string()) for v in cols]).empty_table()
+        return rd.from_arrow(empty), cols
+    acc = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return acc, cols
+
+
 # ------------------------------------------------------ FILTER evaluation
 #
 # Two-valued evaluation with null -> False, which coincides with SQL's
@@ -231,6 +274,7 @@ def bgp_execute(
     num_buckets: int | None = None,
     optionals=(),
     filters=(),
+    unions=(),
 ):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
@@ -241,6 +285,13 @@ def bgp_execute(
     variables (SPARQL OPTIONAL; unmatched rows carry nulls). ``filters``
     is a list of core/sparql FILTER ASTs applied to the full binding table
     (all vars visible) before projection.
+
+    ``unions`` (mutually exclusive with ``patterns``/``optionals``) is a
+    list of branch pattern groups: each branch is evaluated as its own
+    inner BGP, padded with null columns for variables it doesn't bind,
+    and the branches are concatenated (SPARQL UNION, bag semantics — the
+    SQL twin is UNION ALL). Branch scans all read the one materialized
+    triple input; no extra exchange beyond each branch's own joins.
 
     ``num_buckets`` defaults to 2× the input's block count (floor 32):
     Ray's sort-based groupby uses reduce_partitions = map_blocks, so a
@@ -254,25 +305,31 @@ def bgp_execute(
         except Exception:  # lazy/unknown plan — keep the stage default
             num_buckets = 32
 
-    # All-constant patterns bind no variables, so they can't participate in
-    # the shared-variable join ordering (feeding them in would wrongly
-    # reject the rest of the BGP as disconnected). They are existence
-    # checks: absent -> zero solutions; present -> the unit solution (the
-    # triple store is canonical/set-semantics, so multiplicity is 1).
-    const_checks = [p for p in patterns if not _pattern_vars(p)]
-    var_patterns = [p for p in patterns if _pattern_vars(p)]
-    if not var_patterns:
-        raise ValueError("BGP contains only constant patterns; no variables to bind")
-    for chk in const_checks:
-        if _scan(triples_ds, chk).count() == 0:
-            import ray.data as rd
+    if unions:
+        if patterns or optionals:
+            raise ValueError("unions are mutually exclusive with patterns/optionals")
+        acc, bound = _union_groups(triples_ds, unions, num_buckets)
+        required_bound = set(bound)
+    else:
+        # All-constant patterns bind no variables, so they can't participate
+        # in the shared-variable join ordering (feeding them in would wrongly
+        # reject the rest of the BGP as disconnected). They are existence
+        # checks: absent -> zero solutions; present -> the unit solution (the
+        # triple store is canonical/set-semantics, so multiplicity is 1).
+        const_checks = [p for p in patterns if not _pattern_vars(p)]
+        var_patterns = [p for p in patterns if _pattern_vars(p)]
+        if not var_patterns:
+            raise ValueError("BGP contains only constant patterns; no variables to bind")
+        for chk in const_checks:
+            if _scan(triples_ds, chk).count() == 0:
+                import ray.data as rd
 
-            return rd.from_arrow(
-                pa.schema([(v, pa.string()) for v in project]).empty_table()
-            )
+                return rd.from_arrow(
+                    pa.schema([(v, pa.string()) for v in project]).empty_table()
+                )
 
-    acc, bound = _join_group(triples_ds, var_patterns, num_buckets)
-    required_bound = set(bound)
+        acc, bound = _join_group(triples_ds, var_patterns, num_buckets)
+        required_bound = set(bound)
 
     for group in optionals:
         gvars_all = {v for p in group for v in _pattern_vars(p)}
@@ -399,15 +456,33 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
     from ..core.sparql import parse_select
 
     q = parse_select(query)
+    aggregates = q["aggregates"]
+    if aggregates:
+        # project only what the aggregation consumes: group keys + agg vars
+        needed = dict.fromkeys(q["group_by"])
+        for _f, v, _d, _a in aggregates:
+            if v:
+                needed[v] = None
+        needed = list(needed)
+        if not needed:  # pure COUNT(*): carry one bound column to count rows
+            pats = q["patterns"] or [p for g in q["unions"] for p in g]
+            needed = [next(v for p in pats for v in _pattern_vars(p))]
+        bgp_project = needed
+    else:
+        bgp_project = q["project"]
     res = bgp_execute(
         triples_ds,
         q["patterns"],
-        q["project"],
+        bgp_project,
         num_buckets=num_buckets,
         optionals=q["optionals"],
         filters=q["filters"],
+        unions=q["unions"],
     )
-    cols = q["project"]
+    if aggregates:
+        res, cols = _aggregate_bindings(res, q["group_by"], aggregates)
+    else:
+        cols = q["project"]
 
     if q["distinct"]:
         from .dedup import _doc_bucket
@@ -454,15 +529,110 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
             import ray
             import ray.data as rd
 
-            schema = pa.schema([(v, pa.string()) for v in cols])
-            parts = [
-                t.select(cols).cast(schema)
-                for t in ray.get(res.to_arrow_refs())
-                if t.num_rows
-            ]
-            tbl = pa.concat_tables(parts) if parts else schema.empty_table()
+            # promote unifies all-null (OPTIONAL/UNION) blocks with typed
+            # ones; aggregate outputs keep their int64 columns
+            parts = [t.select(cols) for t in ray.get(res.to_arrow_refs())]
+            if parts:
+                tbl = pa.concat_tables(parts, promote_options="permissive")
+            else:
+                tbl = pa.schema([(v, pa.string()) for v in cols]).empty_table()
             res = rd.from_arrow(tbl.slice(offset))
     return res
+
+
+def _aggregate_bindings(res, group_by: list[str], aggregates):
+    """GROUP BY + {COUNT, COUNT DISTINCT, MIN, MAX} over a binding table.
+
+    Grouped path: ONE bucketed exchange — rows shuffle by crc32(group key)
+    % 64 (groups never span buckets: the bucket is a function of the full
+    key) and each bucket task computes its groups' aggregates exactly with
+    pandas, so COUNT(DISTINCT) needs no second exchange. Global path (no
+    GROUP BY): per-block partials reduced on the driver — O(blocks) scalar
+    rows, never the data (the parser rejects global COUNT DISTINCT).
+    SQL aggregate null semantics throughout: COUNT(?v)/MIN/MAX skip nulls,
+    COUNT(*) counts rows, a null group key is its own group."""
+    import pandas as pd
+    import ray.data as rd
+
+    out_cols = group_by + [a for *_x, a in aggregates]
+    int_cols = {a for f, _v, _d, a in aggregates if f == "COUNT"}
+    out_fields = [
+        (c, pa.int64() if c in int_cols else pa.string()) for c in out_cols
+    ]
+
+    def _agg_frame(df: pd.DataFrame) -> dict:
+        row = {}
+        for f, v, d, alias in aggregates:
+            if f == "COUNT":
+                if v is None:
+                    row[alias] = len(df)
+                elif d:
+                    row[alias] = df[v].dropna().nunique()
+                else:
+                    row[alias] = int(df[v].notna().sum())
+            else:
+                s = df[v].dropna()
+                if len(s) == 0:
+                    row[alias] = None
+                else:
+                    row[alias] = s.min() if f == "MIN" else s.max()
+        return row
+
+    if group_by:
+        from .dedup import _doc_bucket
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            key = _key_expr(batch, group_by) if len(group_by) > 1 else batch[
+                group_by[0]
+            ].cast(pa.string())
+            key = pc.fill_null(key, "\x01null")
+            return batch.append_column(
+                "__abucket", pa.array(_doc_bucket(key.to_pylist(), 64))
+            )
+
+        def agg_bucket(group: pd.DataFrame) -> pa.Table:
+            rows = []
+            for keys, g in group.groupby(group_by, dropna=False, sort=True):
+                if not isinstance(keys, tuple):  # pandas-version-dependent
+                    keys = (keys,)
+                row = {c: (None if pd.isna(k) else k) for c, k in zip(group_by, keys)}
+                row.update(_agg_frame(g))
+                rows.append(row)
+            return pa.table(
+                {c: pa.array([r[c] for r in rows], t) for c, t in out_fields}
+            )
+
+        out = (
+            res.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__abucket")
+            .map_groups(agg_bucket, batch_format="pandas")
+        )
+        return out, out_cols
+
+    # global aggregate: per-block partials -> tiny driver-side merge
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cols = {}
+        for f, v, _d, alias in aggregates:
+            if f == "COUNT":
+                n = batch.num_rows if v is None else int(df[v].notna().sum())
+                cols[alias] = pa.array([n], pa.int64())
+            else:
+                s = df[v].dropna()
+                val = None if len(s) == 0 else (s.min() if f == "MIN" else s.max())
+                cols[alias] = pa.array([val], pa.string())
+        return pa.table(cols)
+
+    partials = res.map_batches(partial, batch_format="pyarrow").to_pandas()
+    row = {}
+    for f, _v, _d, alias in aggregates:
+        if f == "COUNT":
+            row[alias] = int(partials[alias].sum()) if len(partials) else 0
+        else:
+            s = partials[alias].dropna() if len(partials) else pd.Series([], dtype=object)
+            row[alias] = None if len(s) == 0 else (s.min() if f == "MIN" else s.max())
+    tbl = pa.table({c: pa.array([row[c]], t) for c, t in out_fields})
+    return rd.from_arrow(tbl), out_cols
 
 
 KG_SPARQL_QUERY = """
@@ -682,3 +852,104 @@ def kg_sparql_graph(sf_dir: str):
     used which tools — parsed from `GRAPH ?g { … }` query text and
     evaluated as quad patterns by the BGP engine."""
     return sparql_select(_kg_quads_quarter(sf_dir), KG_SPARQL_GRAPH_QUERY)
+
+
+# ------------------------------------------- UNION / aggregates / paths
+
+# UNION: bag semantics — each turn contributes its tool rows (if any) AND
+# its role row; the SQL twin is UNION ALL of the two branch joins.
+KG_SPARQL_UNION_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?turn ?item WHERE {
+  { ?turn c:toolUse ?u . ?u c:tool ?item }
+  UNION
+  { ?turn c:role ?item }
+}
+"""
+
+KG_SPARQL_UNION_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS turn, t2.obj_value AS item
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}tool'
+WHERE t1.pred = '{_C}toolUse'
+UNION ALL
+SELECT subj AS turn, obj_value AS item FROM kt WHERE pred = '{_C}role'
+"""
+
+
+def kg_sparql_union(sf_dir: str):
+    """SPARQL UNION over the flagship KG: each turn paired with every tool
+    it used plus its role IRI — two branch BGPs evaluated over the one
+    materialized triple input and concatenated (bag semantics)."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_UNION_QUERY)
+
+
+# Aggregates: per-conversation turn count, distinct-tool count (nulls from
+# the OPTIONAL excluded, per SQL COUNT semantics) and lexical max index.
+KG_SPARQL_AGG_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?conv (COUNT(?turn) AS ?n_turns) (COUNT(DISTINCT ?tool) AS ?n_tools)
+       (MAX(?idx) AS ?max_idx)
+WHERE {
+  ?conv c:turn ?turn . ?turn c:index ?idx .
+  OPTIONAL { ?turn c:toolUse ?u . ?u c:tool ?tool }
+}
+GROUP BY ?conv
+"""
+
+KG_SPARQL_AGG_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.subj AS conv, t1.obj_value AS turn, t2.obj_value AS idx,
+         u.tool AS tool
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
+  LEFT JOIN (
+    SELECT t3.subj AS s, t4.obj_value AS tool
+    FROM kt t3 JOIN kt t4 ON t4.subj = t3.obj_value AND t4.pred = '{_C}tool'
+    WHERE t3.pred = '{_C}toolUse'
+  ) u ON u.s = t1.obj_value
+  WHERE t1.pred = '{_C}turn'
+)
+SELECT conv, COUNT(turn) AS n_turns, COUNT(DISTINCT tool) AS n_tools,
+       MAX(idx) AS max_idx
+FROM b GROUP BY conv
+"""
+
+
+def kg_sparql_agg(sf_dir: str):
+    """SPARQL GROUP BY aggregates over the flagship KG: per conversation,
+    COUNT / COUNT DISTINCT / lexical MAX over a BGP with an OPTIONAL —
+    one bucketed exchange, exact per-group aggregation inside buckets."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_AGG_QUERY)
+
+
+# Property path: inverse + sequence — from each tool IRI back through the
+# bnode use (^c:tool) and the turn (^c:toolUse) to the turn's role.
+KG_SPARQL_PATH_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT DISTINCT ?tool ?role
+WHERE { ?tool ^c:tool/^c:toolUse ?turn . ?turn c:role ?role }
+"""
+
+KG_SPARQL_PATH_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT DISTINCT t2.obj_value AS tool, t3.obj_value AS role
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}tool'
+JOIN kt t3 ON t3.subj = t1.subj AND t3.pred = '{_C}role'
+WHERE t1.pred = '{_C}toolUse'
+"""
+
+
+def kg_sparql_path(sf_dir: str):
+    """SPARQL property-path front-end: inverse (^) and sequence (/) steps
+    desugar to fresh-variable patterns at parse time — which roles issued
+    each tool, walked backwards from the tool IRI."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)

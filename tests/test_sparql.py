@@ -294,3 +294,167 @@ def test_executor_graph_patterns(ray_session):
         ds, "SELECT DISTINCT ?s WHERE { ?s <http://e/q> ?y }"
     ).to_pandas()
     assert sorted(got["s"]) == ["s1", "s2", "s3"]
+
+
+# ------------------------------------- round 5: UNION / aggregates / paths
+
+
+def test_parse_property_paths():
+    q = parse_select(
+        "PREFIX c: <http://e/> SELECT ?a ?b WHERE { ?a c:p/c:q ?b }"
+    )
+    assert q["patterns"] == [
+        ("?a", "http://e/p", "?__p0"),
+        ("?__p0", "http://e/q", "?b"),
+    ]
+    # inverse flips subject/object per step
+    q = parse_select("PREFIX c: <http://e/> SELECT * WHERE { ?a ^c:p/c:q ?b }")
+    assert q["patterns"] == [
+        ("?__p0", "http://e/p", "?a"),
+        ("?__p0", "http://e/q", "?b"),
+    ]
+    # fresh path vars are excluded from SELECT *
+    assert q["project"] == ["a", "b"]
+    with pytest.raises(ParseError, match="out of fragment|must be an IRI"):
+        parse_select("SELECT ?a WHERE { ?a ?p/<http://e/q> ?b }")
+    with pytest.raises(ParseError, match="must be an IRI"):
+        parse_select("SELECT ?a WHERE { ?a <http://e/p>/?v ?b }")
+
+
+def test_parse_union_and_groups():
+    q = parse_select(
+        "SELECT ?s ?x WHERE { { ?s <http://e/p> ?x } UNION "
+        "{ ?s <http://e/q> ?x } UNION { ?s <http://e/r> ?x } }"
+    )
+    assert len(q["unions"]) == 3 and q["patterns"] == []
+    assert q["project"] == ["s", "x"]
+    # a single braced group is just its patterns
+    q2 = parse_select("SELECT ?s WHERE { { ?s <http://e/p> ?x } }")
+    assert q2["patterns"] == [("?s", "http://e/p", "?x")] and q2["unions"] == []
+    with pytest.raises(ParseError, match="mixed"):
+        parse_select(
+            "SELECT ?s WHERE { { ?s <http://e/p> ?x } UNION "
+            "{ ?s <http://e/q> ?x } ?s <http://e/r> ?w }"
+        )
+    with pytest.raises(ParseError, match="multiple UNION"):
+        parse_select(
+            "SELECT ?s WHERE { { ?s <http://e/p> ?x } UNION { ?s <http://e/q> ?x } "
+            "{ ?s <http://e/r> ?x } UNION { ?s <http://e/t> ?x } }"
+        )
+    with pytest.raises(ParseError, match="must follow"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?x UNION { ?s <http://e/q> ?x } }")
+
+
+def test_parse_aggregates():
+    q = parse_select(
+        "SELECT ?g (COUNT(*) AS ?n) (COUNT(DISTINCT ?t) AS ?nd) (MIN(?v) AS ?mn) "
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v . "
+        "OPTIONAL { ?s <http://e/t> ?t } } GROUP BY ?g"
+    )
+    assert q["aggregates"] == [
+        ("COUNT", None, False, "n"),
+        ("COUNT", "t", True, "nd"),
+        ("MIN", "v", False, "mn"),
+    ]
+    assert q["group_by"] == ["g"] and q["project"] == ["g"]
+    for bad, msg in [
+        ("SELECT (SUM(?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "SUM"),
+        ("SELECT (AVG(?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "AVG"),
+        ("SELECT (COUNT(DISTINCT ?v) AS ?n) WHERE { ?x <http://e/p> ?v }", "GROUP BY"),
+        ("SELECT (MIN(*) AS ?n) WHERE { ?x <http://e/p> ?v }", "COUNT"),
+        ("SELECT (MIN(DISTINCT ?v) AS ?n) WHERE { ?x <http://e/p> ?v } GROUP BY ?x", "COUNT|DISTINCT"),
+        ("SELECT ?x WHERE { ?x <http://e/p> ?v } GROUP BY ?x", "without aggregate"),
+        ("SELECT ?v (COUNT(*) AS ?n) WHERE { ?x <http://e/p> ?v } GROUP BY ?x", "GROUP BY"),
+        ("SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?x <http://e/p> ?v }", "DISTINCT"),
+        ("SELECT ?x (COUNT(*) AS ?x) WHERE { ?x <http://e/p> ?v } GROUP BY ?x", "duplicate"),
+        ("SELECT * (COUNT(*) AS ?n) WHERE { ?x <http://e/p> ?v }", "."),
+    ]:
+        with pytest.raises(ParseError):
+            parse_select(bad)
+
+
+def _grp_graph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    rows = [
+        ("s1", "http://e/val", "3"), ("s2", "http://e/val", "10"),
+        ("s3", "http://e/val", "7"), ("s4", "http://e/val", "oops"),
+        ("s1", "http://e/tag", "alpha"), ("s3", "http://e/tag", "beta"),
+        ("s1", "http://e/grp", "A"), ("s2", "http://e/grp", "A"),
+        ("s3", "http://e/grp", "B"), ("s4", "http://e/grp", "B"),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+
+def test_executor_union(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _grp_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?x WHERE { { ?s <http://e/tag> ?x } UNION "
+        "{ ?s <http://e/val> ?x } } ORDER BY ?s ?x",
+    ).to_pandas()
+    assert len(got) == 6  # bag semantics: 2 tags + 4 vals
+    assert got.iloc[0].tolist() == ["s1", "3"]
+    # branches binding different vars pad with nulls
+    pad = sparql_select(
+        ds,
+        "SELECT ?s ?t ?v WHERE { { ?s <http://e/tag> ?t } UNION "
+        "{ ?s <http://e/val> ?v } }",
+    ).to_pandas()
+    assert pad["t"].isna().sum() == 4 and pad["v"].isna().sum() == 2
+
+
+def test_executor_aggregates(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _grp_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?g (COUNT(*) AS ?n) (COUNT(?t) AS ?nt) (COUNT(DISTINCT ?t) AS ?ndt) "
+        "(MIN(?v) AS ?mn) (MAX(?v) AS ?mx) "
+        "WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v . "
+        "OPTIONAL { ?s <http://e/tag> ?t } } GROUP BY ?g ORDER BY ?g",
+    ).to_pandas()
+    # lexical MIN/MAX: '10' < '3'; COUNT(?t) skips OPTIONAL nulls
+    assert got.to_dict("records") == [
+        {"g": "A", "n": 2, "nt": 1, "ndt": 1, "mn": "10", "mx": "3"},
+        {"g": "B", "n": 2, "nt": 1, "ndt": 1, "mn": "7", "mx": "oops"},
+    ]
+    glob = sparql_select(
+        ds, "SELECT (COUNT(*) AS ?n) (MAX(?v) AS ?mx) WHERE { ?s <http://e/val> ?v }"
+    ).to_pandas()
+    assert glob.to_dict("records") == [{"n": 4, "mx": "oops"}]
+    # SQL semantics on an empty match: COUNT = 0, MIN = null, one row
+    empty = sparql_select(
+        ds, "SELECT (COUNT(?v) AS ?n) (MIN(?v) AS ?mn) WHERE { ?s <http://e/none> ?v }"
+    ).to_pandas()
+    assert len(empty) == 1 and empty["n"][0] == 0 and empty["mn"].isna().all()
+    # aggregate over a UNION
+    au = sparql_select(
+        ds,
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { { ?s <http://e/tag> ?x } UNION "
+        "{ ?s <http://e/val> ?x } } GROUP BY ?s ORDER BY ?s",
+    ).to_pandas()
+    assert au["n"].tolist() == [2, 1, 2, 1]
+
+
+def test_executor_property_path(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _grp_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?g ?t WHERE { ?t ^<http://e/tag>/<http://e/grp> ?g } ORDER BY ?t",
+    ).to_pandas()
+    assert list(zip(got["g"], got["t"])) == [("A", "alpha"), ("B", "beta")]
