@@ -46,7 +46,8 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
-    "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING"
+    "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|"
+    "ASK|CONSTRUCT"
 )
 
 # NB: regex alternation is first-match — the full pname (with local part)
@@ -340,6 +341,11 @@ class _SelectParser:
                 raise ParseError(f"bad PREFIX name: {ns_tok[1]!r}")
             iri = self._expect("iriref")
             self.prefixes[pfx] = iri[1:-1]
+        form = self._peek()[0]
+        if form == "ASK":
+            return self._parse_ask()
+        if form == "CONSTRUCT":
+            return self._parse_construct()
         self._expect("SELECT")
         distinct = False
         if self._peek()[0] == "DISTINCT":
@@ -362,75 +368,7 @@ class _SelectParser:
                     break
             if not project and not aggregates:
                 raise ParseError("SELECT needs at least one ?var, aggregate or *")
-        self._expect("WHERE")
-        self._expect("punct", "{")
-        patterns: list = []
-        optionals: list[list] = []
-        filters: list = []
-        unions: list[list[list]] = []  # [construct][branch][pattern]
-        while self._peek() != ("punct", "}"):
-            k, v = self._peek()
-            if k is None:
-                raise ParseError("unterminated WHERE block")
-            if k == "FILTER":
-                self._next()
-                self._expect("punct", "(")
-                filters.append(self._expr())
-                self._expect("punct", ")")
-                if self._peek() == ("punct", "."):
-                    self._next()
-            elif k == "OPTIONAL":
-                self._next()
-                self._expect("punct", "{")
-                group: list = []
-                if not self._triple_block(group):
-                    raise ParseError("empty OPTIONAL block")
-                self._expect("punct", "}")
-                optionals.append(group)
-                if self._peek() == ("punct", "."):
-                    self._next()
-            elif k == "GRAPH":
-                self._next()
-                self._graph_block(patterns)
-            elif k == "UNION":
-                raise ParseError("UNION must follow a braced group: { ... } UNION { ... }")
-            elif (k, v) == ("punct", "{"):
-                # braced group: plain (its patterns inline) or UNION chain
-                self._next()
-                grp: list = []
-                if not self._triple_block(grp):
-                    raise ParseError("empty braced group in WHERE")
-                self._expect("punct", "}")
-                if self._peek()[0] == "UNION":
-                    branches = [grp]
-                    while self._peek()[0] == "UNION":
-                        self._next()
-                        self._expect("punct", "{")
-                        b: list = []
-                        if not self._triple_block(b):
-                            raise ParseError("empty UNION branch")
-                        self._expect("punct", "}")
-                        branches.append(b)
-                    unions.append(branches)
-                else:
-                    patterns.extend(grp)
-                if self._peek() == ("punct", "."):
-                    self._next()
-            else:
-                if not self._triple_block(patterns):
-                    raise ParseError(f"bad WHERE content: {v!r}")
-        self._next()  # }
-        if unions:
-            if len(unions) > 1:
-                raise ParseError("multiple UNION constructs are out of fragment")
-            if patterns or optionals:
-                raise ParseError(
-                    "UNION mixed with other required/OPTIONAL patterns is out "
-                    "of fragment (joining a union needs compatible-mapping "
-                    "semantics); FILTER over the union is supported"
-                )
-        if not patterns and not unions:
-            raise ParseError("WHERE block needs at least one required pattern")
+        patterns, optionals, filters, unions = self._where_block()
 
         group_by: list[str] = []
         if self._peek()[0] == "GROUP":
@@ -507,6 +445,7 @@ class _SelectParser:
                         seen[t[1:]] = None
             project = list(seen)
         return {
+            "form": "select",
             "project": project,
             "patterns": patterns,
             "optionals": optionals,
@@ -518,6 +457,143 @@ class _SelectParser:
             "order_by": order_by,
             "limit": limit,
             "offset": offset,
+        }
+
+    def _where_block(self):
+        """``WHERE { ... }`` → (patterns, optionals, filters, unions) with
+        the fragment's structural checks applied."""
+        self._expect("WHERE")
+        self._expect("punct", "{")
+        patterns: list = []
+        optionals: list[list] = []
+        filters: list = []
+        unions: list[list[list]] = []  # [construct][branch][pattern]
+        while self._peek() != ("punct", "}"):
+            k, v = self._peek()
+            if k is None:
+                raise ParseError("unterminated WHERE block")
+            if k == "FILTER":
+                self._next()
+                self._expect("punct", "(")
+                filters.append(self._expr())
+                self._expect("punct", ")")
+                if self._peek() == ("punct", "."):
+                    self._next()
+            elif k == "OPTIONAL":
+                self._next()
+                self._expect("punct", "{")
+                group: list = []
+                if not self._triple_block(group):
+                    raise ParseError("empty OPTIONAL block")
+                self._expect("punct", "}")
+                optionals.append(group)
+                if self._peek() == ("punct", "."):
+                    self._next()
+            elif k == "GRAPH":
+                self._next()
+                self._graph_block(patterns)
+            elif k == "UNION":
+                raise ParseError("UNION must follow a braced group: { ... } UNION { ... }")
+            elif (k, v) == ("punct", "{"):
+                # braced group: plain (its patterns inline) or UNION chain
+                self._next()
+                grp: list = []
+                if not self._triple_block(grp):
+                    raise ParseError("empty braced group in WHERE")
+                self._expect("punct", "}")
+                if self._peek()[0] == "UNION":
+                    branches = [grp]
+                    while self._peek()[0] == "UNION":
+                        self._next()
+                        self._expect("punct", "{")
+                        b: list = []
+                        if not self._triple_block(b):
+                            raise ParseError("empty UNION branch")
+                        self._expect("punct", "}")
+                        branches.append(b)
+                    unions.append(branches)
+                else:
+                    patterns.extend(grp)
+                if self._peek() == ("punct", "."):
+                    self._next()
+            else:
+                if not self._triple_block(patterns):
+                    raise ParseError(f"bad WHERE content: {v!r}")
+        self._next()  # }
+        if unions:
+            if len(unions) > 1:
+                raise ParseError("multiple UNION constructs are out of fragment")
+            if patterns or optionals:
+                raise ParseError(
+                    "UNION mixed with other required/OPTIONAL patterns is out "
+                    "of fragment (joining a union needs compatible-mapping "
+                    "semantics); FILTER over the union is supported"
+                )
+        if not patterns and not unions:
+            raise ParseError("WHERE block needs at least one required pattern")
+        return patterns, optionals, filters, unions
+
+    def _parse_ask(self):
+        """``ASK WHERE { ... }`` (or ``ASK { ... }``) → boolean existence
+        query; no projection or solution modifiers."""
+        self._expect("ASK")
+        if self._peek()[0] != "WHERE":
+            # SPARQL allows ASK { ... } — normalize by injecting WHERE
+            self.toks.insert(self.i, ("WHERE", "WHERE"))
+        patterns, optionals, filters, unions = self._where_block()
+        if self._peek()[0] is not None:
+            raise ParseError(
+                f"trailing content after ASK query: {self._peek()[1]!r}"
+            )
+        return {
+            "form": "ask",
+            "patterns": patterns,
+            "optionals": optionals,
+            "filters": filters,
+            "unions": unions[0] if unions else [],
+        }
+
+    def _parse_construct(self):
+        """``CONSTRUCT { template } WHERE { ... }`` → template triples
+        instantiated once per solution, null-dropping, set semantics."""
+        self._expect("CONSTRUCT")
+        self._expect("punct", "{")
+        template: list = []
+        if not self._triple_block(template):
+            raise ParseError("empty CONSTRUCT template")
+        self._expect("punct", "}")
+        for pat in template:
+            if len(pat) != 3:
+                raise ParseError("CONSTRUCT templates are triples (no GRAPH)")
+            for t in pat:
+                if t.startswith("?__p"):
+                    raise ParseError(
+                        "property paths are not allowed in CONSTRUCT templates"
+                    )
+        patterns, optionals, filters, unions = self._where_block()
+        if self._peek()[0] is not None:
+            raise ParseError(
+                f"trailing content after CONSTRUCT query: {self._peek()[1]!r}"
+            )
+        tvars = {t[1:] for p in template for t in p if t.startswith("?")}
+        bound = {
+            v
+            for grp in ([patterns] + optionals + (unions[0] if unions else []))
+            for p in grp
+            for t in p
+            if t.startswith("?")
+            for v in [t[1:]]
+        }
+        missing = sorted(tvars - bound)
+        if missing:
+            raise ParseError(f"CONSTRUCT template uses unbound variables: {missing}")
+        return {
+            "form": "construct",
+            "template": template,
+            "patterns": patterns,
+            "optionals": optionals,
+            "filters": filters,
+            "unions": unions[0] if unions else [],
         }
 
     def _aggregate_item(self) -> tuple[str, str | None, bool, str]:
@@ -555,8 +631,18 @@ class _SelectParser:
         return (fk, var, agg_distinct, alias)
 
 
+def parse_query(text: str) -> dict:
+    """SPARQL SELECT / ASK / CONSTRUCT (restricted fragment) → a dict with
+    ``form`` plus the form's fields, ready for pipelines/bgp.sparql_select
+    / sparql_ask / sparql_construct."""
+    return _SelectParser(text).parse()
+
+
 def parse_select(text: str) -> dict:
     """SPARQL SELECT (restricted fragment) → {project, patterns, optionals,
-    filters, distinct, order_by, limit, offset} ready for
-    pipelines/bgp.sparql_select / bgp_execute."""
-    return _SelectParser(text).parse()
+    filters, unions, group_by, aggregates, distinct, order_by, limit,
+    offset} ready for pipelines/bgp.sparql_select / bgp_execute."""
+    q = parse_query(text)
+    if q["form"] != "select":
+        raise ParseError(f"expected a SELECT query, got {q['form'].upper()}")
+    return q

@@ -485,26 +485,7 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         cols = q["project"]
 
     if q["distinct"]:
-        from .dedup import _doc_bucket
-
-        def add_key(batch: pa.Table) -> pa.Table:
-            key = _key_expr(batch, cols) if len(cols) > 1 else batch[cols[0]].cast(pa.string())
-            # OPTIONAL can leave nulls in projected vars; DISTINCT treats
-            # nulls as equal (SQL semantics), so they share one bucket key
-            key = pc.fill_null(key, "\x01null")
-            return batch.append_column(
-                "__dbucket", pa.array(_doc_bucket(key.to_pylist(), 64))
-            )
-
-        def drop_dups(group: pd.DataFrame) -> pa.Table:
-            d = group.drop_duplicates(cols)[cols]
-            return pa.table({c: pa.array(d[c], pa.string()) for c in cols})
-
-        res = (
-            res.map_batches(add_key, batch_format="pyarrow")
-            .groupby("__dbucket")
-            .map_groups(drop_dups, batch_format="pandas")
-        )
+        res = _distinct(res, cols)
 
     order_by = list(q["order_by"])
     if order_by:
@@ -538,6 +519,119 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
                 tbl = pa.schema([(v, pa.string()) for v in cols]).empty_table()
             res = rd.from_arrow(tbl.slice(offset))
     return res
+
+
+def _distinct(res, cols: list[str]):
+    """Set semantics over string columns ``cols``: ONE bucketed exchange by
+    crc32 of the composite key (nulls — e.g. from OPTIONAL — share one key,
+    SQL DISTINCT semantics), duplicates dropped inside each bucket."""
+    import pandas as pd
+
+    from .dedup import _doc_bucket
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = _key_expr(batch, cols) if len(cols) > 1 else batch[cols[0]].cast(pa.string())
+        key = pc.fill_null(key, "\x01null")
+        return batch.append_column(
+            "__dbucket", pa.array(_doc_bucket(key.to_pylist(), 64))
+        )
+
+    def drop_dups(group: pd.DataFrame) -> pa.Table:
+        d = group.drop_duplicates(cols)[cols]
+        return pa.table({c: pa.array(d[c], pa.string()) for c in cols})
+
+    return (
+        res.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__dbucket")
+        .map_groups(drop_dups, batch_format="pandas")
+    )
+
+
+def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
+    """SPARQL ASK: does the pattern have at least one solution? Returns a
+    one-row Dataset {ask: bool} (the SQL twin is SELECT EXISTS(...)). The
+    probe consumes at most one solution row off the streaming executor —
+    the BGP's own joins still run, but nothing downstream materializes."""
+    import ray.data as rd
+
+    from ..core.sparql import parse_query
+
+    q = parse_query(query)
+    if q["form"] != "ask":
+        raise ValueError(f"sparql_ask needs an ASK query, got {q['form'].upper()}")
+    pats = q["patterns"] or [p for g in q["unions"] for p in g]
+    probe_var = next((v for p in pats for v in _pattern_vars(p)), None)
+    if probe_var is None:
+        # all-constant ASK (e.g. ASK { <s> <p> <o> }): every pattern must
+        # have at least one match
+        found = all(
+            len(_scan(triples_ds, p).limit(1).take(1)) > 0 for p in q["patterns"]
+        )
+        return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
+    res = bgp_execute(
+        triples_ds,
+        q["patterns"],
+        [probe_var],
+        num_buckets=num_buckets,
+        optionals=q["optionals"],
+        filters=q["filters"],
+        unions=q["unions"],
+    )
+    found = len(res.limit(1).take(1)) > 0
+    return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
+
+
+def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
+    """SPARQL CONSTRUCT: instantiate the template once per solution and
+    dedup (CONSTRUCT produces a GRAPH — set semantics). Returns a Dataset
+    of (subj, pred, obj_value) strings. Template rows whose variables are
+    null in a solution (OPTIONAL / UNION padding) are skipped, per spec.
+    Emission is vectorized: one projected column (or pa.repeat constant)
+    per template slot, concatenated across template triples per batch;
+    the final dedup is the engine's one-exchange _distinct."""
+    from ..core.sparql import parse_query
+
+    q = parse_query(query)
+    if q["form"] != "construct":
+        raise ValueError(
+            f"sparql_construct needs a CONSTRUCT query, got {q['form'].upper()}"
+        )
+    template = q["template"]
+    tvars = list(
+        dict.fromkeys(t[1:] for p in template for t in p if _is_var(t))
+    )
+    res = bgp_execute(
+        triples_ds,
+        q["patterns"],
+        tvars,
+        num_buckets=num_buckets,
+        optionals=q["optionals"],
+        filters=q["filters"],
+        unions=q["unions"],
+    )
+    out_cols = ("subj", "pred", "obj_value")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        parts = []
+        for pat in template:
+            pat_vars = [t[1:] for t in pat if _is_var(t)]
+            t = batch
+            for v in pat_vars:  # drop solutions that leave a slot null
+                t = t.filter(pc.is_valid(t[v]))
+            n = t.num_rows
+            cols = {}
+            for name, term in zip(out_cols, pat):
+                cols[name] = (
+                    t[term[1:]].cast(pa.string())
+                    if _is_var(term)
+                    else pa.repeat(term, n)
+                )
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return _distinct(
+        res.map_batches(emit, batch_format="pyarrow"), list(out_cols)
+    )
 
 
 def _aggregate_bindings(res, group_by: list[str], aggregates):
@@ -953,3 +1047,69 @@ def kg_sparql_path(sf_dir: str):
     desugar to fresh-variable patterns at parse time — which roles issued
     each tool, walked backwards from the tool IRI."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)
+
+
+# --------------------------------------------------- ASK / CONSTRUCT forms
+
+# ASK: is there any user turn that used a tool? (False on this corpus —
+# tool use is assistant-only — so the query exercises the negative path.)
+KG_SPARQL_ASK_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+ASK WHERE { ?t c:role role:user . ?t c:toolUse ?u }
+"""
+
+KG_SPARQL_ASK_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT EXISTS(
+  SELECT 1 FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}toolUse'
+  WHERE t1.pred = '{_C}role'
+    AND t1.obj_value = 'http://example.org/role/user'
+) AS ask
+"""
+
+
+def kg_sparql_ask(sf_dir: str):
+    """SPARQL ASK over the flagship KG: a boolean existence probe (did any
+    USER turn use a tool?) — one row {ask}, at most one solution pulled
+    off the streaming executor."""
+    return sparql_ask(_kg_triples_quarter(sf_dir), KG_SPARQL_ASK_QUERY)
+
+
+# CONSTRUCT: derive a direct conv --usedTool--> tool edge graph from the
+# three-hop pattern (turn + bnode use), set semantics.
+KG_SPARQL_CONSTRUCT_QUERY = """
+PREFIX c: <http://example.org/convo#>
+CONSTRUCT { ?conv c:usedTool ?tool . ?tool a c:Tool }
+WHERE { ?conv c:turn ?t . ?t c:toolUse ?u . ?u c:tool ?tool }
+"""
+
+KG_SPARQL_CONSTRUCT_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), sol AS (
+  SELECT t1.subj AS conv, t3.obj_value AS tool
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}toolUse'
+  JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+  WHERE t1.pred = '{_C}turn'
+)
+SELECT DISTINCT subj, pred, obj_value FROM (
+  SELECT conv AS subj, '{_C}usedTool' AS pred, tool AS obj_value FROM sol
+  UNION ALL
+  SELECT tool AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         '{_C}Tool' AS obj_value
+  FROM sol
+)
+"""
+
+
+def kg_sparql_construct(sf_dir: str):
+    """SPARQL CONSTRUCT over the flagship KG: derives the direct
+    conv→tool edge graph (plus a type triple per tool) from the three-hop
+    BGP — vectorized template emission, one dedup exchange."""
+    return sparql_construct(_kg_triples_quarter(sf_dir), KG_SPARQL_CONSTRUCT_QUERY)

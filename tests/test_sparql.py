@@ -458,3 +458,71 @@ def test_executor_property_path(ray_session):
         "SELECT ?g ?t WHERE { ?t ^<http://e/tag>/<http://e/grp> ?g } ORDER BY ?t",
     ).to_pandas()
     assert list(zip(got["g"], got["t"])) == [("A", "alpha"), ("B", "beta")]
+
+
+def test_parse_ask_and_construct():
+    from rdf_xml_ex_ray.core.sparql import parse_query
+
+    q = parse_query("ASK WHERE { ?s <http://e/p> ?o . FILTER(?o = \"x\") }")
+    assert q["form"] == "ask" and len(q["filters"]) == 1
+    # ASK without WHERE is legal SPARQL
+    q2 = parse_query("ASK { ?s <http://e/p> ?o }")
+    assert q2["form"] == "ask" and q2["patterns"] == [("?s", "http://e/p", "?o")]
+    c = parse_query(
+        "PREFIX e: <http://e/> CONSTRUCT { ?s e:d ?o . ?s a e:T } "
+        "WHERE { ?s e:p/e:q ?o }"
+    )
+    assert c["form"] == "construct"
+    assert c["template"] == [
+        ("?s", "http://e/d", "?o"),
+        ("?s", RDF_TYPE, "http://e/T"),
+    ]
+    with pytest.raises(ParseError, match="unbound"):
+        parse_query("CONSTRUCT { ?s <http://e/d> ?w } WHERE { ?s <http://e/p> ?o }")
+    with pytest.raises(ParseError, match="template"):
+        parse_query("CONSTRUCT { ?s <http://e/a>/<http://e/b> ?o } WHERE { ?s <http://e/p> ?o }")
+    with pytest.raises(ParseError, match="SELECT"):
+        parse_select("ASK WHERE { ?s <http://e/p> ?o }")
+
+
+def test_executor_ask(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask
+
+    ds = _grp_graph()
+    t = sparql_ask(ds, 'ASK { ?s <http://e/tag> "alpha" }').to_pandas()
+    assert t.to_dict("records") == [{"ask": True}]
+    f = sparql_ask(ds, 'ASK { ?s <http://e/tag> "nope" }').to_pandas()
+    assert f.to_dict("records") == [{"ask": False}]
+    # all-constant probe
+    c = sparql_ask(ds, 'ASK { <s1> <http://e/tag> "alpha" }').to_pandas()
+    assert c.to_dict("records") == [{"ask": True}]
+    # FILTER participates
+    ff = sparql_ask(
+        ds, "ASK WHERE { ?s <http://e/val> ?v . FILTER(?v > 11) }"
+    ).to_pandas()
+    assert ff.to_dict("records") == [{"ask": False}]
+
+
+def test_executor_construct(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_construct
+
+    ds = _grp_graph()
+    got = sparql_construct(
+        ds,
+        "CONSTRUCT { ?s <http://e/labelled> ?t . ?t a <http://e/Tag> } "
+        "WHERE { ?s <http://e/tag> ?t }",
+    ).to_pandas().sort_values(["pred", "subj"]).reset_index(drop=True)
+    assert list(got.itertuples(index=False, name=None)) == [
+        ("s1", "http://e/labelled", "alpha"),
+        ("s3", "http://e/labelled", "beta"),
+        ("alpha", RDF_TYPE, "http://e/Tag"),
+        ("beta", RDF_TYPE, "http://e/Tag"),
+    ]
+    # null template slots (from OPTIONAL) drop that instantiation; set
+    # semantics dedup repeated emissions
+    opt = sparql_construct(
+        ds,
+        "CONSTRUCT { ?s <http://e/hasTag> ?t } "
+        "WHERE { ?s <http://e/val> ?v . OPTIONAL { ?s <http://e/tag> ?t } }",
+    ).to_pandas()
+    assert sorted(opt["subj"]) == ["s1", "s3"]
