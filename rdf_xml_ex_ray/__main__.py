@@ -81,9 +81,9 @@ def main(argv=None) -> int:
     bgp_p.add_argument("--num-cpus", type=int, default=None)
 
     sparql_p = sub.add_parser(
-        "sparql", help="SPARQL SELECT (restricted fragment) over a triple store"
+        "sparql", help="SPARQL SELECT/ASK/CONSTRUCT (restricted fragment) over a triple store"
     )
-    sparql_p.add_argument("query", help="SELECT [DISTINCT] ?v… WHERE { s p o . … } [LIMIT n]")
+    sparql_p.add_argument("query", help="SELECT | ASK | CONSTRUCT query text (restricted fragment)")
     sparql_p.add_argument("store", nargs="?", help="parquet triple-store dir")
     sparql_p.add_argument("--sf-dir", help="build the flagship triples from this sf dir instead")
     sparql_p.add_argument("--out", help="write the binding table as parquet instead of printing")
@@ -275,8 +275,13 @@ def main(argv=None) -> int:
             import ray.data as rd
 
             from rdf_xml_ex_ray.core.model import TRIPLE_COLUMNS
+            from rdf_xml_ex_ray.core.sparql import parse_query
             from rdf_xml_ex_ray.core.terms import ParseError as _PE
-            from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+            from rdf_xml_ex_ray.pipelines.bgp import (
+                sparql_ask,
+                sparql_construct,
+                sparql_select,
+            )
 
             if args.store:
                 triples = rd.read_parquet(args.store).map_batches(
@@ -290,7 +295,13 @@ def main(argv=None) -> int:
             else:
                 parser.error("sparql: need a store dir or --sf-dir")
             try:
-                res = sparql_select(triples, args.query)
+                form = parse_query(args.query)["form"]
+                run = {
+                    "select": sparql_select,
+                    "ask": sparql_ask,
+                    "construct": sparql_construct,
+                }[form]
+                res = run(triples, args.query)
             except (ValueError, _PE) as exc:
                 parser.error(f"sparql: {exc}")
             if args.out:
