@@ -47,7 +47,7 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|"
-    "ASK|CONSTRUCT"
+    "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF"
 )
 
 # NB: regex alternation is first-match — the full pname (with local part)
@@ -285,7 +285,7 @@ class _SelectParser:
         found = False
         while True:
             k, v = self._peek()
-            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP") or (
+            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP", "VALUES") or (
                 k,
                 v,
             ) in (("punct", "}"), ("punct", "{")):
@@ -346,6 +346,8 @@ class _SelectParser:
             return self._parse_ask()
         if form == "CONSTRUCT":
             return self._parse_construct()
+        if form == "DESCRIBE":
+            return self._parse_describe()
         self._expect("SELECT")
         distinct = False
         if self._peek()[0] == "DISTINCT":
@@ -492,6 +494,32 @@ class _SelectParser:
             elif k == "GRAPH":
                 self._next()
                 self._graph_block(patterns)
+            elif k == "VALUES":
+                # single-variable inline data: an O(1) membership filter
+                # (multi-variable VALUES rows need a join — out of fragment)
+                self._next()
+                if self._peek() == ("punct", "("):
+                    raise ParseError("multi-variable VALUES is out of fragment")
+                vvar = self._expect("var")[1:]
+                self._expect("punct", "{")
+                consts: list[str] = []
+                while self._peek() != ("punct", "}"):
+                    kk, vv = self._peek()
+                    if kk is None:
+                        raise ParseError("unterminated VALUES block")
+                    if kk == "UNDEF":
+                        raise ParseError("UNDEF in VALUES is out of fragment")
+                    self._next()
+                    if kk == "number":
+                        consts.append(vv)  # the store holds lexical forms
+                    else:
+                        consts.append(self._resolve_const(kk, vv))
+                self._next()  # }
+                if not consts:
+                    raise ParseError("empty VALUES block")
+                filters.append(("in", vvar, consts))
+                if self._peek() == ("punct", "."):
+                    self._next()
             elif k == "UNION":
                 raise ParseError("UNION must follow a braced group: { ... } UNION { ... }")
             elif (k, v) == ("punct", "{"):
@@ -532,6 +560,60 @@ class _SelectParser:
         if not patterns and not unions:
             raise ParseError("WHERE block needs at least one required pattern")
         return patterns, optionals, filters, unions
+
+    def _parse_describe(self):
+        """``DESCRIBE <iri> ...`` (constant resources) or ``DESCRIBE ?v
+        WHERE { ... }`` (one variable, seeds = its distinct bindings).
+        The result is the CBD closure of the seed set."""
+        self._expect("DESCRIBE")
+        iris: list[str] = []
+        var = None
+        while True:
+            k, v = self._peek()
+            if k in ("iriref", "pname"):
+                self._next()
+                iris.append(self._resolve_const(k, v))
+            elif k == "var":
+                self._next()
+                if var is not None:
+                    raise ParseError("DESCRIBE supports at most one variable")
+                var = v[1:]
+            else:
+                break
+        if var is not None and iris:
+            raise ParseError("DESCRIBE mixes a variable with constant IRIs; pick one")
+        if var is None and not iris:
+            raise ParseError("DESCRIBE needs at least one IRI or a ?var")
+        patterns: list = []
+        optionals: list[list] = []
+        filters: list = []
+        unions: list = []
+        if var is not None:
+            patterns, optionals, filters, unions = self._where_block()
+            bound = {
+                t[1:]
+                for grp in ([patterns] + optionals + (unions[0] if unions else []))
+                for p in grp
+                for t in p
+                if t.startswith("?")
+            }
+            if var not in bound:
+                raise ParseError(f"DESCRIBE variable ?{var} is not bound in WHERE")
+        elif self._peek()[0] == "WHERE":
+            raise ParseError("DESCRIBE <iri> with a WHERE block is out of fragment")
+        if self._peek()[0] is not None:
+            raise ParseError(
+                f"trailing content after DESCRIBE query: {self._peek()[1]!r}"
+            )
+        return {
+            "form": "describe",
+            "iris": iris,
+            "var": var,
+            "patterns": patterns,
+            "optionals": optionals,
+            "filters": filters,
+            "unions": unions[0] if unions else [],
+        }
 
     def _parse_ask(self):
         """``ASK WHERE { ... }`` (or ``ASK { ... }``) → boolean existence

@@ -242,6 +242,10 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         return ~_filter_mask(expr[1], tbl)
     if kind == "bound":
         return ~np.asarray(tbl[expr[1]].combine_chunks().is_null())
+    if kind == "in":  # VALUES ?v { ... }: membership, null -> False
+        arr = tbl[expr[1]].combine_chunks().cast(pa.string())
+        m = pc.fill_null(pc.is_in(arr, value_set=pa.array(expr[2], pa.string())), False)
+        return m.to_numpy(zero_copy_only=False)
     op, lhs, rhs = expr[1], expr[2], expr[3]
     numeric = lhs[0] == "num" or rhs[0] == "num"
     valid = np.ones(tbl.num_rows, dtype=bool)
@@ -360,7 +364,7 @@ def bgp_execute(
                     _vars_of(sub, out)
             elif e[0] == "not":
                 _vars_of(e[1], out)
-            elif e[0] == "bound":
+            elif e[0] in ("bound", "in"):
                 out.add(e[1])
             else:
                 for o in (e[2], e[3]):
@@ -579,6 +583,43 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
     )
     found = len(res.limit(1).take(1)) > 0
     return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
+
+
+def sparql_describe(triples_ds, query: str, num_buckets: int | None = None):
+    """SPARQL DESCRIBE: CBD (concise bounded description) of the resource
+    set — constant IRIs, or the distinct bindings of the one DESCRIBE
+    variable over the WHERE pattern. Seeds feed graph.cbd_closure: triples
+    whose subject is a seed plus the transitive bnode-object closure, one
+    guarded semi-join per hop. Returns full triple-schema rows."""
+    import ray.data as rd
+
+    from ..core.sparql import parse_query
+    from .graph import cbd_closure
+
+    q = parse_query(query)
+    if q["form"] != "describe":
+        raise ValueError(
+            f"sparql_describe needs a DESCRIBE query, got {q['form'].upper()}"
+        )
+    if q["var"] is not None:
+        res = bgp_execute(
+            triples_ds,
+            q["patterns"],
+            [q["var"]],
+            num_buckets=num_buckets,
+            optionals=q["optionals"],
+            filters=q["filters"],
+            unions=q["unions"],
+        )
+        nodes = _distinct(res, [q["var"]]).map_batches(
+            lambda t, v=q["var"]: pa.table({"node": t[v].cast(pa.string())}),
+            batch_format="pyarrow",
+        )
+    else:
+        nodes = rd.from_arrow(
+            pa.table({"node": pa.array(sorted(set(q["iris"])), pa.string())})
+        )
+    return cbd_closure(triples_ds, nodes)
 
 
 def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
@@ -1113,3 +1154,50 @@ def kg_sparql_construct(sf_dir: str):
     conv→tool edge graph (plus a type triple per tool) from the three-hop
     BGP — vectorized template emission, one dedup exchange."""
     return sparql_construct(_kg_triples_quarter(sf_dir), KG_SPARQL_CONSTRUCT_QUERY)
+
+
+# DESCRIBE: CBD of every turn of conversation c0 — the SPARQL front-end for
+# the kg_describe operator, so the SQL twin is the same recursive CTE.
+KG_SPARQL_DESCRIBE_QUERY = """
+PREFIX c: <http://example.org/convo#>
+DESCRIBE ?t WHERE { <http://example.org/conv/c0> c:turn ?t }
+"""
+
+
+def kg_sparql_describe(sf_dir: str):
+    """SPARQL DESCRIBE front-end over the flagship KG: the CBD of every
+    turn of conversation c0, seeds bound by the WHERE pattern — identical
+    semantics (and oracle) to the kg_describe operator."""
+    return sparql_describe(_kg_triples_quarter(sf_dir), KG_SPARQL_DESCRIBE_QUERY)
+
+
+# VALUES: inline membership restriction — turns whose tool is in an inline
+# list (one present value, one absent, so the mask genuinely filters); the
+# SQL twin is a plain IN list.
+KG_SPARQL_VALUES_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX tool: <http://example.org/tool/>
+SELECT ?turn ?tool WHERE {
+  ?turn c:toolUse ?u . ?u c:tool ?tool .
+  VALUES ?tool { tool:error tool:refund }
+}
+"""
+
+KG_SPARQL_VALUES_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS turn, t2.obj_value AS tool
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}tool'
+WHERE t1.pred = '{_C}toolUse'
+  AND t2.obj_value IN ('http://example.org/tool/error',
+                       'http://example.org/tool/refund')
+"""
+
+
+def kg_sparql_values(sf_dir: str):
+    """SPARQL VALUES over the flagship KG: tool-using turns restricted to
+    an inline tool list — an O(1) membership mask on the binding table,
+    no extra exchange."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_VALUES_QUERY)

@@ -776,7 +776,24 @@ def kg_describe(
         )
         return pa.table({"node": t["obj_value"].cast(pa.string())})
 
-    nodes = triples.map_batches(seed_nodes, batch_format="pyarrow").materialize()
+    nodes = triples.map_batches(seed_nodes, batch_format="pyarrow")
+    return cbd_closure(triples, nodes, max_hops, broadcast_node_cap)
+
+
+def cbd_closure(
+    triples,
+    seed_nodes_ds,
+    max_hops: int = DESCRIBE_MAX_HOPS,
+    broadcast_node_cap: int = DESCRIBE_BROADCAST_NODE_CAP,
+):
+    """Concise-bounded-description closure: all triples whose subject is in
+    the seed node set or reachable from it through bnode objects. One
+    semi-join per hop (broadcast under the node cap, bucketed distributed
+    attach above it), set-semantics fixpoint, hard convergence bound.
+    ``seed_nodes_ds`` is a Dataset with one string column ``node``."""
+    from ray.data.aggregate import Max
+
+    nodes = seed_nodes_ds.materialize()
     n_nodes = nodes.count()
 
     def semi_join(node_ds):

@@ -526,3 +526,79 @@ def test_executor_construct(ray_session):
         "WHERE { ?s <http://e/val> ?v . OPTIONAL { ?s <http://e/tag> ?t } }",
     ).to_pandas()
     assert sorted(opt["subj"]) == ["s1", "s3"]
+
+
+def test_parse_describe_and_values():
+    from rdf_xml_ex_ray.core.sparql import parse_query
+
+    d = parse_query("DESCRIBE <http://e/a> <http://e/b>")
+    assert d["form"] == "describe" and d["iris"] == ["http://e/a", "http://e/b"]
+    assert d["var"] is None
+    dv = parse_query("DESCRIBE ?t WHERE { <http://e/c> <http://e/turn> ?t }")
+    assert dv["var"] == "t" and dv["patterns"] == [("http://e/c", "http://e/turn", "?t")]
+    with pytest.raises(ParseError, match="at most one variable"):
+        parse_query("DESCRIBE ?a ?b WHERE { ?a <http://e/p> ?b }")
+    with pytest.raises(ParseError, match="pick one"):
+        parse_query("DESCRIBE <http://e/a> ?b WHERE { ?b <http://e/p> ?x }")
+    with pytest.raises(ParseError, match="not bound"):
+        parse_query("DESCRIBE ?z WHERE { ?a <http://e/p> ?b }")
+    with pytest.raises(ParseError, match="out of fragment"):
+        parse_query("DESCRIBE <http://e/a> WHERE { ?a <http://e/p> ?b }")
+    v = parse_query(
+        'SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES ?o { "x" <http://e/y> 3 } }'
+    )
+    assert v["filters"] == [("in", "o", ["x", "http://e/y", "3"])]
+    with pytest.raises(ParseError, match="multi-variable"):
+        parse_query('SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES (?o ?s) { ("x" "y") } }')
+    with pytest.raises(ParseError, match="UNDEF"):
+        parse_query('SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES ?o { UNDEF } }')
+    with pytest.raises(ParseError, match="empty VALUES"):
+        parse_query("SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES ?o { } }")
+
+
+def test_executor_values(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _grp_graph()
+    got = sparql_select(
+        ds,
+        'SELECT ?s ?v WHERE { ?s <http://e/val> ?v . VALUES ?v { "3" "7" "absent" } } ORDER BY ?s',
+    ).to_pandas()
+    assert list(zip(got["s"], got["v"])) == [("s1", "3"), ("s3", "7")]
+    # VALUES over an OPTIONAL-bound var: null rows fail membership
+    opt = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . OPTIONAL { ?s <http://e/tag> ?t } '
+        'VALUES ?t { "alpha" } }',
+    ).to_pandas()
+    assert got is not None and sorted(opt["s"]) == ["s1"]
+
+
+def test_executor_describe(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_describe
+
+    # s1 -p-> bnode b1 -q-> "leaf"; s2 plain
+    rows = [
+        ("s1", "iri", "http://e/p", "bnode", "b1"),
+        ("b1", "bnode", "http://e/q", "literal", "leaf"),
+        ("s2", "iri", "http://e/p", "literal", "v2"),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, sk, p, ok, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append(sk)
+        cols["pred"].append(p); cols["obj_kind"].append(ok)
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    got = sparql_describe(ds, "DESCRIBE <s1>").to_pandas()
+    # CBD: s1's triple plus the bnode closure through b1
+    assert sorted(got["subj"]) == ["b1", "s1"]
+    var = sparql_describe(
+        ds, "DESCRIBE ?s WHERE { ?s <http://e/p> ?o }"
+    ).to_pandas()
+    assert sorted(var["subj"]) == ["b1", "s1", "s2"]
