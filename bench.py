@@ -107,6 +107,9 @@ def run_bench() -> dict:
     from rdf_xml_ex_ray.pipelines import bgp
 
     timed("kg_bgp", lambda: bgp.kg_bgp(SF_DIR))
+    # the r5 SPARQL front-end: BGP + OPTIONAL left-join + GROUP BY
+    # aggregates (one bucketed exchange, exact in-bucket aggregation)
+    timed("kg_sparql_agg", lambda: bgp.kg_sparql_agg(SF_DIR))
 
     headline = timings["kg_triples"]
     result = {
