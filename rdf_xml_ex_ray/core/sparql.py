@@ -28,12 +28,14 @@ NUMERIC operand — they evaluate under SQL TRY_CAST-to-double semantics
 (an unparseable or unbound value fails the comparison), while ``=``/``!=``
 against a string/IRI constant or another variable compare exact strings.
 String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
-engines: UTF-8 byte order = codepoint order). Property paths cover
-sequence ``p1/p2`` and inverse ``^p`` (desugared to fresh-variable
-patterns); transitive ``+``/``*``, alternation ``|``, SUM/AVG, HAVING,
-sub-selects, expression projections and UNION mixed with other patterns
-stay out of scope; the parser rejects anything outside the fragment
-loudly rather than guessing.
+engines: UTF-8 byte order = codepoint order). SUM/AVG aggregate INTEGER
+lexical forms exactly (core/numeric.py semantics — non-integer forms are
+unbound/NULL; SUM is the exact integer as a string, AVG = strtod(SUM) /
+COUNT). Property paths cover sequence ``p1/p2`` and inverse ``^p``
+(desugared to fresh-variable patterns); transitive ``+``/``*``,
+alternation ``|``, sub-selects, expression projections and UNION mixed
+with other patterns stay out of scope; the parser rejects anything
+outside the fragment loudly rather than guessing.
 """
 
 from __future__ import annotations
@@ -393,7 +395,7 @@ class _SelectParser:
                 raise ParseError(f"duplicate output names in SELECT: {names}")
             if not group_by and any(d for _f, _v, d, _a in aggregates):
                 raise ParseError(
-                    "global COUNT(DISTINCT ...) is out of fragment (needs a "
+                    "global DISTINCT aggregates are out of fragment (need a "
                     "distributed distinct; use GROUP BY, or the distinct_kmv / "
                     "kg_void_stats operators)"
                 )
@@ -680,15 +682,15 @@ class _SelectParser:
 
     def _aggregate_item(self) -> tuple[str, str | None, bool, str]:
         """``(AGG(* | [DISTINCT] ?v) AS ?alias)`` in the SELECT clause.
-        AGG in {COUNT, MIN, MAX}; the store holds lexical strings, so
-        SUM/AVG are rejected loudly (arithmetic over lexical forms is
-        engine-defined) and MIN/MAX compare codepoint/byte order — UTF-8
-        byte order equals codepoint order, so both engines agree."""
+        AGG in {COUNT, MIN, MAX, SUM, AVG}. MIN/MAX compare codepoint/byte
+        order — UTF-8 byte order equals codepoint order, so both engines
+        agree. SUM/AVG read INTEGER lexical forms exactly (core/numeric
+        semantics: any non-``[+-]?\\d{1,18}`` form is unbound/NULL); SUM
+        renders the exact integer as a string, AVG is strtod(SUM)/COUNT —
+        deterministic under distribution, unlike float summation."""
         self._expect("punct", "(")
         fk, fv = self._next()
-        if fk in ("SUM", "AVG"):
-            raise ParseError(f"{fk} is out of fragment (the store holds lexical forms)")
-        if fk not in ("COUNT", "MIN", "MAX"):
+        if fk not in ("COUNT", "MIN", "MAX", "SUM", "AVG"):
             raise ParseError(f"expected aggregate function, got {fv!r}")
         self._expect("punct", "(")
         agg_distinct = False
@@ -704,8 +706,8 @@ class _SelectParser:
             var = v2[1:]
         else:
             raise ParseError(f"aggregate argument must be ?var or *, got {v2!r}")
-        if agg_distinct and fk != "COUNT":
-            raise ParseError("DISTINCT is only supported inside COUNT(...)")
+        if agg_distinct and fk in ("MIN", "MAX"):
+            raise ParseError(f"DISTINCT inside {fk}(...) is a no-op; drop it")
         self._expect("punct", ")")
         self._expect("AS")
         alias = self._expect("var")[1:]

@@ -676,23 +676,42 @@ def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
 
 
 def _aggregate_bindings(res, group_by: list[str], aggregates):
-    """GROUP BY + {COUNT, COUNT DISTINCT, MIN, MAX} over a binding table.
+    """GROUP BY + {COUNT, COUNT DISTINCT, MIN, MAX, SUM, AVG} over a
+    binding table.
 
     Grouped path: ONE bucketed exchange — rows shuffle by crc32(group key)
     % 64 (groups never span buckets: the bucket is a function of the full
     key) and each bucket task computes its groups' aggregates exactly with
     pandas, so COUNT(DISTINCT) needs no second exchange. Global path (no
     GROUP BY): per-block partials reduced on the driver — O(blocks) scalar
-    rows, never the data (the parser rejects global COUNT DISTINCT).
+    rows, never the data (the parser rejects global DISTINCT aggregates).
     SQL aggregate null semantics throughout: COUNT(?v)/MIN/MAX skip nulls,
-    COUNT(*) counts rows, a null group key is its own group."""
+    COUNT(*) counts rows, a null group key is its own group.
+
+    SUM/AVG follow core/numeric.py's integer-lexical semantics: values are
+    exact Python ints (order-independent — safe to sum per block and merge),
+    SUM renders as the integer's decimal string (matching the SQL twin's
+    CAST(SUM(..) AS VARCHAR)), AVG is float(SUM)/COUNT — one correctly-
+    rounded conversion plus one IEEE division, identical to the twin's
+    CAST(CAST(SUM(..) AS VARCHAR) AS DOUBLE)/COUNT(..)."""
     import pandas as pd
     import ray.data as rd
 
+    from ..core.numeric import int_lex_array
+
     out_cols = group_by + [a for *_x, a in aggregates]
     int_cols = {a for f, _v, _d, a in aggregates if f == "COUNT"}
+    float_cols = {a for f, _v, _d, a in aggregates if f == "AVG"}
     out_fields = [
-        (c, pa.int64() if c in int_cols else pa.string()) for c in out_cols
+        (
+            c,
+            pa.int64()
+            if c in int_cols
+            else pa.float64()
+            if c in float_cols
+            else pa.string(),
+        )
+        for c in out_cols
     ]
 
     def _agg_frame(df: pd.DataFrame) -> dict:
@@ -705,6 +724,20 @@ def _aggregate_bindings(res, group_by: list[str], aggregates):
                     row[alias] = df[v].dropna().nunique()
                 else:
                     row[alias] = int(df[v].notna().sum())
+            elif f in ("SUM", "AVG"):
+                vals = [
+                    x
+                    for x in int_lex_array(df[v].dropna().tolist())
+                    if x is not None
+                ]
+                if d:
+                    vals = set(vals)
+                if not vals:
+                    row[alias] = None
+                elif f == "SUM":
+                    row[alias] = str(sum(vals))
+                else:
+                    row[alias] = float(sum(vals)) / len(vals)
             else:
                 s = df[v].dropna()
                 if len(s) == 0:
@@ -744,7 +777,9 @@ def _aggregate_bindings(res, group_by: list[str], aggregates):
         )
         return out, out_cols
 
-    # global aggregate: per-block partials -> tiny driver-side merge
+    # global aggregate: per-block partials -> tiny driver-side merge.
+    # SUM/AVG partials are exact ints (sum-of-sums is order-independent);
+    # AVG also needs the block's valid-value count to divide at the end.
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         cols = {}
@@ -752,6 +787,17 @@ def _aggregate_bindings(res, group_by: list[str], aggregates):
             if f == "COUNT":
                 n = batch.num_rows if v is None else int(df[v].notna().sum())
                 cols[alias] = pa.array([n], pa.int64())
+            elif f in ("SUM", "AVG"):
+                vals = [
+                    x
+                    for x in int_lex_array(df[v].dropna().tolist())
+                    if x is not None
+                ]
+                cols[alias] = pa.array(
+                    [str(sum(vals)) if vals else None], pa.string()
+                )
+                if f == "AVG":
+                    cols["__" + alias + "_n"] = pa.array([len(vals)], pa.int64())
             else:
                 s = df[v].dropna()
                 val = None if len(s) == 0 else (s.min() if f == "MIN" else s.max())
@@ -763,6 +809,14 @@ def _aggregate_bindings(res, group_by: list[str], aggregates):
     for f, _v, _d, alias in aggregates:
         if f == "COUNT":
             row[alias] = int(partials[alias].sum()) if len(partials) else 0
+        elif f in ("SUM", "AVG"):
+            sums = partials[alias].dropna() if len(partials) else []
+            total = sum(int(s) for s in sums)
+            if f == "SUM":
+                row[alias] = str(total) if len(sums) else None
+            else:
+                n = int(partials["__" + alias + "_n"].sum()) if len(partials) else 0
+                row[alias] = float(total) / n if n else None
         else:
             s = partials[alias].dropna() if len(partials) else pd.Series([], dtype=object)
             row[alias] = None if len(s) == 0 else (s.min() if f == "MIN" else s.max())
@@ -1061,6 +1115,52 @@ def kg_sparql_agg(sf_dir: str):
     COUNT / COUNT DISTINCT / lexical MAX over a BGP with an OPTIONAL —
     one bucketed exchange, exact per-group aggregation inside buckets."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_AGG_QUERY)
+
+
+# The SQL spelling of core/numeric.int_lex: a regex-guarded HUGEINT cast
+# (the guard keeps DuckDB's permissive numeric parsing away — see the
+# core/numeric.py docstring for why DECIMAL semantics were rejected).
+_INT_CAST = (
+    "TRY_CAST(CASE WHEN regexp_matches({col}, '^[+-]?\\d{{1,18}}$') "
+    "THEN {col} END AS HUGEINT)"
+)
+
+KG_SPARQL_SUM_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?role (COUNT(?t) AS ?n_turns) (SUM(?idx) AS ?sum_idx)
+       (SUM(DISTINCT ?idx) AS ?sum_didx) (AVG(?ts) AS ?avg_ts)
+WHERE { ?t c:role ?role . ?t c:index ?idx . ?t c:tsMicros ?ts }
+GROUP BY ?role
+"""
+
+KG_SPARQL_SUM_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.obj_value AS role,
+         {_INT_CAST.format(col="t2.obj_value")} AS ic_idx,
+         {_INT_CAST.format(col="t3.obj_value")} AS ic_ts
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}index'
+  JOIN kt t3 ON t3.subj = t1.subj AND t3.pred = '{_C}tsMicros'
+  WHERE t1.pred = '{_C}role'
+)
+SELECT role, COUNT(*) AS n_turns,
+       CAST(SUM(ic_idx) AS VARCHAR) AS sum_idx,
+       CAST(SUM(DISTINCT ic_idx) AS VARCHAR) AS sum_didx,
+       CAST(CAST(SUM(ic_ts) AS VARCHAR) AS DOUBLE) / COUNT(ic_ts) AS avg_ts
+FROM b GROUP BY role
+"""
+
+
+def kg_sparql_sum(sf_dir: str):
+    """SPARQL SUM/AVG aggregates (integer-exact semantics) over the
+    flagship KG: per role — turn count, exact turn-index sums (plain and
+    DISTINCT: indexes repeat across conversations, so the two differ) and
+    the mean timestamp. Sums are exact Python ints (order-independent
+    under the distributed merge), matching the twin's HUGEINT arithmetic;
+    AVG is one strtod + one IEEE division on both engines."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_SUM_QUERY)
 
 
 # Property path: inverse + sequence — from each tool IRI back through the

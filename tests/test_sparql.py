@@ -357,9 +357,20 @@ def test_parse_aggregates():
         ("MIN", "v", False, "mn"),
     ]
     assert q["group_by"] == ["g"] and q["project"] == ["g"]
+    q2 = parse_select(
+        "SELECT ?g (SUM(?v) AS ?s) (SUM(DISTINCT ?v) AS ?sd) (AVG(?v) AS ?a) "
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } GROUP BY ?g"
+    )
+    assert q2["aggregates"] == [
+        ("SUM", "v", False, "s"),
+        ("SUM", "v", True, "sd"),
+        ("AVG", "v", False, "a"),
+    ]
     for bad, msg in [
-        ("SELECT (SUM(?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "SUM"),
-        ("SELECT (AVG(?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "AVG"),
+        ("SELECT (SUM(*) AS ?s) WHERE { ?x <http://e/p> ?v }", "COUNT"),
+        ("SELECT (AVG(*) AS ?s) WHERE { ?x <http://e/p> ?v }", "COUNT"),
+        ("SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "GROUP BY"),
+        ("SELECT (AVG(DISTINCT ?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "GROUP BY"),
         ("SELECT (COUNT(DISTINCT ?v) AS ?n) WHERE { ?x <http://e/p> ?v }", "GROUP BY"),
         ("SELECT (MIN(*) AS ?n) WHERE { ?x <http://e/p> ?v }", "COUNT"),
         ("SELECT (MIN(DISTINCT ?v) AS ?n) WHERE { ?x <http://e/p> ?v } GROUP BY ?x", "COUNT|DISTINCT"),
@@ -422,24 +433,34 @@ def test_executor_aggregates(ray_session):
     got = sparql_select(
         ds,
         "SELECT ?g (COUNT(*) AS ?n) (COUNT(?t) AS ?nt) (COUNT(DISTINCT ?t) AS ?ndt) "
-        "(MIN(?v) AS ?mn) (MAX(?v) AS ?mx) "
+        "(MIN(?v) AS ?mn) (MAX(?v) AS ?mx) (SUM(?v) AS ?sv) (AVG(?v) AS ?av) "
         "WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v . "
         "OPTIONAL { ?s <http://e/tag> ?t } } GROUP BY ?g ORDER BY ?g",
     ).to_pandas()
-    # lexical MIN/MAX: '10' < '3'; COUNT(?t) skips OPTIONAL nulls
+    # lexical MIN/MAX: '10' < '3'; COUNT(?t) skips OPTIONAL nulls;
+    # SUM/AVG read integer lexical forms only ('oops' is unbound/NULL)
     assert got.to_dict("records") == [
-        {"g": "A", "n": 2, "nt": 1, "ndt": 1, "mn": "10", "mx": "3"},
-        {"g": "B", "n": 2, "nt": 1, "ndt": 1, "mn": "7", "mx": "oops"},
+        {"g": "A", "n": 2, "nt": 1, "ndt": 1, "mn": "10", "mx": "3",
+         "sv": "13", "av": 6.5},
+        {"g": "B", "n": 2, "nt": 1, "ndt": 1, "mn": "7", "mx": "oops",
+         "sv": "7", "av": 7.0},
     ]
     glob = sparql_select(
-        ds, "SELECT (COUNT(*) AS ?n) (MAX(?v) AS ?mx) WHERE { ?s <http://e/val> ?v }"
+        ds,
+        "SELECT (COUNT(*) AS ?n) (MAX(?v) AS ?mx) (SUM(?v) AS ?sv) "
+        "(AVG(?v) AS ?av) WHERE { ?s <http://e/val> ?v }",
     ).to_pandas()
-    assert glob.to_dict("records") == [{"n": 4, "mx": "oops"}]
-    # SQL semantics on an empty match: COUNT = 0, MIN = null, one row
+    assert glob.to_dict("records") == [
+        {"n": 4, "mx": "oops", "sv": "20", "av": 20.0 / 3.0}
+    ]
+    # SQL semantics on an empty match: COUNT = 0, MIN/SUM/AVG = null
     empty = sparql_select(
-        ds, "SELECT (COUNT(?v) AS ?n) (MIN(?v) AS ?mn) WHERE { ?s <http://e/none> ?v }"
+        ds,
+        "SELECT (COUNT(?v) AS ?n) (MIN(?v) AS ?mn) (SUM(?v) AS ?sv) "
+        "(AVG(?v) AS ?av) WHERE { ?s <http://e/none> ?v }",
     ).to_pandas()
     assert len(empty) == 1 and empty["n"][0] == 0 and empty["mn"].isna().all()
+    assert empty["sv"].isna().all() and empty["av"].isna().all()
     # aggregate over a UNION
     au = sparql_select(
         ds,
