@@ -15,6 +15,7 @@ executor evaluates:
         { s path o . ... } UNION { ... } [UNION { ... }]   # standalone
     }
     [GROUP BY ?g1 ...]
+    [HAVING ( expr ) ...]                   # over group keys / agg aliases
     [ORDER BY (?v | ASC(?v) | DESC(?v)) ...]
     [LIMIT n] [OFFSET n]
 
@@ -402,6 +403,21 @@ class _SelectParser:
         elif group_by:
             raise ParseError("GROUP BY without aggregate functions in SELECT")
 
+        having: list = []
+        if self._peek()[0] == "HAVING":
+            if not aggregates:
+                raise ParseError("HAVING without aggregates in SELECT")
+            self._next()
+            # one or more parenthesized constraints, implicitly ANDed —
+            # expressions reference the OUTPUT columns (group keys and
+            # aggregate aliases), the same FILTER grammar/semantics
+            while self._peek() == ("punct", "("):
+                self._next()
+                having.append(self._expr())
+                self._expect("punct", ")")
+            if not having:
+                raise ParseError("HAVING needs at least one (constraint)")
+
         order_by: list[tuple[str, bool]] = []
         if self._peek()[0] == "ORDER":
             self._next()
@@ -457,6 +473,7 @@ class _SelectParser:
             "unions": unions[0] if unions else [],
             "group_by": group_by,
             "aggregates": aggregates,
+            "having": having,
             "distinct": distinct,
             "order_by": order_by,
             "limit": limit,

@@ -271,6 +271,21 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
     return np.asarray(m, dtype=bool) & valid
 
 
+def _expr_vars(e, out: set):
+    """Collect the variable names a FILTER/HAVING AST references."""
+    if e[0] in ("or", "and"):
+        for sub in e[1]:
+            _expr_vars(sub, out)
+    elif e[0] == "not":
+        _expr_vars(e[1], out)
+    elif e[0] in ("bound", "in"):
+        out.add(e[1])
+    else:
+        for o in (e[2], e[3]):
+            if o[0] == "var":
+                out.add(o[1])
+
+
 def bgp_execute(
     triples_ds,
     patterns,
@@ -357,22 +372,8 @@ def bgp_execute(
 
     if filters:
         fvars = set()
-
-        def _vars_of(e, out):
-            if e[0] in ("or", "and"):
-                for sub in e[1]:
-                    _vars_of(sub, out)
-            elif e[0] == "not":
-                _vars_of(e[1], out)
-            elif e[0] in ("bound", "in"):
-                out.add(e[1])
-            else:
-                for o in (e[2], e[3]):
-                    if o[0] == "var":
-                        out.add(o[1])
-
         for f in filters:
-            _vars_of(f, fvars)
+            _expr_vars(f, fvars)
         missing_f = sorted(fvars - set(bound))
         if missing_f:
             raise ValueError(f"FILTER references unbound variables: {missing_f}")
@@ -485,6 +486,28 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
     )
     if aggregates:
         res, cols = _aggregate_bindings(res, q["group_by"], aggregates)
+        having = q.get("having") or []
+        if having:
+            # HAVING = FILTER over the aggregated table (group keys +
+            # aliases): a numeric comparison reads an int64/float64 alias
+            # directly and TRY_CASTs a string one (SUM's decimal string),
+            # identical to the SQL twin's HAVING expression semantics
+            hvars = set()
+            for h in having:
+                _expr_vars(h, hvars)
+            missing_h = sorted(hvars - set(cols))
+            if missing_h:
+                raise ValueError(
+                    f"HAVING references non-output columns: {missing_h}"
+                )
+
+            def apply_having(batch: pa.Table) -> pa.Table:
+                m = np.ones(batch.num_rows, dtype=bool)
+                for h in having:
+                    m &= _filter_mask(h, batch)
+                return batch.filter(pa.array(m))
+
+            res = res.map_batches(apply_having, batch_format="pyarrow")
     else:
         cols = q["project"]
 
@@ -1161,6 +1184,43 @@ def kg_sparql_sum(sf_dir: str):
     under the distributed merge), matching the twin's HUGEINT arithmetic;
     AVG is one strtod + one IEEE division on both engines."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_SUM_QUERY)
+
+
+KG_SPARQL_HAVING_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?conv (COUNT(?turn) AS ?n_turns) (COUNT(DISTINCT ?tool) AS ?n_tools)
+WHERE {
+  ?conv c:turn ?turn . OPTIONAL { ?turn c:toolUse ?u . ?u c:tool ?tool }
+}
+GROUP BY ?conv
+HAVING (?n_tools >= 2) (?n_turns > 5)
+"""
+
+KG_SPARQL_HAVING_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.subj AS conv, t1.obj_value AS turn, u.tool AS tool
+  FROM kt t1
+  LEFT JOIN (
+    SELECT t3.subj AS s, t4.obj_value AS tool
+    FROM kt t3 JOIN kt t4 ON t4.subj = t3.obj_value AND t4.pred = '{_C}tool'
+    WHERE t3.pred = '{_C}toolUse'
+  ) u ON u.s = t1.obj_value
+  WHERE t1.pred = '{_C}turn'
+)
+SELECT conv, COUNT(turn) AS n_turns, COUNT(DISTINCT tool) AS n_tools
+FROM b GROUP BY conv
+HAVING COUNT(DISTINCT tool) >= 2 AND COUNT(turn) > 5
+"""
+
+
+def kg_sparql_having(sf_dir: str):
+    """SPARQL HAVING over GROUP BY aggregates: conversations that used at
+    least two distinct tools across more than five turns. The constraint
+    runs as a map-side Arrow mask on the already-aggregated table — no
+    extra exchange beyond the aggregation's one."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_HAVING_QUERY)
 
 
 # Property path: inverse + sequence — from each tool IRI back through the

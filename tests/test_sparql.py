@@ -366,7 +366,17 @@ def test_parse_aggregates():
         ("SUM", "v", True, "sd"),
         ("AVG", "v", False, "a"),
     ]
+    q3 = parse_select(
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { ?s <http://e/g> ?g } "
+        "GROUP BY ?g HAVING (?n > 2) (?g != <http://e/x>) ORDER BY ?g"
+    )
+    assert q3["having"] == [
+        ("cmp", ">", ("var", "n"), ("num", 2.0)),
+        ("cmp", "!=", ("var", "g"), ("str", "http://e/x")),
+    ]
     for bad, msg in [
+        ("SELECT ?g WHERE { ?s <http://e/g> ?g } HAVING (?g > 2)", "HAVING"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?s <http://e/g> ?g } HAVING", "constraint"),
         ("SELECT (SUM(*) AS ?s) WHERE { ?x <http://e/p> ?v }", "COUNT"),
         ("SELECT (AVG(*) AS ?s) WHERE { ?x <http://e/p> ?v }", "COUNT"),
         ("SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?x <http://e/p> ?v }", "GROUP BY"),
@@ -461,6 +471,22 @@ def test_executor_aggregates(ray_session):
     ).to_pandas()
     assert len(empty) == 1 and empty["n"][0] == 0 and empty["mn"].isna().all()
     assert empty["sv"].isna().all() and empty["av"].isna().all()
+    # HAVING: a mask over the aggregated table (keys + aliases visible)
+    hv = sparql_select(
+        ds,
+        "SELECT ?g (COUNT(*) AS ?n) (SUM(?v) AS ?sv) "
+        "WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v } "
+        "GROUP BY ?g HAVING (?sv > 10)",
+    ).to_pandas()
+    assert hv.to_dict("records") == [{"g": "A", "n": 2, "sv": "13"}]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-output"):
+        sparql_select(
+            ds,
+            "SELECT ?g (COUNT(*) AS ?n) WHERE { ?s <http://e/grp> ?g . "
+            "?s <http://e/val> ?v } GROUP BY ?g HAVING (?v > 1)",
+        )
     # aggregate over a UNION
     au = sparql_select(
         ds,
