@@ -8,7 +8,7 @@ executor evaluates:
     PREFIX pfx: <ns> ...
     SELECT [DISTINCT] ?v1 ?v2 | * | ?g1 ... (AGG(*|[DISTINCT] ?v) AS ?alias) ...
     WHERE {
-        s path o . ...                      # path = p | p1/p2 | ^p (mixable)
+        s path o . ...              # path steps: p, ^p, (p1|p2); join by /
         FILTER ( expr ) ...
         OPTIONAL { s path o . ... } ...
         GRAPH (?g | iri) { s path o . ... } ...
@@ -32,11 +32,12 @@ String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
 engines: UTF-8 byte order = codepoint order). SUM/AVG aggregate INTEGER
 lexical forms exactly (core/numeric.py semantics — non-integer forms are
 unbound/NULL; SUM is the exact integer as a string, AVG = strtod(SUM) /
-COUNT). Property paths cover sequence ``p1/p2`` and inverse ``^p``
-(desugared to fresh-variable patterns); transitive ``+``/``*``,
-alternation ``|``, sub-selects, expression projections and UNION mixed
-with other patterns stay out of scope; the parser rejects anything
-outside the fragment loudly rather than guessing.
+COUNT). Property paths cover sequence ``p1/p2``, inverse ``^p`` and
+parenthesized alternation ``(p1|p2)`` as a step (desugared to
+fresh-variable patterns; an alternation step scans with a predicate-set
+filter); transitive ``+``/``*``, sub-selects, expression projections and
+UNION mixed with other patterns stay out of scope; the parser rejects
+anything outside the fragment loudly rather than guessing.
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ _TOKEN_RE = re.compile(
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\|)
     | (?P<punct>[{}.;()])
     """,
     re.X | re.I,
@@ -247,12 +248,42 @@ class _SelectParser:
 
     # ------------------------------------------------------- group parser
 
-    def _path_elt(self) -> tuple[bool, str]:
-        """One property-path step: ``iri`` or ``^iri`` (inverse)."""
+    def _path_elt(self):
+        """One property-path step: ``iri``, ``^iri`` (inverse), or a
+        parenthesized alternation ``(p1|p2|...)`` of plain IRIs —
+        optionally inverted as a whole, ``^(p1|p2)``. Returns (inverse,
+        iri) or (inverse, (iri, iri, ...)); an alternation step scans with
+        a predicate-set filter (SQL ``pred IN (...)``), still one scan.
+        Mixing ``^`` INSIDE an alternation branch would need per-branch
+        direction in a single scan — out of fragment, rejected."""
         inverse = False
         if self._peek() == ("op", "^"):
             self._next()
             inverse = True
+        if self._peek() == ("punct", "("):
+            self._next()
+            alts = []
+            while True:
+                k, v = self._peek()
+                if k == "op" and v == "^":
+                    raise ParseError(
+                        "'^' inside a path alternation is out of fragment; "
+                        "invert the whole group: ^(p1|p2)"
+                    )
+                if k not in ("iriref", "pname", "a_kw"):
+                    raise ParseError(
+                        f"path-alternation branch must be an IRI, got {v!r}"
+                    )
+                self._next()
+                alts.append(self._resolve_const(k, v))
+                if self._peek() == ("op", "|"):
+                    self._next()
+                    continue
+                self._expect("punct", ")")
+                break
+            if len(alts) == 1:
+                return inverse, alts[0]
+            return inverse, tuple(dict.fromkeys(alts))
         k, v = self._peek()
         if k in ("iriref", "pname", "a_kw"):
             self._next()
@@ -277,6 +308,8 @@ class _SelectParser:
         while self._peek() == ("op", "/"):
             self._next()
             steps.append(self._path_elt())
+        if self._peek() == ("op", "|"):
+            raise ParseError("path alternation must be parenthesized: (p1|p2)")
         return steps
 
     def _triple_block(self, patterns: list, graph: str | None = None):
@@ -460,8 +493,9 @@ class _SelectParser:
             union_pats = [p for u in unions for g in u for p in g]
             for pat in patterns + union_pats + [p for g in optionals for p in g]:
                 for t in pat:
-                    # fresh property-path variables (?__pN) are internal
-                    if t.startswith("?") and not t.startswith("?__p"):
+                    # fresh property-path variables (?__pN) are internal;
+                    # non-str terms are alternation predicate sets
+                    if isinstance(t, str) and t.startswith("?") and not t.startswith("?__p"):
                         seen[t[1:]] = None
             project = list(seen)
         return {
@@ -614,7 +648,7 @@ class _SelectParser:
                 for grp in ([patterns] + optionals + (unions[0] if unions else []))
                 for p in grp
                 for t in p
-                if t.startswith("?")
+                if isinstance(t, str) and t.startswith("?")
             }
             if var not in bound:
                 raise ParseError(f"DESCRIBE variable ?{var} is not bound in WHERE")
@@ -667,6 +701,10 @@ class _SelectParser:
             if len(pat) != 3:
                 raise ParseError("CONSTRUCT templates are triples (no GRAPH)")
             for t in pat:
+                if not isinstance(t, str):
+                    raise ParseError(
+                        "path alternation is not allowed in CONSTRUCT templates"
+                    )
                 if t.startswith("?__p"):
                     raise ParseError(
                         "property paths are not allowed in CONSTRUCT templates"
@@ -682,7 +720,7 @@ class _SelectParser:
             for grp in ([patterns] + optionals + (unions[0] if unions else []))
             for p in grp
             for t in p
-            if t.startswith("?")
+            if isinstance(t, str) and t.startswith("?")
             for v in [t[1:]]
         }
         missing = sorted(tvars - bound)

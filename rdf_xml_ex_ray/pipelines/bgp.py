@@ -37,8 +37,9 @@ __all__ = ["bgp_execute", "kg_bgp", "KG_BGP_SQL"]
 _POSITIONS = ("subj", "pred", "obj_value")
 
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+def _is_var(term) -> bool:
+    # a non-str predicate term is an alternation set (a constant)
+    return isinstance(term, str) and term.startswith("?")
 
 
 def _pattern_vars(pattern) -> list[str]:
@@ -76,7 +77,12 @@ def _scan(triples_ds, pattern):
     def project(batch: pa.Table) -> pa.Table:
         mask = None
         for pos, const in filters:
-            m = pc.equal(batch[pos], const)
+            if isinstance(const, tuple):  # path alternation: pred IN set
+                m = pc.is_in(
+                    batch[pos], value_set=pa.array(list(const), pa.string())
+                )
+            else:
+                m = pc.equal(batch[pos], const)
             mask = m if mask is None else pc.and_(mask, m)
         for a, b in eq_pairs:
             m = pc.equal(batch[a], batch[b])
@@ -1248,6 +1254,34 @@ def kg_sparql_path(sf_dir: str):
     desugar to fresh-variable patterns at parse time — which roles issued
     each tool, walked backwards from the tool IRI."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)
+
+
+# Path alternation inside a sequence: every role-or-toolUse object
+# reachable from a conversation through one turn hop.
+KG_SPARQL_ALT_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT DISTINCT ?conv ?x
+WHERE { ?conv c:turn/(c:role|c:toolUse) ?x }
+"""
+
+KG_SPARQL_ALT_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT DISTINCT t1.subj AS conv, t2.obj_value AS x
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value
+          AND t2.pred IN ('{_C}role', '{_C}toolUse')
+WHERE t1.pred = '{_C}turn'
+"""
+
+
+def kg_sparql_alt(sf_dir: str):
+    """SPARQL property-path alternation: ``(p1|p2)`` as a sequence step
+    runs as ONE scan with a predicate-set filter (SQL ``pred IN``) — the
+    union of edge kinds costs no extra exchange over a single-predicate
+    hop."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_ALT_QUERY)
 
 
 # --------------------------------------------------- ASK / CONSTRUCT forms

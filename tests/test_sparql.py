@@ -507,6 +507,46 @@ def test_executor_property_path(ray_session):
     assert list(zip(got["g"], got["t"])) == [("A", "alpha"), ("B", "beta")]
 
 
+def test_executor_path_alternation(ray_session):
+    from rdf_xml_ex_ray.core.sparql import ParseError, parse_query
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _grp_graph()
+    # (tag|grp): one scan, predicate-set filter
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?x WHERE { ?s (<http://e/tag>|<http://e/grp>) ?x } "
+        "ORDER BY ?s ?x",
+    ).to_pandas()
+    assert list(zip(got["s"], got["x"])) == [
+        ("s1", "A"), ("s1", "alpha"), ("s2", "A"),
+        ("s3", "B"), ("s3", "beta"), ("s4", "B"),
+    ]
+    # whole-group inverse ^(tag|val): objects back to subjects
+    inv = sparql_select(
+        ds,
+        "SELECT ?x ?s WHERE { ?x ^(<http://e/tag>|<http://e/val>) ?s } "
+        "ORDER BY ?x",
+    ).to_pandas()
+    assert ("alpha", "s1") in set(zip(inv["x"], inv["s"]))
+    assert ("3", "s1") in set(zip(inv["x"], inv["s"]))
+    # alternation as a sequence step
+    seq = sparql_select(
+        ds,
+        "SELECT DISTINCT ?g WHERE { ?t ^(<http://e/tag>|<http://e/val>)"
+        "/<http://e/grp> ?g } ORDER BY ?g",
+    ).to_pandas()
+    assert seq["g"].tolist() == ["A", "B"]
+    for bad, msg in [
+        ("SELECT ?x WHERE { ?s <http://e/a>|<http://e/b> ?x }", "parenthesized"),
+        ("SELECT ?x WHERE { ?s (^<http://e/a>|<http://e/b>) ?x }", "out of fragment"),
+        ("SELECT ?x WHERE { ?s (<http://e/a>|?p) ?x }", "IRI"),
+        ("SELECT ?x WHERE { ?s () ?x }", "IRI"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_query(bad)
+
+
 def test_parse_ask_and_construct():
     from rdf_xml_ex_ray.core.sparql import parse_query
 
