@@ -11,6 +11,7 @@ executor evaluates:
         s path o . ...              # path steps: p, ^p, (p1|p2); join by /
         FILTER ( expr ) ...
         OPTIONAL { s path o . ... } ...
+        MINUS { s path o . ... } ...        # anti-join on shared vars
         GRAPH (?g | iri) { s path o . ... } ...
         { s path o . ... } UNION { ... } [UNION { ... }]   # standalone
     }
@@ -50,7 +51,7 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
-    "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|"
+    "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF"
 )
 
@@ -321,7 +322,7 @@ class _SelectParser:
         found = False
         while True:
             k, v = self._peek()
-            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP", "VALUES") or (
+            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP", "VALUES", "MINUS") or (
                 k,
                 v,
             ) in (("punct", "}"), ("punct", "{")):
@@ -406,7 +407,7 @@ class _SelectParser:
                     break
             if not project and not aggregates:
                 raise ParseError("SELECT needs at least one ?var, aggregate or *")
-        patterns, optionals, filters, unions = self._where_block()
+        patterns, optionals, filters, unions, minuses = self._where_block()
 
         group_by: list[str] = []
         if self._peek()[0] == "GROUP":
@@ -505,6 +506,7 @@ class _SelectParser:
             "optionals": optionals,
             "filters": filters,
             "unions": unions[0] if unions else [],
+            "minuses": minuses,
             "group_by": group_by,
             "aggregates": aggregates,
             "having": having,
@@ -522,6 +524,7 @@ class _SelectParser:
         patterns: list = []
         optionals: list[list] = []
         filters: list = []
+        minuses: list[list] = []
         unions: list[list[list]] = []  # [construct][branch][pattern]
         while self._peek() != ("punct", "}"):
             k, v = self._peek()
@@ -542,6 +545,16 @@ class _SelectParser:
                     raise ParseError("empty OPTIONAL block")
                 self._expect("punct", "}")
                 optionals.append(group)
+                if self._peek() == ("punct", "."):
+                    self._next()
+            elif k == "MINUS":
+                self._next()
+                self._expect("punct", "{")
+                mgroup: list = []
+                if not self._triple_block(mgroup):
+                    raise ParseError("empty MINUS block")
+                self._expect("punct", "}")
+                minuses.append(mgroup)
                 if self._peek() == ("punct", "."):
                     self._next()
             elif k == "GRAPH":
@@ -604,6 +617,10 @@ class _SelectParser:
         if unions:
             if len(unions) > 1:
                 raise ParseError("multiple UNION constructs are out of fragment")
+            if minuses:
+                raise ParseError(
+                    "MINUS combined with UNION is out of fragment"
+                )
             if patterns or optionals:
                 raise ParseError(
                     "UNION mixed with other required/OPTIONAL patterns is out "
@@ -612,7 +629,7 @@ class _SelectParser:
                 )
         if not patterns and not unions:
             raise ParseError("WHERE block needs at least one required pattern")
-        return patterns, optionals, filters, unions
+        return patterns, optionals, filters, unions, minuses
 
     def _parse_describe(self):
         """``DESCRIBE <iri> ...`` (constant resources) or ``DESCRIBE ?v
@@ -641,8 +658,9 @@ class _SelectParser:
         optionals: list[list] = []
         filters: list = []
         unions: list = []
+        minuses: list = []
         if var is not None:
-            patterns, optionals, filters, unions = self._where_block()
+            patterns, optionals, filters, unions, minuses = self._where_block()
             bound = {
                 t[1:]
                 for grp in ([patterns] + optionals + (unions[0] if unions else []))
@@ -666,6 +684,7 @@ class _SelectParser:
             "optionals": optionals,
             "filters": filters,
             "unions": unions[0] if unions else [],
+            "minuses": minuses,
         }
 
     def _parse_ask(self):
@@ -675,7 +694,7 @@ class _SelectParser:
         if self._peek()[0] != "WHERE":
             # SPARQL allows ASK { ... } — normalize by injecting WHERE
             self.toks.insert(self.i, ("WHERE", "WHERE"))
-        patterns, optionals, filters, unions = self._where_block()
+        patterns, optionals, filters, unions, minuses = self._where_block()
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after ASK query: {self._peek()[1]!r}"
@@ -686,6 +705,7 @@ class _SelectParser:
             "optionals": optionals,
             "filters": filters,
             "unions": unions[0] if unions else [],
+            "minuses": minuses,
         }
 
     def _parse_construct(self):
@@ -709,7 +729,7 @@ class _SelectParser:
                     raise ParseError(
                         "property paths are not allowed in CONSTRUCT templates"
                     )
-        patterns, optionals, filters, unions = self._where_block()
+        patterns, optionals, filters, unions, minuses = self._where_block()
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after CONSTRUCT query: {self._peek()[1]!r}"
@@ -733,6 +753,7 @@ class _SelectParser:
             "optionals": optionals,
             "filters": filters,
             "unions": unions[0] if unions else [],
+            "minuses": minuses,
         }
 
     def _aggregate_item(self) -> tuple[str, str | None, bool, str]:

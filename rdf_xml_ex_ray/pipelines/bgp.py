@@ -132,18 +132,20 @@ def _join_onto(acc, bound: list[str], rhs, pvars: list[str], num_buckets: int, h
     """One bucketed exchange joining the binding table ``acc`` (columns =
     ``bound``) with ``rhs`` (columns = ``pvars``) on their shared
     variables; returns (joined, bound + new vars). ``how`` 'left' keeps
-    unmatched acc rows with null new-var columns (OPTIONAL)."""
+    unmatched acc rows with null new-var columns (OPTIONAL); 'anti' keeps
+    exactly the acc rows with NO match (MINUS) — binding no new vars."""
     from ..stages.join import bucketed_equijoin
 
     s = pa.string()
     shared = sorted(set(bound) & set(pvars))
-    new = [v for v in pvars if v not in bound]
+    new = [] if how == "anti" else [v for v in pvars if v not in bound]
 
     def add_key(batch: pa.Table) -> pa.Table:
         return batch.append_column("__kl", _key_expr(batch, shared))
 
     # the right side carries only NEW vars + its key (shared vars are
-    # equal by the join predicate; duplicating them would collide)
+    # equal by the join predicate; duplicating them would collide) — for
+    # an anti join the key alone decides, so only it ships
     def right_project(batch: pa.Table) -> pa.Table:
         cols = {v: batch[v] for v in new}
         cols["__kr"] = _key_expr(batch, shared)
@@ -161,7 +163,12 @@ def _join_onto(acc, bound: list[str], rhs, pvars: list[str], num_buckets: int, h
         num_buckets=num_buckets,
         key_type=s,
         how=how,
-    ).map_batches(lambda t: t.drop_columns(["__kl", "__kr"]), batch_format="pyarrow")
+    ).map_batches(
+        lambda t: t.drop_columns(
+            ["__kl"] if how == "anti" else ["__kl", "__kr"]
+        ),
+        batch_format="pyarrow",
+    )
     return joined, bound + new
 
 
@@ -300,6 +307,7 @@ def bgp_execute(
     optionals=(),
     filters=(),
     unions=(),
+    minuses=(),
 ):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
@@ -375,6 +383,31 @@ def bgp_execute(
             )
         grp_acc, grp_bound = _join_group(triples_ds, group, num_buckets)
         acc, bound = _join_onto(acc, bound, grp_acc, grp_bound, num_buckets, "left")
+
+    for group in minuses:
+        # SPARQL MINUS with fully-bound groups = anti-semi-join on the
+        # shared variables (SQL NOT EXISTS). A group sharing nothing would
+        # remove either everything or nothing (compatible-by-vacuity) —
+        # almost certainly a query bug, so reject; likewise joining
+        # through a nullable OPTIONAL-bound var needs compatible-mapping
+        # semantics, out of fragment (same rule as OPTIONAL chaining).
+        gvars_all = {v for p in group for v in _pattern_vars(p)}
+        shared = gvars_all & set(bound)
+        if not shared:
+            raise ValueError(
+                f"MINUS group shares no variable with the required "
+                f"patterns: {group}"
+            )
+        if not shared <= required_bound:
+            raise ValueError(
+                f"MINUS group joins through nullable variables "
+                f"{sorted(shared - required_bound)} bound by an OPTIONAL; "
+                "out of the supported fragment"
+            )
+        grp_acc, _grp_bound = _join_group(triples_ds, group, num_buckets)
+        acc, bound = _join_onto(
+            acc, bound, grp_acc, sorted(shared), num_buckets, "anti"
+        )
 
     if filters:
         fvars = set()
@@ -489,6 +522,7 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         optionals=q["optionals"],
         filters=q["filters"],
         unions=q["unions"],
+        minuses=q.get("minuses") or (),
     )
     if aggregates:
         res, cols = _aggregate_bindings(res, q["group_by"], aggregates)
@@ -609,6 +643,7 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
         optionals=q["optionals"],
         filters=q["filters"],
         unions=q["unions"],
+        minuses=q.get("minuses") or (),
     )
     found = len(res.limit(1).take(1)) > 0
     return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
@@ -639,6 +674,7 @@ def sparql_describe(triples_ds, query: str, num_buckets: int | None = None):
             optionals=q["optionals"],
             filters=q["filters"],
             unions=q["unions"],
+            minuses=q.get("minuses") or (),
         )
         nodes = _distinct(res, [q["var"]]).map_batches(
             lambda t, v=q["var"]: pa.table({"node": t[v].cast(pa.string())}),
@@ -678,6 +714,7 @@ def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
         optionals=q["optionals"],
         filters=q["filters"],
         unions=q["unions"],
+        minuses=q.get("minuses") or (),
     )
     out_cols = ("subj", "pred", "obj_value")
 
@@ -1254,6 +1291,45 @@ def kg_sparql_path(sf_dir: str):
     desugar to fresh-variable patterns at parse time — which roles issued
     each tool, walked backwards from the tool IRI."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)
+
+
+# MINUS: tool-using turns that did NOT resolve to the error tool — an
+# anti-semi-join on the shared variable (SQL NOT EXISTS).
+KG_SPARQL_MINUS_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX tool: <http://example.org/tool/>
+SELECT DISTINCT ?t ?role
+WHERE {
+  ?t c:toolUse ?u . ?t c:role ?role .
+  MINUS { ?t c:toolUse/c:tool tool:error }
+}
+"""
+
+KG_SPARQL_MINUS_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT DISTINCT t1.subj AS t, t2.obj_value AS role
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}role'
+WHERE t1.pred = '{_C}toolUse'
+  AND NOT EXISTS (
+    SELECT 1
+    FROM kt m1
+    JOIN kt m2 ON m2.subj = m1.obj_value AND m2.pred = '{_C}tool'
+              AND m2.obj_value = 'http://example.org/tool/error'
+    WHERE m1.pred = '{_C}toolUse' AND m1.subj = t1.subj
+  )
+"""
+
+
+def kg_sparql_minus(sf_dir: str):
+    """SPARQL MINUS: tool-using turns (with their role), minus the turns
+    whose tool use resolved to tool:error. The MINUS group is its own
+    inner BGP (path-desugared), anti-semi-joined onto the required
+    bindings on the shared variable — one extra bucketed exchange
+    shipping only the join key."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_MINUS_QUERY)
 
 
 # Path alternation inside a sequence: every role-or-toolUse object

@@ -46,13 +46,16 @@ def bucketed_equijoin(
     side(s) should carry it into the output).  Returns a dataset whose
     schema is ``left_fields + right_fields``.
 
-    ``how`` is ``"inner"`` (default) or ``"left"`` — the left-outer flavor
+    ``how`` is ``"inner"`` (default), ``"left"`` — the left-outer flavor
     keeps unmatched left rows with nulls in every right-side column (the
-    SPARQL OPTIONAL primitive). Same single-exchange shape: a left row and
-    its key-mates land in one bucket group, so the unmatched test needs no
-    second pass.
+    SPARQL OPTIONAL primitive) — or ``"anti"``: keep exactly the left rows
+    whose key has NO right-side match (the SPARQL MINUS / SQL NOT EXISTS
+    primitive; the output schema is ``left_fields`` only, so pass just the
+    key in ``right_fields``). Same single-exchange shape for all three: a
+    left row and its key-mates land in one bucket group, so the
+    (un)matched test needs no second pass.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "anti"):
         raise ValueError(f"unsupported join type: {how!r}")
     overlap = {n for n, _ in left_fields} & {n for n, _ in right_fields}
     if overlap:
@@ -80,10 +83,21 @@ def bucketed_equijoin(
 
         return tag
 
+    left_schema = pa.schema(left_fields)
+
     def join_bucket(group: pd.DataFrame) -> pa.Table:
         is_left = group["__left"].astype(bool)
         lhs = group.loc[is_left, left_names]
         rhs = group.loc[~is_left, right_names]
+        if how == "anti":
+            if len(lhs) == 0:
+                return left_schema.empty_table()
+            if len(rhs):
+                lhs = lhs[~lhs[left_key].isin(rhs[right_key])]
+            return pa.Table.from_arrays(
+                [pa.array(lhs[n], type=t) for n, t in left_fields],
+                schema=left_schema,
+            )
         if len(lhs) == 0 or (how == "inner" and len(rhs) == 0):
             return out_schema.empty_table()
         if len(rhs) == 0:  # how == "left": all-null right side

@@ -321,6 +321,50 @@ def test_parse_property_paths():
         parse_select("SELECT ?a WHERE { ?a <http://e/p>/?v ?b }")
 
 
+def test_parse_minus():
+    q = parse_select(
+        "SELECT ?x WHERE { ?x <http://e/p> ?y . MINUS { ?x <http://e/q> ?z } "
+        "MINUS { ?x <http://e/r> ?w } }"
+    )
+    assert q["minuses"] == [
+        [("?x", "http://e/q", "?z")],
+        [("?x", "http://e/r", "?w")],
+    ]
+    for bad in [
+        "SELECT ?x WHERE { ?x <http://e/p> ?y . MINUS { } }",
+        "SELECT ?x WHERE { { ?x <http://e/p> ?y } UNION { ?x <http://e/q> ?y } "
+        "MINUS { ?x <http://e/r> ?z } }",
+    ]:
+        with pytest.raises(ParseError):
+            parse_select(bad)
+
+
+def test_executor_minus(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask, sparql_select
+
+    ds = _grp_graph()
+    # subjects with a val, minus those carrying a tag: s2, s4 survive
+    got = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . "
+        "MINUS { ?s <http://e/tag> ?t } } ORDER BY ?s",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s2", "s4"]
+    # empty MINUS group removes nothing
+    keep = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . "
+        "MINUS { ?s <http://e/none> ?t } } ORDER BY ?s",
+    ).to_pandas()
+    assert keep["s"].tolist() == ["s1", "s2", "s3", "s4"]
+    # MINUS inside ASK
+    ask = sparql_ask(
+        ds,
+        "ASK { ?s <http://e/grp> \"B\" . MINUS { ?s <http://e/val> ?v } }",
+    ).to_pandas()
+    assert ask["ask"].tolist() == [False]  # every grp-B subject has a val
+
+
 def test_parse_union_and_groups():
     q = parse_select(
         "SELECT ?s ?x WHERE { { ?s <http://e/p> ?x } UNION "
