@@ -561,11 +561,53 @@ class _SelectParser:
                 self._next()
                 self._graph_block(patterns)
             elif k == "VALUES":
-                # single-variable inline data: an O(1) membership filter
-                # (multi-variable VALUES rows need a join — out of fragment)
+                # inline data as a membership filter over variables the
+                # required patterns already bind (a VALUES var that binds
+                # NEW variables would extend solutions — out of fragment):
+                # single-var form -> set membership, multi-var form ->
+                # row-tuple membership
                 self._next()
                 if self._peek() == ("punct", "("):
-                    raise ParseError("multi-variable VALUES is out of fragment")
+                    self._next()
+                    vvars: list[str] = []
+                    while self._peek()[0] == "var":
+                        vvars.append(self._next()[1][1:])
+                    self._expect("punct", ")")
+                    if not vvars:
+                        raise ParseError("VALUES needs at least one variable")
+                    self._expect("punct", "{")
+                    rows: list[tuple[str, ...]] = []
+                    while self._peek() != ("punct", "}"):
+                        if self._peek()[0] is None:
+                            raise ParseError("unterminated VALUES block")
+                        self._expect("punct", "(")
+                        row: list[str] = []
+                        while self._peek() != ("punct", ")"):
+                            kk, vv = self._peek()
+                            if kk is None:
+                                raise ParseError("unterminated VALUES row")
+                            if kk == "UNDEF":
+                                raise ParseError(
+                                    "UNDEF in VALUES is out of fragment"
+                                )
+                            self._next()
+                            row.append(
+                                vv if kk == "number" else self._resolve_const(kk, vv)
+                            )
+                        self._next()  # )
+                        if len(row) != len(vvars):
+                            raise ParseError(
+                                f"VALUES row arity {len(row)} != {len(vvars)} "
+                                f"variables"
+                            )
+                        rows.append(tuple(row))
+                    self._next()  # }
+                    if not rows:
+                        raise ParseError("empty VALUES block")
+                    filters.append(("in_rows", vvars, rows))
+                    if self._peek() == ("punct", "."):
+                        self._next()
+                    continue
                 vvar = self._expect("var")[1:]
                 self._expect("punct", "{")
                 consts: list[str] = []

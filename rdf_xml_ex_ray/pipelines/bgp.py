@@ -259,6 +259,18 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         arr = tbl[expr[1]].combine_chunks().cast(pa.string())
         m = pc.fill_null(pc.is_in(arr, value_set=pa.array(expr[2], pa.string())), False)
         return m.to_numpy(zero_copy_only=False)
+    if kind == "in_rows":  # VALUES (?a ?b) { (..) .. }: row membership
+        cols = [
+            tbl[v].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+            for v in expr[1]
+        ]
+        m = np.zeros(tbl.num_rows, dtype=bool)
+        for row in expr[2]:  # inline data: a handful of rows, vectorized per row
+            rm = np.ones(tbl.num_rows, dtype=bool)
+            for c, const in zip(cols, row):
+                rm &= c == const  # null -> object != str -> False
+            m |= rm
+        return m
     op, lhs, rhs = expr[1], expr[2], expr[3]
     numeric = lhs[0] == "num" or rhs[0] == "num"
     valid = np.ones(tbl.num_rows, dtype=bool)
@@ -293,6 +305,8 @@ def _expr_vars(e, out: set):
         _expr_vars(e[1], out)
     elif e[0] in ("bound", "in"):
         out.add(e[1])
+    elif e[0] == "in_rows":
+        out.update(e[1])
     else:
         for o in (e[2], e[3]):
             if o[0] == "var":
@@ -1291,6 +1305,51 @@ def kg_sparql_path(sf_dir: str):
     desugar to fresh-variable patterns at parse time — which roles issued
     each tool, walked backwards from the tool IRI."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)
+
+
+# Multi-variable VALUES: row-tuple membership over bound variables —
+# vectorized OR-of-ANDs mask, the SQL twin spells the same disjunction.
+KG_SPARQL_VALUES_MULTI_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+PREFIX tool: <http://example.org/tool/>
+SELECT ?t ?role ?tool
+WHERE {
+  ?t c:role ?role . ?t c:toolUse ?u . ?u c:tool ?tool .
+  VALUES (?role ?tool) {
+    (role:assistant tool:error) (role:assistant tool:purchase)
+    (role:user tool:error)
+  }
+}
+"""
+
+_VM_ROWS = [
+    ("http://example.org/role/assistant", "http://example.org/tool/error"),
+    ("http://example.org/role/assistant", "http://example.org/tool/purchase"),
+    ("http://example.org/role/user", "http://example.org/tool/error"),
+]
+
+KG_SPARQL_VALUES_MULTI_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS t, t1.obj_value AS role, t3.obj_value AS tool
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}toolUse'
+JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+WHERE t1.pred = '{_C}role'
+  AND ( {" OR ".join(f"(t1.obj_value = '{r}' AND t3.obj_value = '{t}')" for r, t in _VM_ROWS)} )
+"""
+
+
+def kg_sparql_values_multi(sf_dir: str):
+    """SPARQL multi-variable VALUES: tool-using turns restricted to an
+    inline (role, tool) row set — a vectorized row-membership mask over
+    the binding table (no join: the inline data is a constant in the
+    query plan)."""
+    return sparql_select(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_VALUES_MULTI_QUERY
+    )
 
 
 # MINUS: tool-using turns that did NOT resolve to the error tool — an

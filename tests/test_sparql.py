@@ -321,6 +321,32 @@ def test_parse_property_paths():
         parse_select("SELECT ?a WHERE { ?a <http://e/p>/?v ?b }")
 
 
+def test_parse_and_execute_values_multi(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    q = parse_select(
+        "SELECT ?s ?g WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v "
+        'VALUES (?s ?g) { ("s1" "A") ("s3" "B") ("s3" "A") } }'
+    )
+    assert q["filters"] == [
+        ("in_rows", ["s", "g"], [("s1", "A"), ("s3", "B"), ("s3", "A")])
+    ]
+    ds = _grp_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?g WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v "
+        'VALUES (?s ?g) { ("s1" "A") ("s3" "B") ("s2" "B") } } ORDER BY ?s',
+    ).to_pandas()
+    assert list(zip(got["s"], got["g"])) == [("s1", "A"), ("s3", "B")]
+    # VALUES var not bound by the patterns -> loud reject at execution
+    with pytest.raises(ValueError, match="unbound"):
+        sparql_select(
+            ds,
+            "SELECT ?s WHERE { ?s <http://e/grp> ?g "
+            'VALUES (?s ?zzz) { ("s1" "A") } }',
+        )
+
+
 def test_parse_minus():
     q = parse_select(
         "SELECT ?x WHERE { ?x <http://e/p> ?y . MINUS { ?x <http://e/q> ?z } "
@@ -679,8 +705,10 @@ def test_parse_describe_and_values():
         'SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES ?o { "x" <http://e/y> 3 } }'
     )
     assert v["filters"] == [("in", "o", ["x", "http://e/y", "3"])]
-    with pytest.raises(ParseError, match="multi-variable"):
-        parse_query('SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES (?o ?s) { ("x" "y") } }')
+    q_multi = parse_query(
+        'SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES (?o ?s) { ("x" "y") } }'
+    )
+    assert q_multi["filters"] == [("in_rows", ["o", "s"], [("x", "y")])]
     with pytest.raises(ParseError, match="UNDEF"):
         parse_query('SELECT ?s WHERE { ?s <http://e/p> ?o . VALUES ?o { UNDEF } }')
     with pytest.raises(ParseError, match="empty VALUES"):
