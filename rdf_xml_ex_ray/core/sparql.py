@@ -45,9 +45,24 @@ from __future__ import annotations
 
 import re
 
+from typing import NamedTuple, Union
+
 from .terms import ParseError
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class PathPlus(NamedTuple):
+    """Predicate marker for a one-or-more path step ``p+`` / ``(p1|p2)+``.
+
+    The BGP executor evaluates a pattern carrying this as a seed-anchored
+    transitive closure (distributed BFS over the p-edge scan) — the
+    pattern therefore needs one CONSTANT endpoint; ``?x p+ ?y`` (the full
+    closure relation, quadratic in the worst case) is rejected as out of
+    fragment (whole-graph analytics live in kg_reachability/kg_pagerank).
+    """
+
+    pred: Union[str, tuple]
 
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
@@ -72,7 +87,7 @@ _TOKEN_RE = re.compile(
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\|)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+)
     | (?P<punct>[{}.;()])
     """,
     re.X | re.I,
@@ -282,14 +297,29 @@ class _SelectParser:
                     continue
                 self._expect("punct", ")")
                 break
-            if len(alts) == 1:
-                return inverse, alts[0]
-            return inverse, tuple(dict.fromkeys(alts))
+            alt: Union[str, tuple] = (
+                alts[0] if len(alts) == 1 else tuple(dict.fromkeys(alts))
+            )
+            return inverse, self._maybe_plus(alt)
         k, v = self._peek()
         if k in ("iriref", "pname", "a_kw"):
             self._next()
-            return inverse, self._resolve_const(k, v)
+            return inverse, self._maybe_plus(self._resolve_const(k, v))
         raise ParseError(f"property-path step must be an IRI, got {v!r}")
+
+    def _maybe_plus(self, pred):
+        """Consume a trailing ``+`` (one-or-more closure) on a path step;
+        ``*`` (zero-or-more — identity on every term) stays out of
+        fragment."""
+        if self._peek() == ("op", "+"):
+            self._next()
+            return PathPlus(pred)
+        if self._peek() == ("star", "*"):
+            raise ParseError(
+                "zero-or-more path 'p*' is out of fragment (its identity "
+                "component binds every term); use 'p+'"
+            )
+        return pred
 
     def _predicate(self):
         """Predicate position: a plain ``?var``, or a property path of IRI
@@ -300,7 +330,7 @@ class _SelectParser:
         k, v = self._peek()
         if k == "var":
             self._next()
-            if self._peek()[0] == "op" and self._peek()[1] in ("/", "^"):
+            if self._peek()[0] == "op" and self._peek()[1] in ("/", "^", "+", "|"):
                 raise ParseError(
                     "property paths over a predicate variable are out of fragment"
                 )
@@ -342,6 +372,10 @@ class _SelectParser:
                     a, b = nodes[i], nodes[i + 1]
                     if inverse:
                         a, b = b, a
+                    if isinstance(iri, PathPlus) and graph is not None:
+                        raise ParseError(
+                            "closure paths inside GRAPH blocks are out of fragment"
+                        )
                     patterns.append((a, iri, b) if graph is None else (a, iri, b, graph))
             found = True
             if self._peek() == ("punct", "."):
@@ -765,7 +799,8 @@ class _SelectParser:
             for t in pat:
                 if not isinstance(t, str):
                     raise ParseError(
-                        "path alternation is not allowed in CONSTRUCT templates"
+                        "path operators (alternation/closure) are not allowed "
+                        "in CONSTRUCT templates"
                     )
                 if t.startswith("?__p"):
                     raise ParseError(

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.sparql import PathPlus
 from .oracle import KG_TRIPLES_SQL
 
 __all__ = ["bgp_execute", "kg_bgp", "KG_BGP_SQL"]
@@ -296,6 +297,83 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
     return np.asarray(m, dtype=bool) & valid
 
 
+# Safety cap on closure BFS rounds — the anti-join guarantees monotone
+# progress (each round emits only never-seen nodes), so this only trips
+# on a bug, not on cycles.
+MAX_CLOSURE_HOPS = 1024
+
+
+def _closure_nodes(triples_ds, pattern, num_buckets: int):
+    """Seed-anchored transitive closure for a ``p+`` pattern: all nodes
+    reachable from the constant endpoint via >= 1 hop over the p-edge
+    scan (the seed itself appears only if it lies on a cycle — SPARQL
+    OneOrMorePath semantics). Returns (Dataset[{var}], var).
+
+    Shape: the edge scan materializes once (pruned to the closure
+    predicate — tiny next to the store); each BFS round is one bucketed
+    equijoin (frontier x edges) + one DISTINCT + one anti-join against
+    the accumulated result set, all distributed — no driver-side node
+    sets, rounds bounded by graph diameter. A variable-variable closure
+    (the full quadratic relation) is rejected as out of fragment."""
+    import ray.data as rd
+
+    s, pred, o = pattern
+    s_var, o_var = _is_var(s), _is_var(o)
+    if s_var and o_var:
+        raise ValueError(
+            f"closure pattern {pattern} needs one constant endpoint; the "
+            "full ?x p+ ?y relation is out of fragment (see kg_reachability)"
+        )
+    if not s_var and not o_var:
+        raise ValueError(
+            f"closure pattern {pattern} with two constants is out of "
+            "fragment; bind one side to a variable and FILTER instead"
+        )
+    forward = o_var
+    seed = s if forward else o
+    var = (o if forward else s)[1:]
+    edges = _scan(triples_ds, ("?__cs", pred.pred, "?__co")).materialize()
+    src, dst = ("__cs", "__co") if forward else ("__co", "__cs")
+
+    def as_step(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {var: batch[src].cast(pa.string()), "__nxt": batch[dst].cast(pa.string())}
+        )
+
+    steps = edges.map_batches(as_step, batch_format="pyarrow")
+    frontier = rd.from_arrow(pa.table({var: pa.array([seed], pa.string())}))
+    parts: list = []
+    for _ in range(MAX_CLOSURE_HOPS):
+        hop, _b = _join_onto(frontier, [var], steps, [var, "__nxt"], num_buckets, "inner")
+        nxt = _distinct(
+            hop.map_batches(
+                lambda t: pa.table({var: t["__nxt"].cast(pa.string())}),
+                batch_format="pyarrow",
+            ),
+            [var],
+        )
+        if parts:
+            seen = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+            nxt, _b = _join_onto(nxt, [var], seen, [var], num_buckets, "anti")
+        nxt = nxt.materialize()
+        if nxt.count() == 0:
+            break
+        parts.append(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"closure did not converge in {MAX_CLOSURE_HOPS} hops")
+    if not parts:
+        return rd.from_arrow(pa.schema([(var, pa.string())]).empty_table()), var
+    return (parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])), var
+
+
+def _reject_closures(groups, ctx: str):
+    for g in groups:
+        for p in g:
+            if any(isinstance(t, PathPlus) for t in p):
+                raise ValueError(f"closure paths are not supported in {ctx}")
+
+
 def _expr_vars(e, out: set):
     """Collect the variable names a FILTER/HAVING AST references."""
     if e[0] in ("or", "and"):
@@ -352,20 +430,27 @@ def bgp_execute(
         except Exception:  # lazy/unknown plan — keep the stage default
             num_buckets = 32
 
+    _reject_closures(optionals, "OPTIONAL groups")
+    _reject_closures(minuses, "MINUS groups")
+    _reject_closures(unions, "UNION branches")
     if unions:
         if patterns or optionals:
             raise ValueError("unions are mutually exclusive with patterns/optionals")
         acc, bound = _union_groups(triples_ds, unions, num_buckets)
         required_bound = set(bound)
     else:
+        closure_pats = [
+            p for p in patterns if len(p) == 3 and isinstance(p[1], PathPlus)
+        ]
+        regular = [p for p in patterns if not (len(p) == 3 and isinstance(p[1], PathPlus))]
         # All-constant patterns bind no variables, so they can't participate
         # in the shared-variable join ordering (feeding them in would wrongly
         # reject the rest of the BGP as disconnected). They are existence
         # checks: absent -> zero solutions; present -> the unit solution (the
         # triple store is canonical/set-semantics, so multiplicity is 1).
-        const_checks = [p for p in patterns if not _pattern_vars(p)]
-        var_patterns = [p for p in patterns if _pattern_vars(p)]
-        if not var_patterns:
+        const_checks = [p for p in regular if not _pattern_vars(p)]
+        var_patterns = [p for p in regular if _pattern_vars(p)]
+        if not var_patterns and not closure_pats:
             raise ValueError("BGP contains only constant patterns; no variables to bind")
         for chk in const_checks:
             if _scan(triples_ds, chk).count() == 0:
@@ -375,7 +460,52 @@ def bgp_execute(
                     pa.schema([(v, pa.string()) for v in project]).empty_table()
                 )
 
-        acc, bound = _join_group(triples_ds, var_patterns, num_buckets)
+        if var_patterns:
+            acc, bound = _join_group(triples_ds, var_patterns, num_buckets)
+        else:
+            acc, bound = None, []
+        # closure (p+) patterns join their reachable-node sets onto the
+        # regular bindings by the closure variable (a semi-join: the node
+        # set is distinct by construction). Required, never nullable.
+        # Greedy order: always pick a closure whose variable is already
+        # bound (their vars can also introduce each other's join key).
+        for cp in closure_pats:
+            cs_var, co_var = _is_var(cp[0]), _is_var(cp[2])
+            if cs_var and co_var:
+                raise ValueError(
+                    f"closure pattern {cp} needs one constant endpoint; the "
+                    "full ?x p+ ?y relation is out of fragment (see "
+                    "kg_reachability)"
+                )
+            if not cs_var and not co_var:
+                raise ValueError(
+                    f"closure pattern {cp} with two constants is out of "
+                    "fragment; bind one side to a variable and FILTER instead"
+                )
+        pending = list(closure_pats)
+        while pending:
+            if acc is None:
+                cp = pending.pop(0)
+            else:
+                connected = [
+                    p
+                    for p in pending
+                    if set(_pattern_vars(p)) & set(bound)
+                ]
+                if not connected:
+                    raise ValueError(
+                        f"closure patterns {pending} share no variable with "
+                        "the other patterns (cartesian)"
+                    )
+                cp = connected[0]
+                pending.remove(cp)
+            nodes_ds, cvar = _closure_nodes(triples_ds, cp, num_buckets)
+            if acc is None:
+                acc, bound = nodes_ds, [cvar]
+            else:
+                acc, bound = _join_onto(
+                    acc, bound, nodes_ds, [cvar], num_buckets, "inner"
+                )
         required_bound = set(bound)
 
     for group in optionals:
@@ -1305,6 +1435,47 @@ def kg_sparql_path(sf_dir: str):
     desugar to fresh-variable patterns at parse time — which roles issued
     each tool, walked backwards from the tool IRI."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)
+
+
+# Transitive closure p+ anchored at a constant: everything reachable from
+# one conversation over turn/toolUse edges, typed. The twin is a
+# recursive CTE (DuckDB WITH RECURSIVE, UNION = distinct = termination
+# on cycles — same fixpoint the distributed BFS computes).
+KG_SPARQL_PATH_PLUS_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX conv: <http://example.org/conv/>
+SELECT ?node ?ty
+WHERE { conv:c1 (c:turn|c:toolUse)+ ?node . ?node a ?ty }
+"""
+
+KG_SPARQL_PATH_PLUS_SQL = f"""
+WITH RECURSIVE kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), e AS (
+  SELECT subj, obj_value FROM kt
+  WHERE pred IN ('{_C}turn', '{_C}toolUse')
+), r(node) AS (
+  SELECT obj_value FROM e WHERE subj = 'http://example.org/conv/c1'
+  UNION
+  SELECT e.obj_value FROM r JOIN e ON e.subj = r.node
+)
+SELECT r.node AS node, t.obj_value AS ty
+FROM r
+JOIN kt t ON t.subj = r.node
+         AND t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+"""
+
+
+def kg_sparql_path_plus(sf_dir: str):
+    """SPARQL one-or-more path ``(c:turn|c:toolUse)+`` from a constant
+    conversation seed, joined to each reached node's rdf:type. The
+    closure runs as a distributed BFS over the (materialized-once,
+    predicate-pruned) edge scan: per round one bucketed join + DISTINCT +
+    anti-join vs the seen set — rounds = graph diameter (2 here), no
+    driver-side node state."""
+    return sparql_select(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_PATH_PLUS_QUERY
+    )
 
 
 # Multi-variable VALUES: row-tuple membership over bound variables —

@@ -347,6 +347,69 @@ def test_parse_and_execute_values_multi(ray_session):
         )
 
 
+def _chain_graph():
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    # n0 -> n1 -> ... -> n5, plus a back edge n5 -> n2 (cycle)
+    rows = [(f"n{i}", "http://e/next", f"n{i + 1}") for i in range(5)]
+    rows.append(("n5", "http://e/next", "n2"))
+    rows += [(f"n{i}", "http://e/mark", f"m{i}") for i in range(6)]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("iri")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+
+def test_executor_path_plus(ray_session):
+    from rdf_xml_ex_ray.core.sparql import PathPlus, parse_query
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    q = parse_query("SELECT ?x WHERE { <n0> <http://e/next>+ ?x }")
+    assert q["patterns"] == [("n0", PathPlus("http://e/next"), "?x")]
+    ds = _chain_graph()
+    fwd = sparql_select(
+        ds, "SELECT ?x WHERE { <n0> <http://e/next>+ ?x } ORDER BY ?x"
+    ).to_pandas()
+    assert fwd["x"].tolist() == ["n1", "n2", "n3", "n4", "n5"]
+    # backward closure; the cycle n2->..->n5->n2 makes n4 reach itself
+    bwd = sparql_select(
+        ds, "SELECT ?x WHERE { ?x <http://e/next>+ <n4> } ORDER BY ?x"
+    ).to_pandas()
+    assert bwd["x"].tolist() == ["n0", "n1", "n2", "n3", "n4", "n5"]
+    # closure result joins the rest of the BGP on its variable
+    joined = sparql_select(
+        ds,
+        "SELECT ?x ?m WHERE { <n3> <http://e/next>+ ?x . "
+        "?x <http://e/mark> ?m } ORDER BY ?x",
+    ).to_pandas()
+    assert list(zip(joined["x"], joined["m"])) == [
+        ("n2", "m2"), ("n3", "m3"), ("n4", "m4"), ("n5", "m5"),
+    ]
+    # unreachable seed -> empty, schema intact
+    empty = sparql_select(
+        ds, "SELECT ?x WHERE { <n5x> <http://e/next>+ ?x }"
+    ).to_pandas()
+    assert len(empty) == 0
+    for bad, msg in [
+        ("SELECT ?x WHERE { ?x <http://e/next>+ ?y }", "constant endpoint"),
+        ("SELECT ?x WHERE { <n0> <http://e/next>+ <n3> . "
+         "?x <http://e/mark> ?m }", "two constants"),
+        ("SELECT ?x WHERE { ?x <http://e/mark> ?m . "
+         "OPTIONAL { ?x <http://e/next>+ ?y } }", "OPTIONAL groups"),
+        ("SELECT ?x WHERE { ?x <http://e/mark> ?m . "
+         "MINUS { ?x <http://e/next>+ ?y } }", "MINUS groups"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_select(ds, bad)
+    with pytest.raises(ParseError, match="out of fragment"):
+        parse_query("SELECT ?x WHERE { ?x <http://e/next>* ?y }")
+
+
 def test_parse_minus():
     q = parse_select(
         "SELECT ?x WHERE { ?x <http://e/p> ?y . MINUS { ?x <http://e/q> ?z } "
