@@ -280,6 +280,7 @@ def main(argv=None) -> int:
             from rdf_xml_ex_ray.pipelines.bgp import (
                 sparql_ask,
                 sparql_construct,
+                sparql_describe,
                 sparql_select,
             )
 
@@ -300,6 +301,7 @@ def main(argv=None) -> int:
                     "select": sparql_select,
                     "ask": sparql_ask,
                     "construct": sparql_construct,
+                    "describe": sparql_describe,
                 }[form]
                 res = run(triples, args.query)
             except (ValueError, _PE) as exc:

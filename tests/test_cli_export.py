@@ -176,6 +176,21 @@ def test_cli_sparql_over_store(kg_store):
     assert set(lines[0]) == {"conv", "tool"}
 
 
+def test_cli_sparql_describe(kg_store):
+    """DESCRIBE dispatches through the CLI (regression: the form was
+    parsed but missing from the dispatch map -> KeyError)."""
+    proc = run_cli(
+        "sparql",
+        "PREFIX c: <http://example.org/convo#> DESCRIBE ?conv "
+        "WHERE { ?conv c:turn ?t } ",
+        os.path.join(kg_store, "triples"),
+        "--num-cpus", "4",
+    )
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines() if x.startswith("{")]
+    assert lines[-1]["n_bindings"] > 0
+    assert {"subj", "pred", "obj_value"} <= set(lines[0])
+
+
 def test_cli_sparql_rejects_bad_query(kg_store):
     proc = run_cli(
         "sparql", "SELECT ?x WHERE { ?x ex:p ?y }",
