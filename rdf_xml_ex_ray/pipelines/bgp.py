@@ -302,20 +302,34 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
 # on a bug, not on cycles.
 MAX_CLOSURE_HOPS = 1024
 
+# Reached-set size up to which the BFS runs in the broadcast regime:
+# frontier membership as a map-side pc.is_in filter over the edge scan
+# (zero exchanges per hop). Beyond it the loop migrates, mid-flight, to
+# the fully distributed regime (bucketed join + DISTINCT + anti-join per
+# hop). Same dual-path convention as kg_reachability / dedup_minhash;
+# equivalence at cap=0 is pinned in tests/test_sparql.py.
+CLOSURE_BROADCAST_NODE_CAP = 500_000
 
-def _closure_nodes(triples_ds, pattern, num_buckets: int):
+
+def _closure_nodes(triples_ds, pattern, num_buckets: int,
+                   broadcast_cap: int = CLOSURE_BROADCAST_NODE_CAP):
     """Seed-anchored transitive closure for a ``p+`` pattern: all nodes
     reachable from the constant endpoint via >= 1 hop over the p-edge
     scan (the seed itself appears only if it lies on a cycle — SPARQL
     OneOrMorePath semantics). Returns (Dataset[{var}], var).
 
     Shape: the edge scan materializes once (pruned to the closure
-    predicate — tiny next to the store); each BFS round is one bucketed
-    equijoin (frontier x edges) + one DISTINCT + one anti-join against
-    the accumulated result set, all distributed — no driver-side node
-    sets, rounds bounded by graph diameter. A variable-variable closure
-    (the full quadratic relation) is rejected as out of fragment."""
+    predicate — tiny next to the store). While the reached set fits
+    ``broadcast_cap`` each BFS round is ONE map-side filter over the
+    edge blocks (frontier set shipped by ray.put; no exchange at all);
+    past the cap the loop migrates to the distributed regime — per round
+    one bucketed equijoin (frontier x edges) + DISTINCT + anti-join vs
+    the seen set, no driver-side node state. Rounds are bounded by graph
+    diameter either way. A variable-variable closure (the full quadratic
+    relation) is rejected as out of fragment."""
     import ray.data as rd
+
+    from ..stages.broadcast import put_broadcast, resolve_broadcast
 
     s, pred, o = pattern
     s_var, o_var = _is_var(s), _is_var(o)
@@ -335,15 +349,69 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int):
     edges = _scan(triples_ds, ("?__cs", pred.pred, "?__co")).materialize()
     src, dst = ("__cs", "__co") if forward else ("__co", "__cs")
 
+    # ---- broadcast regime: reached/frontier live on the driver (small),
+    # each hop is a map-side is_in filter — 0 exchanges
+    frontier_set: set = {seed}
+    reached: set = set()
+    hops_done = 0
+    overflow = False
+    while hops_done < MAX_CLOSURE_HOPS and frontier_set and not overflow:
+        if len(reached) + len(frontier_set) > broadcast_cap:
+            overflow = True  # migrate BEFORE the hop (cap=0 => never broadcast)
+            break
+        fr_ref = put_broadcast(pa.array(sorted(frontier_set), pa.string()))
+
+        def hop_filter(batch: pa.Table) -> pa.Table:
+            fr = resolve_broadcast(fr_ref)
+            m = pc.is_in(batch[src], value_set=fr)
+            return pa.table({"n": batch.filter(m)[dst].cast(pa.string())})
+
+        nxt: set = set()
+        for bt in edges.map_batches(
+            hop_filter, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            nxt.update(bt["n"].to_pylist())
+        # invariant: reached = result so far; frontier ⊆ reached after
+        # hop 1. The hop-0 frontier is {seed}, which enters the result
+        # only if some edge leads back to it (>= 1-hop semantics).
+        new = nxt - reached
+        reached |= new
+        frontier_set = new
+        hops_done += 1
+        if len(reached) > broadcast_cap:
+            overflow = True
+    if not overflow:
+        if hops_done >= MAX_CLOSURE_HOPS and frontier_set:
+            raise RuntimeError(
+                f"closure did not converge in {MAX_CLOSURE_HOPS} hops"
+            )
+        if not reached:
+            return (
+                rd.from_arrow(pa.schema([(var, pa.string())]).empty_table()),
+                var,
+            )
+        return (
+            rd.from_arrow(
+                pa.table({var: pa.array(sorted(reached), pa.string())})
+            ),
+            var,
+        )
+
+    # ---- distributed regime (migrated mid-flight): continue from the
+    # current reached/frontier sets with dataset-only state
     def as_step(batch: pa.Table) -> pa.Table:
         return pa.table(
             {var: batch[src].cast(pa.string()), "__nxt": batch[dst].cast(pa.string())}
         )
 
     steps = edges.map_batches(as_step, batch_format="pyarrow")
-    frontier = rd.from_arrow(pa.table({var: pa.array([seed], pa.string())}))
-    parts: list = []
-    for _ in range(MAX_CLOSURE_HOPS):
+    parts: list = [
+        rd.from_arrow(pa.table({var: pa.array(sorted(reached), pa.string())}))
+    ]
+    frontier = rd.from_arrow(
+        pa.table({var: pa.array(sorted(frontier_set), pa.string())})
+    )
+    for _ in range(hops_done, MAX_CLOSURE_HOPS):
         hop, _b = _join_onto(frontier, [var], steps, [var, "__nxt"], num_buckets, "inner")
         nxt = _distinct(
             hop.map_batches(
@@ -352,9 +420,8 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int):
             ),
             [var],
         )
-        if parts:
-            seen = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-            nxt, _b = _join_onto(nxt, [var], seen, [var], num_buckets, "anti")
+        seen = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        nxt, _b = _join_onto(nxt, [var], seen, [var], num_buckets, "anti")
         nxt = nxt.materialize()
         if nxt.count() == 0:
             break
@@ -362,8 +429,6 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int):
         frontier = nxt
     else:
         raise RuntimeError(f"closure did not converge in {MAX_CLOSURE_HOPS} hops")
-    if not parts:
-        return rd.from_arrow(pa.schema([(var, pa.string())]).empty_table()), var
     return (parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])), var
 
 

@@ -410,6 +410,32 @@ def test_executor_path_plus(ray_session):
         parse_query("SELECT ?x WHERE { ?x <http://e/next>* ?y }")
 
 
+def test_closure_scale_paths_match(ray_session):
+    """cap=0 forces the fully distributed closure regime (bucketed join +
+    DISTINCT + anti-join per hop) from hop 0; results must equal the
+    broadcast regime's — the repo's standard dual-path equivalence gate."""
+    from rdf_xml_ex_ray.core.sparql import PathPlus
+    from rdf_xml_ex_ray.pipelines import bgp
+
+    ds = _chain_graph()
+    for pat in [
+        ("n0", PathPlus("http://e/next"), "?x"),
+        ("?x", PathPlus("http://e/next"), "n4"),
+        ("zzz", PathPlus("http://e/next"), "?x"),  # unreachable seed
+    ]:
+        bc, v1 = bgp._closure_nodes(ds, pat, 32)
+        dist, v2 = bgp._closure_nodes(ds, pat, 32, broadcast_cap=0)
+        assert v1 == v2
+        a = sorted(r[v1] for r in bc.take_all())
+        b = sorted(r[v2] for r in dist.take_all())
+        assert a == b, (pat, a, b)
+    # mid-flight migration: cap=2 overflows after the first hop
+    mig, v = bgp._closure_nodes(
+        ds, ("n0", PathPlus("http://e/next"), "?x"), 32, broadcast_cap=2
+    )
+    assert sorted(r[v] for r in mig.take_all()) == ["n1", "n2", "n3", "n4", "n5"]
+
+
 def test_parse_minus():
     q = parse_select(
         "SELECT ?x WHERE { ?x <http://e/p> ?y . MINUS { ?x <http://e/q> ?z } "
