@@ -950,16 +950,25 @@ def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
     )
 
 
-def _aggregate_bindings(res, group_by: list[str], aggregates):
+def _aggregate_bindings(res, group_by: list[str], aggregates, pre_aggregate=None):
     """GROUP BY + {COUNT, COUNT DISTINCT, MIN, MAX, SUM, AVG} over a
     binding table.
 
     Grouped path: ONE bucketed exchange — rows shuffle by crc32(group key)
     % 64 (groups never span buckets: the bucket is a function of the full
     key) and each bucket task computes its groups' aggregates exactly with
-    pandas, so COUNT(DISTINCT) needs no second exchange. Global path (no
-    GROUP BY): per-block partials reduced on the driver — O(blocks) scalar
-    rows, never the data (the parser rejects global DISTINCT aggregates).
+    pandas, so COUNT(DISTINCT) needs no second exchange. When every
+    aggregate is DECOMPOSABLE (no DISTINCT flag anywhere), each block
+    first combines down to one partial row per (block, group) — COUNT
+    partials sum, MIN/MAX partials re-min/max, SUM/AVG partials are exact
+    integer sums (+ valid counts for AVG) — so the exchange carries
+    O(groups x blocks) partial rows instead of every binding row (the
+    classic pre-aggregation/combiner; ``pre_aggregate`` False/True
+    overrides the auto choice, used by the equivalence test). A DISTINCT
+    aggregate needs the group's raw values co-located, so those queries
+    keep the ship-rows path. Global path (no GROUP BY): per-block partials
+    reduced on the driver — O(blocks) scalar rows, never the data (the
+    parser rejects global DISTINCT aggregates).
     SQL aggregate null semantics throughout: COUNT(?v)/MIN/MAX skip nulls,
     COUNT(*) counts rows, a null group key is its own group.
 
@@ -1032,6 +1041,97 @@ def _aggregate_bindings(res, group_by: list[str], aggregates):
             return batch.append_column(
                 "__abucket", pa.array(_doc_bucket(key.to_pylist(), 64))
             )
+
+        decomposable = not any(d for _f, _v, d, _a in aggregates)
+        if pre_aggregate is True and not decomposable:
+            raise ValueError("DISTINCT aggregates cannot be pre-aggregated")
+        if decomposable and pre_aggregate is not False:
+            partial_fields = [(c, pa.string()) for c in group_by]
+            for f, _v, _d, alias in aggregates:
+                partial_fields.append(
+                    (alias, pa.int64() if f == "COUNT" else pa.string())
+                )
+                if f == "AVG":
+                    partial_fields.append(("__" + alias + "_n", pa.int64()))
+
+            def _partial_row(g: pd.DataFrame, row: dict) -> dict:
+                for f, v, _d, alias in aggregates:
+                    if f == "COUNT":
+                        row[alias] = (
+                            len(g) if v is None else int(g[v].notna().sum())
+                        )
+                    elif f in ("SUM", "AVG"):
+                        vals = [
+                            x
+                            for x in int_lex_array(g[v].dropna().tolist())
+                            if x is not None
+                        ]
+                        row[alias] = str(sum(vals)) if vals else None
+                        if f == "AVG":
+                            row["__" + alias + "_n"] = len(vals)
+                    else:
+                        s = g[v].dropna()
+                        row[alias] = (
+                            None
+                            if len(s) == 0
+                            else (s.min() if f == "MIN" else s.max())
+                        )
+                return row
+
+            def partial_by_group(batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                rows = []
+                for keys, g in df.groupby(group_by, dropna=False, sort=False):
+                    if not isinstance(keys, tuple):
+                        keys = (keys,)
+                    row = {
+                        c: (None if pd.isna(k) else k)
+                        for c, k in zip(group_by, keys)
+                    }
+                    rows.append(_partial_row(g, row))
+                return pa.table(
+                    {c: pa.array([r[c] for r in rows], t) for c, t in partial_fields}
+                )
+
+            def merge_bucket(group: pd.DataFrame) -> pa.Table:
+                rows = []
+                for keys, g in group.groupby(group_by, dropna=False, sort=True):
+                    if not isinstance(keys, tuple):
+                        keys = (keys,)
+                    row = {
+                        c: (None if pd.isna(k) else k)
+                        for c, k in zip(group_by, keys)
+                    }
+                    for f, _v, _d, alias in aggregates:
+                        if f == "COUNT":
+                            row[alias] = int(g[alias].sum())
+                        elif f in ("SUM", "AVG"):
+                            sums = g[alias].dropna()
+                            total = sum(int(x) for x in sums)
+                            if f == "SUM":
+                                row[alias] = str(total) if len(sums) else None
+                            else:
+                                n = int(g["__" + alias + "_n"].sum())
+                                row[alias] = float(total) / n if n else None
+                        else:
+                            s = g[alias].dropna()
+                            row[alias] = (
+                                None
+                                if len(s) == 0
+                                else (s.min() if f == "MIN" else s.max())
+                            )
+                    rows.append(row)
+                return pa.table(
+                    {c: pa.array([r[c] for r in rows], t) for c, t in out_fields}
+                )
+
+            out = (
+                res.map_batches(partial_by_group, batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__abucket")
+                .map_groups(merge_bucket, batch_format="pandas")
+            )
+            return out, out_cols
 
         def agg_bucket(group: pd.DataFrame) -> pa.Table:
             rows = []
@@ -1500,6 +1600,42 @@ def kg_sparql_path(sf_dir: str):
     desugar to fresh-variable patterns at parse time — which roles issued
     each tool, walked backwards from the tool IRI."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_QUERY)
+
+
+# Fully decomposable GROUP BY (no DISTINCT aggregate): runs on the
+# pre-aggregated path — per-block partials, exchange carries
+# O(groups x blocks) rows, not the bindings.
+KG_SPARQL_ROLLUP_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?conv (COUNT(*) AS ?n_turns) (MIN(?idx) AS ?min_idx)
+       (MAX(?idx) AS ?max_idx) (SUM(?ts) AS ?sum_ts)
+WHERE { ?conv c:turn ?t . ?t c:index ?idx . ?t c:tsMicros ?ts }
+GROUP BY ?conv
+"""
+
+KG_SPARQL_ROLLUP_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.subj AS conv, t2.obj_value AS idx,
+         {_INT_CAST.format(col="t3.obj_value")} AS ic_ts
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
+  JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}tsMicros'
+  WHERE t1.pred = '{_C}turn'
+)
+SELECT conv, COUNT(*) AS n_turns, MIN(idx) AS min_idx, MAX(idx) AS max_idx,
+       CAST(SUM(ic_ts) AS VARCHAR) AS sum_ts
+FROM b GROUP BY conv
+"""
+
+
+def kg_sparql_rollup(sf_dir: str):
+    """Per-conversation rollup (COUNT/MIN/MAX/exact SUM) — every
+    aggregate is decomposable, so the engine pre-aggregates inside each
+    block and the grouped exchange ships one partial row per
+    (block, conversation) instead of one row per turn."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_ROLLUP_QUERY)
 
 
 # Transitive closure p+ anchored at a constant: everything reachable from

@@ -49,7 +49,7 @@ KG_OPS = [
     "kg_describe", "kg_char_sets", "kg_cardinality_profile",
     "kg_triangle_count", "kg_pattern_join", "kg_shacl_check", "kg_void_stats",
     "kg_sparql_sum", "kg_sparql_having", "kg_sparql_alt", "kg_sparql_minus", "kg_sparql_values_multi",
-    "kg_sparql_path_plus",
+    "kg_sparql_path_plus", "kg_sparql_rollup",
 ]
 
 

@@ -410,6 +410,44 @@ def test_executor_path_plus(ray_session):
         parse_query("SELECT ?x WHERE { ?x <http://e/next>* ?y }")
 
 
+def test_aggregate_preagg_paths_match(ray_session):
+    """The decomposable pre-aggregated grouped path must equal the
+    ship-rows path bit-for-bit — including null group keys, all-null
+    value groups and non-integer SUM inputs."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.pipelines.bgp import _aggregate_bindings
+
+    tbl = pa.table(
+        {
+            "g": ["A", "A", None, "B", "B", None, "C"],
+            "v": ["3", "10", "7", None, "oops", "2", None],
+            "w": ["x", None, "y", "z", "a", None, None],
+        }
+    )
+    res = rd.from_arrow(tbl).repartition(3)
+    aggs = [
+        ("COUNT", None, False, "n"), ("COUNT", "v", False, "nv"),
+        ("MIN", "w", False, "mnw"), ("MAX", "v", False, "mxv"),
+        ("SUM", "v", False, "sv"), ("AVG", "v", False, "av"),
+    ]
+    outs = []
+    for mode in (True, False):
+        out, cols = _aggregate_bindings(res, ["g"], aggs, pre_aggregate=mode)
+        df = out.to_pandas().sort_values("g", na_position="last").reset_index(drop=True)
+        outs.append(df[cols])
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    a = outs[0].to_dict("records")
+    assert a[0] == {"g": "A", "n": 2, "nv": 2, "mnw": "x", "mxv": "3",
+                    "sv": "13", "av": 6.5}
+    with pytest.raises(ValueError, match="DISTINCT"):
+        _aggregate_bindings(
+            res, ["g"], [("COUNT", "v", True, "d")], pre_aggregate=True
+        )
+
+
 def test_closure_scale_paths_match(ray_session):
     """cap=0 forces the fully distributed closure regime (bucketed join +
     DISTINCT + anti-join per hop) from hop 0; results must equal the
