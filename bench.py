@@ -110,6 +110,9 @@ def run_bench() -> dict:
     # the r5 SPARQL front-end: BGP + OPTIONAL left-join + GROUP BY
     # aggregates (one bucketed exchange, exact in-bucket aggregation)
     timed("kg_sparql_agg", lambda: bgp.kg_sparql_agg(SF_DIR))
+    # decomposable aggregates: per-block combiner, exchange carries
+    # O(groups x blocks) partial rows
+    timed("kg_sparql_rollup", lambda: bgp.kg_sparql_rollup(SF_DIR))
 
     headline = timings["kg_triples"]
     result = {
