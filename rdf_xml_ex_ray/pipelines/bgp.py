@@ -173,16 +173,45 @@ def _join_onto(acc, bound: list[str], rhs, pvars: list[str], num_buckets: int, h
     return joined, bound + new
 
 
-def _join_group(triples_ds, patterns, num_buckets: int):
-    """Inner-join a connected pattern group left-deep; returns (acc, bound)."""
+def _project_bound(acc, bound: list[str], needed):
+    """Drop binding columns no consumer will read again (projection
+    pushdown): narrower rows through every later exchange. No-op when
+    nothing is droppable."""
+    pruned = [v for v in bound if v in needed]
+    if len(pruned) == len(bound):
+        return acc, bound
+    cols = tuple(pruned)
+    return (
+        acc.map_batches(
+            lambda t, c=cols: pa.table({v: t[v] for v in c}),
+            batch_format="pyarrow",
+        ),
+        pruned,
+    )
+
+
+def _join_group(triples_ds, patterns, num_buckets: int, keep=None):
+    """Inner-join a connected pattern group left-deep; returns (acc, bound).
+
+    ``keep`` (a set of variable names, or None to disable) enables
+    projection pushdown: before each join — and once after the last —
+    the accumulator drops every variable that neither a remaining
+    pattern nor any downstream consumer (projection, FILTER, OPTIONAL /
+    MINUS / closure join keys) will read. Property-path fresh variables
+    (?__pN) are the canonical win: each lives for exactly one hop."""
     ordered = _order_patterns(patterns)
     acc = _scan(triples_ds, ordered[0])
     bound = list(dict.fromkeys(_pattern_vars(ordered[0])))
-    for pattern in ordered[1:]:
+    for i, pattern in enumerate(ordered[1:], start=1):
+        if keep is not None:
+            future = {v for p in ordered[i:] for v in _pattern_vars(p)}
+            acc, bound = _project_bound(acc, bound, keep | future)
         acc, bound = _join_onto(
             acc, bound, _scan(triples_ds, pattern),
             list(dict.fromkeys(_pattern_vars(pattern))), num_buckets, "inner",
         )
+    if keep is not None:
+        acc, bound = _project_bound(acc, bound, keep)
     return acc, bound
 
 
@@ -525,8 +554,18 @@ def bgp_execute(
                     pa.schema([(v, pa.string()) for v in project]).empty_table()
                 )
 
+        # projection pushdown: a variable survives a join only if the
+        # projection, a FILTER, or an OPTIONAL/MINUS/closure join key
+        # still reads it downstream
+        keep = set(project)
+        for f in filters:
+            _expr_vars(f, keep)
+        for g in list(optionals) + list(minuses):
+            keep.update(v for p in g for v in _pattern_vars(p))
+        for cp in closure_pats:
+            keep.update(_pattern_vars(cp))
         if var_patterns:
-            acc, bound = _join_group(triples_ds, var_patterns, num_buckets)
+            acc, bound = _join_group(triples_ds, var_patterns, num_buckets, keep)
         else:
             acc, bound = None, []
         # closure (p+) patterns join their reachable-node sets onto the
