@@ -596,10 +596,14 @@ class _SelectParser:
                 self._graph_block(patterns)
             elif k == "VALUES":
                 # inline data as a membership filter over variables the
-                # required patterns already bind (a VALUES var that binds
-                # NEW variables would extend solutions — out of fragment):
+                # patterns already bind (a VALUES var that binds NEW
+                # variables would extend solutions — out of fragment):
                 # single-var form -> set membership, multi-var form ->
-                # row-tuple membership
+                # row-tuple membership. Both evaluate null -> False (an
+                # OPTIONAL-bound unbound var fails the row), matching the
+                # SQL twins' IN / OR-of-ANDs — NOT SPARQL's
+                # compatible-mapping join, where unbound matches any row;
+                # the restriction is documented rather than guessed around.
                 self._next()
                 if self._peek() == ("punct", "("):
                     self._next()
@@ -609,6 +613,13 @@ class _SelectParser:
                     self._expect("punct", ")")
                     if not vvars:
                         raise ParseError("VALUES needs at least one variable")
+                    if len(set(vvars)) != len(vvars):
+                        # SPARQL forbids repeated VALUES variables; a dup
+                        # would silently demand v==c1 AND v==c2 (always
+                        # false) — reject loudly instead
+                        raise ParseError(
+                            f"duplicate variable in VALUES list: {vvars}"
+                        )
                     self._expect("punct", "{")
                     rows: list[tuple[str, ...]] = []
                     while self._peek() != ("punct", "}"):

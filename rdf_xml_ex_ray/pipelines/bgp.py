@@ -75,6 +75,15 @@ def _scan(triples_ds, pattern):
         else:
             filters.append((pos, term))
 
+    for _pos, const in filters:
+        if isinstance(const, PathPlus):
+            # PathPlus is a NamedTuple (tuple subclass) — without this
+            # guard it would silently scan as a one-hop alternation set
+            raise ValueError(
+                f"closure predicate {const} reached a plain scan; closure "
+                "patterns need one variable endpoint (see _closure_nodes)"
+            )
+
     def project(batch: pa.Table) -> pa.Table:
         mask = None
         for pos, const in filters:
@@ -776,8 +785,11 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         if having:
             # HAVING = FILTER over the aggregated table (group keys +
             # aliases): a numeric comparison reads an int64/float64 alias
-            # directly and TRY_CASTs a string one (SUM's decimal string),
-            # identical to the SQL twin's HAVING expression semantics
+            # directly and TRY_CASTs a string one (SUM's decimal string)
+            # to DOUBLE. NB: that is FILTER semantics, not exact integer
+            # comparison — a SUM-based HAVING twin must spell
+            # CAST(CAST(SUM(..) AS VARCHAR) AS DOUBLE) in its comparison,
+            # or the engines diverge on sums past 2^53
             hvars = set()
             for h in having:
                 _expr_vars(h, hvars)
@@ -876,7 +888,15 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
     probe_var = next((v for p in pats for v in _pattern_vars(p)), None)
     if probe_var is None:
         # all-constant ASK (e.g. ASK { <s> <p> <o> }): every pattern must
-        # have at least one match
+        # have at least one match. A two-constant closure (<s> <p>+ <o>)
+        # is rejected here like everywhere else — _scan would otherwise
+        # misread PathPlus as a one-hop alternation.
+        for p in q["patterns"]:
+            if any(isinstance(t, PathPlus) for t in p):
+                raise ValueError(
+                    f"closure pattern {p} with two constants is out of "
+                    "fragment; bind one side to a variable"
+                )
         found = all(
             len(_scan(triples_ds, p).limit(1).take(1)) > 0 for p in q["patterns"]
         )
@@ -1283,6 +1303,10 @@ def _kg_triples_quarter(sf_dir: str):
     )
     ds = _QUARTER_CACHE.get(key)
     if ds is None:
+        # evict entries from dead Ray sessions so a process that cycles
+        # ray.init()/shutdown() holds at most one session's handles
+        for stale in [k for k in _QUARTER_CACHE if k[0] != key[0]]:
+            del _QUARTER_CACHE[stale]
         from ..stages.broadcast import cluster_cpus
         from .kg import kg_triples_dataset
 
@@ -1549,10 +1573,15 @@ def kg_sparql_agg(sf_dir: str):
 # The SQL spelling of core/numeric.int_lex: a regex-guarded HUGEINT cast
 # (the guard keeps DuckDB's permissive numeric parsing away — see the
 # core/numeric.py docstring for why DECIMAL semantics were rejected).
-_INT_CAST = (
-    "TRY_CAST(CASE WHEN regexp_matches({col}, '^[+-]?\\d{{1,18}}$') "
-    "THEN {col} END AS HUGEINT)"
-)
+# The pattern comes from core/numeric.INT_LEX_SQL_RE so the Python
+# kernel, its parity test and every SQL twin stay in lockstep.
+def _int_cast_sql(col: str) -> str:
+    from ..core.numeric import INT_LEX_SQL_RE
+
+    return (
+        "TRY_CAST(CASE WHEN regexp_matches(" + col + ", '" + INT_LEX_SQL_RE
+        + "') THEN " + col + " END AS HUGEINT)"
+    )
 
 KG_SPARQL_SUM_QUERY = """
 PREFIX c: <http://example.org/convo#>
@@ -1567,8 +1596,8 @@ WITH kt AS (
   SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
 ), b AS (
   SELECT t1.obj_value AS role,
-         {_INT_CAST.format(col="t2.obj_value")} AS ic_idx,
-         {_INT_CAST.format(col="t3.obj_value")} AS ic_ts
+         {_int_cast_sql("t2.obj_value")} AS ic_idx,
+         {_int_cast_sql("t3.obj_value")} AS ic_ts
   FROM kt t1
   JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}index'
   JOIN kt t3 ON t3.subj = t1.subj AND t3.pred = '{_C}tsMicros'
@@ -1672,7 +1701,7 @@ WITH kt AS (
   SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
 ), b AS (
   SELECT t1.subj AS conv, t2.obj_value AS idx,
-         {_INT_CAST.format(col="t3.obj_value")} AS ic_ts
+         {_int_cast_sql("t3.obj_value")} AS ic_ts
   FROM kt t1
   JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
   JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}tsMicros'

@@ -345,6 +345,13 @@ def test_parse_and_execute_values_multi(ray_session):
             "SELECT ?s WHERE { ?s <http://e/grp> ?g "
             'VALUES (?s ?zzz) { ("s1" "A") } }',
         )
+    # duplicate VALUES variable -> loud parse error (SPARQL forbids it;
+    # silently it would be an always-false v==c1 AND v==c2 filter)
+    with pytest.raises(ParseError, match="duplicate variable"):
+        parse_select(
+            "SELECT ?s WHERE { ?s <http://e/grp> ?g "
+            'VALUES (?s ?s) { ("s1" "A") } }'
+        )
 
 
 def _chain_graph():
@@ -395,6 +402,13 @@ def test_executor_path_plus(ray_session):
         ds, "SELECT ?x WHERE { <n5x> <http://e/next>+ ?x }"
     ).to_pandas()
     assert len(empty) == 0
+    # all-constant ASK with a closure must reject, not scan one hop
+    # (regression: PathPlus is a tuple subclass and _scan would read it
+    # as an alternation set, answering False for a 2-hop reachable pair)
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask
+
+    with pytest.raises(ValueError, match="two constants"):
+        sparql_ask(ds, "ASK { <n0> <http://e/next>+ <n2> }")
     for bad, msg in [
         ("SELECT ?x WHERE { ?x <http://e/next>+ ?y }", "constant endpoint"),
         ("SELECT ?x WHERE { <n0> <http://e/next>+ <n3> . "
