@@ -424,6 +424,69 @@ def test_executor_path_plus(ray_session):
         parse_query("SELECT ?x WHERE { ?x <http://e/next>* ?y }")
 
 
+def test_sum_avg_hostile_lexicals_match_oracle(ray_session):
+    """End-to-end SUM/AVG parity on HOSTILE numeric lexical forms — the
+    int_lex kernel is fuzzed against DuckDB in test_numeric.py, but this
+    drives the same forms through the full pipeline (triple store ->
+    sparql_select aggregation) against the SQL twin built from the shared
+    _int_cast_sql spelling."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import _int_cast_sql, sparql_select
+
+    forms = [
+        "0", "7", "-7", "+7", "007", "123456789012345678",
+        "1234567890123456789", " 7", "7 ", "\t7", "7\n", "", "-", "+",
+        "- ", "+ ", "7.0", "7.", ".7", "7e1", "1_0", "0x7", "٧", "７",
+        "inf", "nan", "7a", "68e ", "1e5.", "-0", "999999999999999999",
+    ]
+    rows = []
+    for i, f in enumerate(forms):
+        g = "G" + str(i % 3)
+        rows.append((f"s{i}", "http://e/grp", g))
+        rows.append((f"s{i}", "http://e/val", f))
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    got = sparql_select(
+        ds,
+        "SELECT ?g (COUNT(*) AS ?n) (SUM(?v) AS ?sv) (AVG(?v) AS ?av) "
+        "WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v } "
+        "GROUP BY ?g ORDER BY ?g",
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register(
+        "kt",
+        pd.DataFrame(
+            {"subj": cols["subj"], "pred": cols["pred"],
+             "obj_value": cols["obj_value"]}
+        ),
+    )
+    want = con.execute(f"""
+        SELECT g, COUNT(*) AS n, CAST(SUM(ic) AS VARCHAR) AS sv,
+               CAST(CAST(SUM(ic) AS VARCHAR) AS DOUBLE) / COUNT(ic) AS av
+        FROM (
+          SELECT t1.obj_value AS g, {_int_cast_sql("t2.obj_value")} AS ic
+          FROM kt t1 JOIN kt t2 ON t2.subj = t1.subj
+               AND t2.pred = 'http://e/val'
+          WHERE t1.pred = 'http://e/grp'
+        ) GROUP BY g ORDER BY g
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[got.columns].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_aggregate_preagg_paths_match(ray_session):
     """The decomposable pre-aggregated grouped path must equal the
     ship-rows path bit-for-bit — including null group keys, all-null
