@@ -24,7 +24,11 @@ Terms: ``?var``, ``<iri>``, ``pfx:local``, ``a`` (rdf:type), plain
 ``"literal"`` constants (matched against the object VALUE column,
 kind-agnostic — the same convention as pipelines/bgp._scan and its SQL
 twins) and signed numeric literals. FILTER expressions support ``&&``,
-``||``, parentheses, ``BOUND(?v)`` / ``!BOUND(?v)`` and the comparisons
+``||``, parentheses, ``BOUND(?v)`` / ``!BOUND(?v)``, the string
+predicates ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS(?v, "s")`` /
+``STRENDS`` / ``CONTAINS`` (RE2 regex syntax on BOTH engines; null →
+False; negatable with ``!`` under not-null-AND-not semantics),
+``?v [NOT] IN (c1, c2, ...)`` membership, and the comparisons
 ``= != < <= > >=``; ordering comparisons (``< <= > >=``) require one
 NUMERIC operand — they evaluate under SQL TRY_CAST-to-double semantics
 (an unparseable or unbound value fails the comparison), while ``=``/``!=``
@@ -67,8 +71,11 @@ class PathPlus(NamedTuple):
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
-    "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF"
+    "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
+    "IN|NOT|EXISTS"
 )
+
+_STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
 
 # NB: regex alternation is first-match — the full pname (with local part)
 # must precede the bare namespace form so "ex:s" lexes as one token while
@@ -88,7 +95,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
     | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+)
-    | (?P<punct>[{}.;()])
+    | (?P<punct>[{}.;(),])
     """,
     re.X | re.I,
 )
@@ -215,24 +222,68 @@ class _SelectParser:
     def _unary_expr(self):
         if self._peek() == ("op", "!"):
             self._next()
-            # '!' only before BOUND: BOUND is 2-valued, so negation is safe;
-            # negating a comparison would need SQL's 3-valued NOT (NULL
-            # operands) — out of fragment rather than silently divergent.
-            if self._peek()[0] != "BOUND":
-                raise ParseError("'!' is only supported before BOUND(...)")
-            return ("not", self._unary_expr())
+            # '!' before BOUND (2-valued, plain negation) or before a
+            # string function — the latter under explicit not-null
+            # semantics (mask = BOUND(?v) && !fn(?v)), which is exactly
+            # SQL's `v IS NOT NULL AND NOT fn(v)` / SPARQL's
+            # error-on-unbound -> row dropped. Negating a comparison would
+            # need SQL's general 3-valued NOT — still out of fragment.
+            nxt = self._peek()[0]
+            if nxt == "BOUND":
+                return ("not", self._unary_expr())
+            if nxt in _STRING_FNS:
+                return ("not_sfn", self._string_fn())
+            raise ParseError(
+                "'!' is only supported before BOUND(...) or a string "
+                "function (REGEX/STRSTARTS/STRENDS/CONTAINS)"
+            )
         if self._peek()[0] == "BOUND":
             self._next()
             self._expect("punct", "(")
             var = self._expect("var")[1:]
             self._expect("punct", ")")
             return ("bound", var)
+        if self._peek()[0] in _STRING_FNS:
+            return self._string_fn()
         if self._peek() == ("punct", "("):
             self._next()
             inner = self._expr()
             self._expect("punct", ")")
             return inner
         return self._comparison()
+
+    def _string_fn(self):
+        """``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS(?v, "s")`` /
+        ``STRENDS(?v, "s")`` / ``CONTAINS(?v, "s")`` — vectorized string
+        predicates over one bound variable; null -> False on both engines
+        (Arrow kernels and DuckDB's functions propagate null, and the only
+        sink is "keep row iff true"). REGEX is RE2 syntax on BOTH engines
+        (pyarrow and DuckDB embed RE2), flags limited to "i"."""
+        fk, _ = self._next()
+        self._expect("punct", "(")
+        var = self._expect("var")[1:]
+        self._expect("punct", ",")
+        k, v = self._next()
+        if k != "literal":
+            raise ParseError(f"{fk} needs a plain string-literal argument")
+        arg = _unescape_literal(v[1:-1])
+        ci = False
+        if self._peek() == ("punct", ","):
+            if fk != "REGEX":
+                raise ParseError(f"{fk} takes exactly two arguments")
+            self._next()
+            k2, v2 = self._next()
+            if k2 != "literal" or _unescape_literal(v2[1:-1]) != "i":
+                raise ParseError('REGEX flags support only "i"')
+            ci = True
+        self._expect("punct", ")")
+        if fk == "REGEX":
+            # reject patterns RE2 itself won't take, at parse time
+            try:
+                re.compile(arg)
+            except re.error as exc:
+                raise ParseError(f"bad REGEX pattern {arg!r}: {exc}")
+        return ("sfn", fk, var, arg, ci)
 
     def _operand(self):
         k, v = self._peek()
@@ -247,8 +298,37 @@ class _SelectParser:
             return ("str", self._resolve_const(k, v))
         raise ParseError(f"bad FILTER operand: {v!r}")
 
+    def _in_list(self) -> list[str]:
+        self._expect("punct", "(")
+        consts: list[str] = []
+        while True:
+            k, v = self._next()
+            if k == "number":
+                consts.append(v)  # the store holds lexical forms
+            elif k in ("iriref", "pname", "literal", "a_kw"):
+                consts.append(self._resolve_const(k, v))
+            else:
+                raise ParseError(f"bad IN-list member: {v!r}")
+            if self._peek() == ("punct", ","):
+                self._next()
+                continue
+            self._expect("punct", ")")
+            return consts
+
     def _comparison(self):
         lhs = self._operand()
+        # ?v IN (c, ...) — same membership mask as single-var VALUES;
+        # ?v NOT IN (c, ...) — not-null AND not-member, matching SQL's
+        # 3-valued NOT IN under the keep-iff-true sink.
+        if self._peek()[0] in ("IN", "NOT"):
+            neg = self._peek()[0] == "NOT"
+            self._next()
+            if neg:
+                self._expect("IN")
+            if lhs[0] != "var":
+                raise ParseError("IN needs a variable on its left side")
+            consts = self._in_list()
+            return ("not_in" if neg else "in", lhs[1], consts)
         k, op = self._next()
         if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
             raise ParseError(f"expected comparison operator in FILTER, got {op!r}")

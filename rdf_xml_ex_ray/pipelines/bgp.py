@@ -282,6 +282,23 @@ _CMP_NUM = {
 }
 
 
+def _sfn_mask(expr, tbl: pa.Table) -> np.ndarray:
+    """String-predicate FILTER functions: REGEX / STRSTARTS / STRENDS /
+    CONTAINS over one variable column — vectorized Arrow kernels, RE2
+    regex syntax (DuckDB's regexp_matches is RE2 too), null -> False."""
+    _k, fn, var, arg, ci = expr
+    arr = tbl[var].combine_chunks().cast(pa.string())
+    if fn == "REGEX":
+        m = pc.match_substring_regex(arr, arg, ignore_case=ci)
+    elif fn == "STRSTARTS":
+        m = pc.starts_with(arr, arg)
+    elif fn == "STRENDS":
+        m = pc.ends_with(arr, arg)
+    else:  # CONTAINS
+        m = pc.match_substring(arr, arg)
+    return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
 def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
     import pandas as pd
 
@@ -294,7 +311,21 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         return ~_filter_mask(expr[1], tbl)
     if kind == "bound":
         return ~np.asarray(tbl[expr[1]].combine_chunks().is_null())
-    if kind == "in":  # VALUES ?v { ... }: membership, null -> False
+    if kind == "sfn":
+        return _sfn_mask(expr, tbl)
+    if kind == "not_sfn":
+        # !fn(?v): not-null AND NOT fn — SQL `v IS NOT NULL AND NOT fn(v)`
+        inner = expr[1]
+        valid = ~np.asarray(tbl[inner[2]].combine_chunks().is_null())
+        return valid & ~_sfn_mask(inner, tbl)
+    if kind == "not_in":  # ?v NOT IN (...): not-null AND not-member
+        arr = tbl[expr[1]].combine_chunks().cast(pa.string())
+        valid = ~np.asarray(arr.is_null())
+        m = pc.fill_null(
+            pc.is_in(arr, value_set=pa.array(expr[2], pa.string())), False
+        ).to_numpy(zero_copy_only=False)
+        return valid & ~m
+    if kind == "in":  # VALUES ?v { ... } / ?v IN (...): null -> False
         arr = tbl[expr[1]].combine_chunks().cast(pa.string())
         m = pc.fill_null(pc.is_in(arr, value_set=pa.array(expr[2], pa.string())), False)
         return m.to_numpy(zero_copy_only=False)
@@ -484,8 +515,12 @@ def _expr_vars(e, out: set):
             _expr_vars(sub, out)
     elif e[0] == "not":
         _expr_vars(e[1], out)
-    elif e[0] in ("bound", "in"):
+    elif e[0] in ("bound", "in", "not_in"):
         out.add(e[1])
+    elif e[0] == "sfn":
+        out.add(e[2])
+    elif e[0] == "not_sfn":
+        _expr_vars(e[1], out)
     elif e[0] == "in_rows":
         out.update(e[1])
     else:
@@ -1985,3 +2020,49 @@ def kg_sparql_values(sf_dir: str):
     an inline tool list — an O(1) membership mask on the binding table,
     no extra exchange."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_VALUES_QUERY)
+
+
+# String-predicate FILTERs: REGEX (plain + case-insensitive), STRSTARTS /
+# STRENDS / CONTAINS (negated), and [NOT] IN membership — all map-side
+# Arrow kernels on the binding table; RE2 regex syntax on BOTH engines
+# (pyarrow and DuckDB embed RE2). Each construct filters real rows: the
+# plain REGEX keeps turns 10-19, the || keeps error-rows only via the
+# case-insensitive branch and purchase-rows only via STRENDS, !CONTAINS
+# drops conversation c3, NOT IN drops one named turn.
+KG_SPARQL_STRFILTER_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX tool: <http://example.org/tool/>
+SELECT DISTINCT ?t ?tool WHERE {
+  ?t c:toolUse ?u . ?u c:tool ?tool .
+  FILTER ( REGEX(?t, "/turn/1[0-9]$") )
+  FILTER ( REGEX(?tool, "ERROR$", "i") || STRENDS(?tool, "chase") )
+  FILTER ( STRSTARTS(?t, "http://example.org/conv/") )
+  FILTER ( !CONTAINS(?t, "/conv/c3/") )
+  FILTER ( ?t NOT IN (<http://example.org/conv/c0/turn/10>) )
+}
+"""
+
+KG_SPARQL_STRFILTER_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT DISTINCT t1.subj AS t, t2.obj_value AS tool
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}tool'
+WHERE t1.pred = '{_C}toolUse'
+  AND regexp_matches(t1.subj, '/turn/1[0-9]$')
+  AND (regexp_matches(t2.obj_value, 'ERROR$', 'i')
+       OR ends_with(t2.obj_value, 'chase'))
+  AND starts_with(t1.subj, 'http://example.org/conv/')
+  AND (t1.subj IS NOT NULL AND NOT contains(t1.subj, '/conv/c3/'))
+  AND (t1.subj IS NOT NULL
+       AND t1.subj NOT IN ('http://example.org/conv/c0/turn/10'))
+"""
+
+
+def kg_sparql_strfilter(sf_dir: str):
+    """SPARQL string-predicate FILTERs over the flagship KG: tool-using
+    turns 10-19 outside conversation c3, each tool admitted by a different
+    string predicate (case-insensitive REGEX vs STRENDS) — all vectorized
+    map-side masks, zero extra exchanges."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_STRFILTER_QUERY)

@@ -965,3 +965,95 @@ def test_executor_describe(ray_session):
         ds, "DESCRIBE ?s WHERE { ?s <http://e/p> ?o }"
     ).to_pandas()
     assert sorted(var["subj"]) == ["b1", "s1", "s2"]
+
+
+def test_parse_string_fns_and_in():
+    q = parse_select(
+        """
+        PREFIX ex: <http://e/>
+        SELECT ?s WHERE {
+          ?s ex:p ?v .
+          FILTER ( REGEX(?v, "^a.*b$") && REGEX(?s, "X", "i") )
+          FILTER ( STRSTARTS(?v, "pre") || STRENDS(?v, "post") )
+          FILTER ( !CONTAINS(?v, "mid") )
+          FILTER ( ?v IN ("x", ex:y, 3) )
+          FILTER ( ?s NOT IN (ex:z) )
+        }
+        """
+    )
+    assert q["filters"] == [
+        ("and", [
+            ("sfn", "REGEX", "v", "^a.*b$", False),
+            ("sfn", "REGEX", "s", "X", True),
+        ]),
+        ("or", [
+            ("sfn", "STRSTARTS", "v", "pre", False),
+            ("sfn", "STRENDS", "v", "post", False),
+        ]),
+        ("not_sfn", ("sfn", "CONTAINS", "v", "mid", False)),
+        ("in", "v", ["x", "http://e/y", "3"]),
+        ("not_in", "s", ["http://e/z"]),
+    ]
+    # rejections: bad flag, non-literal arg, '!' before a comparison,
+    # IN needs a var, unparseable regex
+    with pytest.raises(ParseError, match='REGEX flags support only "i"'):
+        parse_select('SELECT ?s WHERE { ?s <http://e/p> ?v . '
+                     'FILTER(REGEX(?v, "a", "g")) }')
+    with pytest.raises(ParseError, match="string-literal"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?v . "
+                     "FILTER(CONTAINS(?v, ?s)) }")
+    with pytest.raises(ParseError, match="only supported before"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?v . "
+                     "FILTER(!(?v = 3)) }")
+    with pytest.raises(ParseError, match="IN needs a variable"):
+        parse_select('SELECT ?s WHERE { ?s <http://e/p> ?v . '
+                     'FILTER("x" IN ("y")) }')
+    with pytest.raises(ParseError, match="bad REGEX pattern"):
+        parse_select('SELECT ?s WHERE { ?s <http://e/p> ?v . '
+                     'FILTER(REGEX(?v, "(")) }')
+    with pytest.raises(ParseError, match="exactly two arguments"):
+        parse_select('SELECT ?s WHERE { ?s <http://e/p> ?v . '
+                     'FILTER(CONTAINS(?v, "a", "i")) }')
+
+
+def test_executor_string_fns_and_in(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()  # tags: s1 alpha, s3 beta; vals: 3 10 7 oops
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . '
+        'FILTER(REGEX(?v, "^[0-9]+$")) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2", "s3"]
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . '
+        'FILTER(STRSTARTS(?v, "1") || STRENDS(?v, "ps") || CONTAINS(?v, "3")) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2", "s4"]
+    # case-insensitive REGEX
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/tag> ?t . FILTER(REGEX(?t, "ALPHA", "i")) }',
+    ).to_pandas()
+    assert got["s"].tolist() == ["s1"]
+    # null semantics through OPTIONAL: fn -> False on unbound, !fn also
+    # False on unbound (not-null AND not), NOT IN False on unbound
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . '
+        'OPTIONAL { ?s <http://e/tag> ?t } FILTER(!CONTAINS(?t, "et")) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1"]  # s3's beta contains 'et'; s2/s4 unbound
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . '
+        'OPTIONAL { ?s <http://e/tag> ?t } FILTER(?t NOT IN ("beta")) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1"]
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . FILTER(?v IN ("3", "10")) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2"]
