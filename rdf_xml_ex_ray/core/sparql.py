@@ -10,6 +10,7 @@ executor evaluates:
     WHERE {
         s path o . ...              # path steps: p, ^p, (p1|p2); join by /
         FILTER ( expr ) ...
+        FILTER [NOT] EXISTS { s path o . ... } ...  # semi/anti-join
         OPTIONAL { s path o . ... } ...
         MINUS { s path o . ... } ...        # anti-join on shared vars
         GRAPH (?g | iri) { s path o . ... } ...
@@ -521,7 +522,7 @@ class _SelectParser:
                     break
             if not project and not aggregates:
                 raise ParseError("SELECT needs at least one ?var, aggregate or *")
-        patterns, optionals, filters, unions, minuses = self._where_block()
+        patterns, optionals, filters, unions, minuses, exists = self._where_block()
 
         group_by: list[str] = []
         if self._peek()[0] == "GROUP":
@@ -621,6 +622,7 @@ class _SelectParser:
             "filters": filters,
             "unions": unions[0] if unions else [],
             "minuses": minuses,
+            "exists": exists,
             "group_by": group_by,
             "aggregates": aggregates,
             "having": having,
@@ -639,6 +641,7 @@ class _SelectParser:
         optionals: list[list] = []
         filters: list = []
         minuses: list[list] = []
+        exists: list[tuple[bool, list]] = []  # (negated, pattern group)
         unions: list[list[list]] = []  # [construct][branch][pattern]
         while self._peek() != ("punct", "}"):
             k, v = self._peek()
@@ -646,6 +649,25 @@ class _SelectParser:
                 raise ParseError("unterminated WHERE block")
             if k == "FILTER":
                 self._next()
+                # FILTER [NOT] EXISTS { ... }: a semi/anti-join against the
+                # group's inner BGP on the shared (required-bound) variables
+                # — with fully-bound shared vars this IS SPARQL's
+                # substitution semantics. A group sharing NO variable is a
+                # global gate (any match -> keep all / drop all).
+                if self._peek()[0] in ("EXISTS", "NOT"):
+                    neg = self._peek()[0] == "NOT"
+                    self._next()
+                    if neg:
+                        self._expect("EXISTS")
+                    self._expect("punct", "{")
+                    egroup: list = []
+                    if not self._triple_block(egroup):
+                        raise ParseError("empty EXISTS block")
+                    self._expect("punct", "}")
+                    exists.append((neg, egroup))
+                    if self._peek() == ("punct", "."):
+                        self._next()
+                    continue
                 self._expect("punct", "(")
                 filters.append(self._expr())
                 self._expect("punct", ")")
@@ -784,9 +806,9 @@ class _SelectParser:
         if unions:
             if len(unions) > 1:
                 raise ParseError("multiple UNION constructs are out of fragment")
-            if minuses:
+            if minuses or exists:
                 raise ParseError(
-                    "MINUS combined with UNION is out of fragment"
+                    "MINUS / FILTER EXISTS combined with UNION is out of fragment"
                 )
             if patterns or optionals:
                 raise ParseError(
@@ -796,7 +818,7 @@ class _SelectParser:
                 )
         if not patterns and not unions:
             raise ParseError("WHERE block needs at least one required pattern")
-        return patterns, optionals, filters, unions, minuses
+        return patterns, optionals, filters, unions, minuses, exists
 
     def _parse_describe(self):
         """``DESCRIBE <iri> ...`` (constant resources) or ``DESCRIBE ?v
@@ -826,8 +848,9 @@ class _SelectParser:
         filters: list = []
         unions: list = []
         minuses: list = []
+        exists: list = []
         if var is not None:
-            patterns, optionals, filters, unions, minuses = self._where_block()
+            patterns, optionals, filters, unions, minuses, exists = self._where_block()
             bound = {
                 t[1:]
                 for grp in ([patterns] + optionals + (unions[0] if unions else []))
@@ -852,6 +875,7 @@ class _SelectParser:
             "filters": filters,
             "unions": unions[0] if unions else [],
             "minuses": minuses,
+            "exists": exists,
         }
 
     def _parse_ask(self):
@@ -861,7 +885,7 @@ class _SelectParser:
         if self._peek()[0] != "WHERE":
             # SPARQL allows ASK { ... } — normalize by injecting WHERE
             self.toks.insert(self.i, ("WHERE", "WHERE"))
-        patterns, optionals, filters, unions, minuses = self._where_block()
+        patterns, optionals, filters, unions, minuses, exists = self._where_block()
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after ASK query: {self._peek()[1]!r}"
@@ -873,6 +897,7 @@ class _SelectParser:
             "filters": filters,
             "unions": unions[0] if unions else [],
             "minuses": minuses,
+            "exists": exists,
         }
 
     def _parse_construct(self):
@@ -897,7 +922,7 @@ class _SelectParser:
                     raise ParseError(
                         "property paths are not allowed in CONSTRUCT templates"
                     )
-        patterns, optionals, filters, unions, minuses = self._where_block()
+        patterns, optionals, filters, unions, minuses, exists = self._where_block()
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after CONSTRUCT query: {self._peek()[1]!r}"
@@ -922,6 +947,7 @@ class _SelectParser:
             "filters": filters,
             "unions": unions[0] if unions else [],
             "minuses": minuses,
+            "exists": exists,
         }
 
     def _aggregate_item(self) -> tuple[str, str | None, bool, str]:

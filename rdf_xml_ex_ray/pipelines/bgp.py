@@ -143,12 +143,13 @@ def _join_onto(acc, bound: list[str], rhs, pvars: list[str], num_buckets: int, h
     ``bound``) with ``rhs`` (columns = ``pvars``) on their shared
     variables; returns (joined, bound + new vars). ``how`` 'left' keeps
     unmatched acc rows with null new-var columns (OPTIONAL); 'anti' keeps
-    exactly the acc rows with NO match (MINUS) — binding no new vars."""
+    exactly the acc rows with NO match (MINUS / NOT EXISTS) and 'semi'
+    exactly those WITH one (FILTER EXISTS) — neither binds new vars."""
     from ..stages.join import bucketed_equijoin
 
     s = pa.string()
     shared = sorted(set(bound) & set(pvars))
-    new = [] if how == "anti" else [v for v in pvars if v not in bound]
+    new = [] if how in ("anti", "semi") else [v for v in pvars if v not in bound]
 
     def add_key(batch: pa.Table) -> pa.Table:
         return batch.append_column("__kl", _key_expr(batch, shared))
@@ -175,7 +176,7 @@ def _join_onto(acc, bound: list[str], rhs, pvars: list[str], num_buckets: int, h
         how=how,
     ).map_batches(
         lambda t: t.drop_columns(
-            ["__kl"] if how == "anti" else ["__kl", "__kr"]
+            ["__kl"] if how in ("anti", "semi") else ["__kl", "__kr"]
         ),
         batch_format="pyarrow",
     )
@@ -538,6 +539,7 @@ def bgp_execute(
     filters=(),
     unions=(),
     minuses=(),
+    exists=(),
 ):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
@@ -570,6 +572,7 @@ def bgp_execute(
 
     _reject_closures(optionals, "OPTIONAL groups")
     _reject_closures(minuses, "MINUS groups")
+    _reject_closures([g for _n, g in exists], "FILTER EXISTS groups")
     _reject_closures(unions, "UNION branches")
     if unions:
         if patterns or optionals:
@@ -604,7 +607,7 @@ def bgp_execute(
         keep = set(project)
         for f in filters:
             _expr_vars(f, keep)
-        for g in list(optionals) + list(minuses):
+        for g in list(optionals) + list(minuses) + [g for _n, g in exists]:
             keep.update(v for p in g for v in _pattern_vars(p))
         for cp in closure_pats:
             keep.update(_pattern_vars(cp))
@@ -699,6 +702,44 @@ def bgp_execute(
         grp_acc, _grp_bound = _join_group(triples_ds, group, num_buckets)
         acc, bound = _join_onto(
             acc, bound, grp_acc, sorted(shared), num_buckets, "anti"
+        )
+
+    for neg, group in exists:
+        # FILTER [NOT] EXISTS: with shared required-bound variables this is
+        # a semi/anti-join — identical to SPARQL's substitution semantics
+        # because every substituted var is non-null. With NO shared
+        # variable the group is a global gate: any match keeps (EXISTS) /
+        # empties (NOT EXISTS) the whole result — evaluated as one
+        # existence probe, never a cross product.
+        gvars_all = {v for p in group for v in _pattern_vars(p)}
+        shared = gvars_all & set(bound)
+        if not shared:
+            const_checks = [p for p in group if not _pattern_vars(p)]
+            var_pats = [p for p in group if _pattern_vars(p)]
+            matched = all(
+                len(_scan(triples_ds, c).limit(1).take(1)) > 0
+                for c in const_checks
+            )
+            if matched and var_pats:
+                g_acc, _gb = _join_group(triples_ds, var_pats, num_buckets)
+                matched = len(g_acc.limit(1).take(1)) > 0
+            if matched == neg:
+                import ray.data as rd
+
+                return rd.from_arrow(
+                    pa.schema([(v, pa.string()) for v in project]).empty_table()
+                )
+            continue
+        if not shared <= required_bound:
+            raise ValueError(
+                f"FILTER EXISTS group joins through nullable variables "
+                f"{sorted(shared - required_bound)} bound by an OPTIONAL; "
+                "out of the supported fragment"
+            )
+        grp_acc, _grp_bound = _join_group(triples_ds, group, num_buckets)
+        acc, bound = _join_onto(
+            acc, bound, grp_acc, sorted(shared), num_buckets,
+            "anti" if neg else "semi",
         )
 
     if filters:
@@ -813,6 +854,7 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         filters=q["filters"],
         unions=q["unions"],
         minuses=q.get("minuses") or (),
+        exists=q.get("exists") or (),
     )
     if aggregates:
         res, cols = _aggregate_bindings(res, q["group_by"], aggregates)
@@ -935,6 +977,22 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
         found = all(
             len(_scan(triples_ds, p).limit(1).take(1)) > 0 for p in q["patterns"]
         )
+        # FILTER [NOT] EXISTS over an all-constant ASK: each group is a
+        # global gate (no variables to share)
+        for neg, group in q.get("exists") or ():
+            if not found:
+                break
+            var_pats = [p for p in group if _pattern_vars(p)]
+            matched = all(
+                len(_scan(triples_ds, c).limit(1).take(1)) > 0
+                for c in group
+                if not _pattern_vars(c)
+            )
+            if matched and var_pats:
+                g_acc, _gb = _join_group(triples_ds, var_pats, num_buckets or 32)
+                matched = len(g_acc.limit(1).take(1)) > 0
+            if matched == neg:
+                found = False
         return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
     res = bgp_execute(
         triples_ds,
@@ -945,6 +1003,7 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
         filters=q["filters"],
         unions=q["unions"],
         minuses=q.get("minuses") or (),
+        exists=q.get("exists") or (),
     )
     found = len(res.limit(1).take(1)) > 0
     return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
@@ -976,6 +1035,7 @@ def sparql_describe(triples_ds, query: str, num_buckets: int | None = None):
             filters=q["filters"],
             unions=q["unions"],
             minuses=q.get("minuses") or (),
+            exists=q.get("exists") or (),
         )
         nodes = _distinct(res, [q["var"]]).map_batches(
             lambda t, v=q["var"]: pa.table({"node": t[v].cast(pa.string())}),
@@ -1016,6 +1076,7 @@ def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
         filters=q["filters"],
         unions=q["unions"],
         minuses=q.get("minuses") or (),
+        exists=q.get("exists") or (),
     )
     out_cols = ("subj", "pred", "obj_value")
 
@@ -2066,3 +2127,45 @@ def kg_sparql_strfilter(sf_dir: str):
     string predicate (case-insensitive REGEX vs STRENDS) — all vectorized
     map-side masks, zero extra exchanges."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_STRFILTER_QUERY)
+
+
+# FILTER EXISTS (semi-join) + FILTER NOT EXISTS (anti-join): conversations
+# with a turn that used some tool but never the error tool — each gate is
+# ONE bucketed exchange shipping only the join key.
+KG_SPARQL_EXISTS_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX tool: <http://example.org/tool/>
+SELECT DISTINCT ?conv WHERE {
+  ?conv c:turn ?t .
+  FILTER EXISTS { ?t c:toolUse ?u }
+  FILTER NOT EXISTS { ?t c:toolUse/c:tool tool:error }
+}
+"""
+
+KG_SPARQL_EXISTS_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT DISTINCT t1.subj AS conv
+FROM kt t1
+WHERE t1.pred = '{_C}turn'
+  AND EXISTS (
+    SELECT 1 FROM kt e
+    WHERE e.pred = '{_C}toolUse' AND e.subj = t1.obj_value
+  )
+  AND NOT EXISTS (
+    SELECT 1
+    FROM kt m1
+    JOIN kt m2 ON m2.subj = m1.obj_value AND m2.pred = '{_C}tool'
+              AND m2.obj_value = 'http://example.org/tool/error'
+    WHERE m1.pred = '{_C}toolUse' AND m1.subj = t1.obj_value
+  )
+"""
+
+
+def kg_sparql_exists(sf_dir: str):
+    """SPARQL FILTER EXISTS / NOT EXISTS over the flagship KG:
+    conversations having a turn that used a tool (semi-join on the shared
+    turn variable) but whose tool use never resolved to tool:error
+    (anti-join; the NOT EXISTS group is a path-desugared inner BGP)."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXISTS_QUERY)

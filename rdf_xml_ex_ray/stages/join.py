@@ -48,14 +48,16 @@ def bucketed_equijoin(
 
     ``how`` is ``"inner"`` (default), ``"left"`` — the left-outer flavor
     keeps unmatched left rows with nulls in every right-side column (the
-    SPARQL OPTIONAL primitive) — or ``"anti"``: keep exactly the left rows
+    SPARQL OPTIONAL primitive) — ``"anti"``: keep exactly the left rows
     whose key has NO right-side match (the SPARQL MINUS / SQL NOT EXISTS
-    primitive; the output schema is ``left_fields`` only, so pass just the
-    key in ``right_fields``). Same single-exchange shape for all three: a
+    primitive) — or ``"semi"``: keep exactly the left rows whose key HAS a
+    right-side match, each once (SQL EXISTS / SPARQL FILTER EXISTS). For
+    anti/semi the output schema is ``left_fields`` only, so pass just the
+    key in ``right_fields``. Same single-exchange shape for all four: a
     left row and its key-mates land in one bucket group, so the
     (un)matched test needs no second pass.
     """
-    if how not in ("inner", "left", "anti"):
+    if how not in ("inner", "left", "anti", "semi"):
         raise ValueError(f"unsupported join type: {how!r}")
     overlap = {n for n, _ in left_fields} & {n for n, _ in right_fields}
     if overlap:
@@ -89,11 +91,14 @@ def bucketed_equijoin(
         is_left = group["__left"].astype(bool)
         lhs = group.loc[is_left, left_names]
         rhs = group.loc[~is_left, right_names]
-        if how == "anti":
+        if how in ("anti", "semi"):
             if len(lhs) == 0:
                 return left_schema.empty_table()
             if len(rhs):
-                lhs = lhs[~lhs[left_key].isin(rhs[right_key])]
+                member = lhs[left_key].isin(rhs[right_key])
+                lhs = lhs[~member] if how == "anti" else lhs[member]
+            elif how == "semi":  # no right rows: nothing matches
+                lhs = lhs.iloc[0:0]
             return pa.Table.from_arrays(
                 [pa.array(lhs[n], type=t) for n, t in left_fields],
                 schema=left_schema,

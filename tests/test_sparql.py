@@ -1057,3 +1057,72 @@ def test_executor_string_fns_and_in(ray_session):
         'SELECT ?s WHERE { ?s <http://e/val> ?v . FILTER(?v IN ("3", "10")) }',
     ).to_pandas()
     assert sorted(got["s"]) == ["s1", "s2"]
+
+
+def test_parse_filter_exists():
+    q = parse_select(
+        """
+        PREFIX ex: <http://e/>
+        SELECT ?s WHERE {
+          ?s ex:p ?v .
+          FILTER EXISTS { ?s ex:q ?w }
+          FILTER NOT EXISTS { ?s ex:r ex:bad }
+        }
+        """
+    )
+    assert q["exists"] == [
+        (False, [("?s", "http://e/q", "?w")]),
+        (True, [("?s", "http://e/r", "http://e/bad")]),
+    ]
+    with pytest.raises(ParseError, match="empty EXISTS"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?v . "
+                     "FILTER EXISTS { } }")
+    with pytest.raises(ParseError, match="UNION"):
+        parse_select(
+            "SELECT ?s WHERE { { ?s <http://e/p> ?v } UNION "
+            "{ ?s <http://e/q> ?v } FILTER EXISTS { ?s <http://e/r> ?w } }"
+        )
+
+
+def test_executor_filter_exists(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask, sparql_select
+
+    ds = _num_graph()  # tags: s1 alpha, s3 beta; vals: s1 3, s2 10, s3 7, s4 oops
+    got = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . "
+        "FILTER EXISTS { ?s <http://e/tag> ?t } }",
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s3"]
+    # semi-join keeps each left row ONCE even with multiple matches; the
+    # NOT EXISTS group can pin constants
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/val> ?v . '
+        'FILTER NOT EXISTS { ?s <http://e/tag> "beta" } }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s2", "s4"]
+    # no shared variable: a global gate
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/tag> ?t . '
+        'FILTER EXISTS { ?x <http://e/val> "10" } }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s3"]
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/tag> ?t . '
+        'FILTER NOT EXISTS { ?x <http://e/val> "10" } }',
+    ).to_pandas()
+    assert len(got) == 0
+    # all-constant ASK honors the gates
+    assert sparql_ask(
+        ds,
+        'ASK { <s1> <http://e/val> "3" . '
+        'FILTER NOT EXISTS { ?x <http://e/val> "999" } }',
+    ).take_all() == [{"ask": True}]
+    assert sparql_ask(
+        ds,
+        'ASK { <s1> <http://e/val> "3" . '
+        'FILTER EXISTS { ?x <http://e/val> "999" } }',
+    ).take_all() == [{"ask": False}]
