@@ -58,7 +58,10 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 class PathPlus(NamedTuple):
-    """Predicate marker for a one-or-more path step ``p+`` / ``(p1|p2)+``.
+    """Predicate marker for a closure path step: ``p+`` / ``(p1|p2)+``
+    (one-or-more), or with ``zero=True`` the ``p*`` zero-or-more variant
+    (the constant seed term itself joins the result set — SPARQL's
+    zero-length path matches any term, in the graph or not).
 
     The BGP executor evaluates a pattern carrying this as a seed-anchored
     transitive closure (distributed BFS over the p-edge scan) — the
@@ -68,6 +71,7 @@ class PathPlus(NamedTuple):
     """
 
     pred: Union[str, tuple]
+    zero: bool = False
 
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
@@ -389,17 +393,16 @@ class _SelectParser:
         raise ParseError(f"property-path step must be an IRI, got {v!r}")
 
     def _maybe_plus(self, pred):
-        """Consume a trailing ``+`` (one-or-more closure) on a path step;
-        ``*`` (zero-or-more — identity on every term) stays out of
-        fragment."""
+        """Consume a trailing ``+`` (one-or-more closure) or ``*``
+        (zero-or-more: reachable set plus the constant seed itself) on a
+        path step. Both need one constant endpoint — enforced by the
+        executor, which rejects ``?x p+/* ?y``."""
         if self._peek() == ("op", "+"):
             self._next()
             return PathPlus(pred)
         if self._peek() == ("star", "*"):
-            raise ParseError(
-                "zero-or-more path 'p*' is out of fragment (its identity "
-                "component binds every term); use 'p+'"
-            )
+            self._next()
+            return PathPlus(pred, zero=True)
         return pred
 
     def _predicate(self):

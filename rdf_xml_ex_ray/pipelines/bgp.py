@@ -383,10 +383,14 @@ CLOSURE_BROADCAST_NODE_CAP = 500_000
 
 def _closure_nodes(triples_ds, pattern, num_buckets: int,
                    broadcast_cap: int = CLOSURE_BROADCAST_NODE_CAP):
-    """Seed-anchored transitive closure for a ``p+`` pattern: all nodes
-    reachable from the constant endpoint via >= 1 hop over the p-edge
-    scan (the seed itself appears only if it lies on a cycle — SPARQL
-    OneOrMorePath semantics). Returns (Dataset[{var}], var).
+    """Seed-anchored transitive closure for a ``p+`` / ``p*`` pattern:
+    all nodes reachable from the constant endpoint via >= 1 hop over the
+    p-edge scan (the seed itself appears only if it lies on a cycle —
+    SPARQL OneOrMorePath semantics). For ``p*`` (``pred.zero``) the seed
+    is in the result from the start (the zero-length path matches any
+    term, whether or not it appears in the graph) — it simply seeds the
+    ``reached`` set, so both regimes inherit the semantics unchanged.
+    Returns (Dataset[{var}], var).
 
     Shape: the edge scan materializes once (pruned to the closure
     predicate — tiny next to the store). While the reached set fits
@@ -422,7 +426,7 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int,
     # ---- broadcast regime: reached/frontier live on the driver (small),
     # each hop is a map-side is_in filter — 0 exchanges
     frontier_set: set = {seed}
-    reached: set = set()
+    reached: set = {seed} if pred.zero else set()
     hops_done = 0
     overflow = False
     while hops_done < MAX_CLOSURE_HOPS and frontier_set and not overflow:
@@ -2169,3 +2173,40 @@ def kg_sparql_exists(sf_dir: str):
     turn variable) but whose tool use never resolved to tool:error
     (anti-join; the NOT EXISTS group is a path-desugared inner BGP)."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXISTS_QUERY)
+
+
+# Zero-or-more path p*: identical BFS to p+ with the seed pre-loaded into
+# the reached set — the seed row (typed Conversation) is exactly the delta
+# vs kg_sparql_path_plus. Twin: the recursive CTE's base case is the seed
+# constant itself instead of its one-hop neighbors.
+KG_SPARQL_PATH_STAR_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX conv: <http://example.org/conv/>
+SELECT ?node ?ty
+WHERE { conv:c1 (c:turn|c:toolUse)* ?node . ?node a ?ty }
+"""
+
+KG_SPARQL_PATH_STAR_SQL = f"""
+WITH RECURSIVE kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), e AS (
+  SELECT subj, obj_value FROM kt
+  WHERE pred IN ('{_C}turn', '{_C}toolUse')
+), r(node) AS (
+  SELECT 'http://example.org/conv/c1'
+  UNION
+  SELECT e.obj_value FROM r JOIN e ON e.subj = r.node
+)
+SELECT r.node AS node, t.obj_value AS ty
+FROM r
+JOIN kt t ON t.subj = r.node
+         AND t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+"""
+
+
+def kg_sparql_path_star(sf_dir: str):
+    """SPARQL zero-or-more path ``(c:turn|c:toolUse)*`` from a constant
+    conversation seed, joined to each node's rdf:type — the p+ BFS with
+    the seed itself in the result (so the conversation row, typed
+    c:Conversation, appears alongside its turns and tool uses)."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_STAR_QUERY)

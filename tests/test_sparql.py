@@ -420,8 +420,10 @@ def test_executor_path_plus(ray_session):
     ]:
         with pytest.raises(ValueError, match=msg):
             sparql_select(ds, bad)
-    with pytest.raises(ParseError, match="out of fragment"):
-        parse_query("SELECT ?x WHERE { ?x <http://e/next>* ?y }")
+    # p* is in fragment since r5, but inherits the one-constant-endpoint
+    # executor contract of p+
+    with pytest.raises(ValueError, match="constant endpoint"):
+        sparql_select(ds, "SELECT ?x WHERE { ?x <http://e/next>* ?y }")
 
 
 def test_sum_avg_hostile_lexicals_match_oracle(ray_session):
@@ -1126,3 +1128,43 @@ def test_executor_filter_exists(ray_session):
         'ASK { <s1> <http://e/val> "3" . '
         'FILTER EXISTS { ?x <http://e/val> "999" } }',
     ).take_all() == [{"ask": False}]
+
+
+def test_parse_and_execute_path_star(ray_session):
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.core.sparql import PathPlus, parse_query
+    from rdf_xml_ex_ray.pipelines.bgp import _closure_nodes, sparql_select
+
+    q = parse_query("SELECT ?x WHERE { <n0> <http://e/next>* ?x }")
+    assert q["patterns"] == [("n0", PathPlus("http://e/next", zero=True), "?x")]
+
+    # chain n0 -> n1 -> n2 plus a detached n9
+    rows = [("n0", "http://e/next", "n1"), ("n1", "http://e/next", "n2"),
+            ("n9", "http://e/next", "n9")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("iri")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    got = sparql_select(ds, "SELECT ?x WHERE { <n0> <http://e/next>* ?x }")
+    assert sorted(r["x"] for r in got.take_all()) == ["n0", "n1", "n2"]
+    # plus excludes the seed (no cycle through n0)
+    got = sparql_select(ds, "SELECT ?x WHERE { <n0> <http://e/next>+ ?x }")
+    assert sorted(r["x"] for r in got.take_all()) == ["n1", "n2"]
+    # a seed ABSENT from the graph still matches itself under *
+    got = sparql_select(ds, "SELECT ?x WHERE { <zzz> <http://e/next>* ?x }")
+    assert sorted(r["x"] for r in got.take_all()) == ["zzz"]
+    # self-loop: * must not duplicate the seed
+    got = sparql_select(ds, "SELECT ?x WHERE { <n9> <http://e/next>* ?x }")
+    assert sorted(r["x"] for r in got.take_all()) == ["n9"]
+    # broadcast-cap=0 (fully distributed) equivalence
+    nodes, var = _closure_nodes(
+        ds, ("n0", PathPlus("http://e/next", zero=True), "?x"), 32,
+        broadcast_cap=0,
+    )
+    assert sorted(r[var] for r in nodes.take_all()) == ["n0", "n1", "n2"]
