@@ -11,6 +11,7 @@ executor evaluates:
         s path o . ...              # path steps: p, ^p, (p1|p2); join by /
         FILTER ( expr ) ...
         FILTER [NOT] EXISTS { s path o . ... } ...  # semi/anti-join
+        BIND ( int-expr AS ?v ) ...         # integer value expression
         OPTIONAL { s path o . ... } ...
         MINUS { s path o . ... } ...        # anti-join on shared vars
         GRAPH (?g | iri) { s path o . ... } ...
@@ -38,12 +39,21 @@ String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
 engines: UTF-8 byte order = codepoint order). SUM/AVG aggregate INTEGER
 lexical forms exactly (core/numeric.py semantics — non-integer forms are
 unbound/NULL; SUM is the exact integer as a string, AVG = strtod(SUM) /
-COUNT). Property paths cover sequence ``p1/p2``, inverse ``^p`` and
-parenthesized alternation ``(p1|p2)`` as a step (desugared to
+COUNT). ``BIND`` value expressions are INTEGER arithmetic (``+ - *``,
+parentheses) over bound variables and integer constants: operands read
+under the same integer-lexical rule (non-integer form -> unbound/NULL,
+which propagates), int64 arithmetic with overflow a loud error on BOTH
+engines (Arrow checked kernels / DuckDB BIGINT), result rendered as its
+decimal string; a BIND evaluates after its group's patterns join, so the
+target must be fresh and every referenced variable pattern-bound (or an
+earlier BIND target). Property paths cover sequence ``p1/p2``, inverse
+``^p``, parenthesized alternation ``(p1|p2)`` as a step (desugared to
 fresh-variable patterns; an alternation step scans with a predicate-set
-filter); transitive ``+``/``*``, sub-selects, expression projections and
-UNION mixed with other patterns stay out of scope; the parser rejects
-anything outside the fragment loudly rather than guessing.
+filter) and seed-anchored transitive closure ``p+`` / ``p*`` (one
+constant endpoint; distributed BFS); sub-selects, general expression
+projections and UNION mixed with other patterns stay out of scope; the
+parser rejects anything outside the fragment loudly rather than
+guessing.
 """
 
 from __future__ import annotations
@@ -77,7 +87,7 @@ _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
-    "IN|NOT|EXISTS"
+    "IN|NOT|EXISTS|BIND"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
@@ -99,7 +109,7 @@ _TOKEN_RE = re.compile(
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+|-)
     | (?P<punct>[{}.;(),])
     """,
     re.X | re.I,
@@ -347,6 +357,66 @@ class _SelectParser:
             raise ParseError("FILTER comparison must reference a variable")
         return ("cmp", op, lhs, rhs)
 
+    # ------------------------------------------------- BIND value exprs
+    #
+    # AST (consumed by pipelines/bgp._bind_eval):
+    #   ("bnum", int)  ("bvar", name)  ("bop", op, lhs, rhs)  op in {+,-,*}
+    # Integer value expressions ONLY — operands are read under the
+    # fragment's integer-lexical semantics (core/numeric: non-integer
+    # forms are unbound/NULL, which propagates), arithmetic is int64 with
+    # overflow a LOUD error on both engines (Arrow checked kernels /
+    # DuckDB BIGINT), and the result re-enters the binding table as its
+    # decimal string. Division stays out of fragment (integer-vs-float
+    # semantics diverge between engines).
+
+    def _bind_clause(self):
+        """``BIND ( int-expr AS ?v )`` → (varname, expr AST)."""
+        self._expect("punct", "(")
+        expr = self._num_expr()
+        self._expect("AS")
+        var = self._expect("var")[1:]
+        self._expect("punct", ")")
+        return (var, expr)
+
+    def _num_expr(self):
+        node = self._num_term()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("+", "-"):
+                self._next()
+                node = ("bop", v, node, self._num_term())
+            elif k == "number" and v[:1] in ("+", "-"):
+                # '?i -3' lexes the sign into the number token (the number
+                # group precedes op in _TOKEN_RE); fold it back into an
+                # addition of the signed constant
+                node = ("bop", "+", node, self._num_prim())
+            else:
+                return node
+
+    def _num_term(self):
+        node = self._num_prim()
+        while self._peek()[0] == "star":
+            self._next()
+            node = ("bop", "*", node, self._num_prim())
+        return node
+
+    def _num_prim(self):
+        k, v = self._next()
+        if k == "var":
+            return ("bvar", v[1:])
+        if k == "number":
+            if not re.fullmatch(r"[+-]?\d{1,18}", v):
+                raise ParseError(
+                    "BIND numeric constants must be integer lexical forms "
+                    f"(<= 18 digits); got {v!r}"
+                )
+            return ("bnum", int(v))
+        if (k, v) == ("punct", "("):
+            node = self._num_expr()
+            self._expect("punct", ")")
+            return node
+        raise ParseError(f"bad BIND operand: {v!r}")
+
     # ------------------------------------------------------- group parser
 
     def _path_elt(self):
@@ -436,7 +506,7 @@ class _SelectParser:
         found = False
         while True:
             k, v = self._peek()
-            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP", "VALUES", "MINUS") or (
+            if k in (None, "FILTER", "OPTIONAL", "UNION", "GRAPH", "GROUP", "VALUES", "MINUS", "BIND") or (
                 k,
                 v,
             ) in (("punct", "}"), ("punct", "{")):
@@ -525,7 +595,14 @@ class _SelectParser:
                     break
             if not project and not aggregates:
                 raise ParseError("SELECT needs at least one ?var, aggregate or *")
-        patterns, optionals, filters, unions, minuses, exists = self._where_block()
+        patterns, optionals, filters, unions, minuses, exists, binds = (
+            self._where_block()
+        )
+        tgt_seen: set[str] = set()
+        for bv, _be in binds:
+            if bv in tgt_seen:
+                raise ParseError(f"duplicate BIND target ?{bv}")
+            tgt_seen.add(bv)
 
         group_by: list[str] = []
         if self._peek()[0] == "GROUP":
@@ -616,6 +693,8 @@ class _SelectParser:
                     # non-str terms are alternation predicate sets
                     if isinstance(t, str) and t.startswith("?") and not t.startswith("?__p"):
                         seen[t[1:]] = None
+            for bv, _be in binds:
+                seen[bv] = None
             project = list(seen)
         return {
             "form": "select",
@@ -626,6 +705,7 @@ class _SelectParser:
             "unions": unions[0] if unions else [],
             "minuses": minuses,
             "exists": exists,
+            "binds": binds,
             "group_by": group_by,
             "aggregates": aggregates,
             "having": having,
@@ -636,8 +716,9 @@ class _SelectParser:
         }
 
     def _where_block(self):
-        """``WHERE { ... }`` → (patterns, optionals, filters, unions) with
-        the fragment's structural checks applied."""
+        """``WHERE { ... }`` → (patterns, optionals, filters, unions,
+        minuses, exists, binds) with the fragment's structural checks
+        applied."""
         self._expect("WHERE")
         self._expect("punct", "{")
         patterns: list = []
@@ -646,6 +727,7 @@ class _SelectParser:
         minuses: list[list] = []
         exists: list[tuple[bool, list]] = []  # (negated, pattern group)
         unions: list[list[list]] = []  # [construct][branch][pattern]
+        binds: list[tuple[str, tuple]] = []  # (target var, value-expr AST)
         while self._peek() != ("punct", "}"):
             k, v = self._peek()
             if k is None:
@@ -694,6 +776,17 @@ class _SelectParser:
                     raise ParseError("empty MINUS block")
                 self._expect("punct", "}")
                 minuses.append(mgroup)
+                if self._peek() == ("punct", "."):
+                    self._next()
+            elif k == "BIND":
+                # evaluated AFTER the whole group's patterns join (the
+                # target must be fresh and every referenced variable
+                # pattern-bound — enforced by the executor), so a BIND is
+                # position-insensitive within its group; a pattern USING
+                # the target would need mid-group evaluation order and is
+                # rejected by the executor's already-bound check
+                self._next()
+                binds.append(self._bind_clause())
                 if self._peek() == ("punct", "."):
                     self._next()
             elif k == "GRAPH":
@@ -821,7 +914,7 @@ class _SelectParser:
                 )
         if not patterns and not unions:
             raise ParseError("WHERE block needs at least one required pattern")
-        return patterns, optionals, filters, unions, minuses, exists
+        return patterns, optionals, filters, unions, minuses, exists, binds
 
     def _parse_describe(self):
         """``DESCRIBE <iri> ...`` (constant resources) or ``DESCRIBE ?v
@@ -853,7 +946,13 @@ class _SelectParser:
         minuses: list = []
         exists: list = []
         if var is not None:
-            patterns, optionals, filters, unions, minuses, exists = self._where_block()
+            patterns, optionals, filters, unions, minuses, exists, binds = (
+                self._where_block()
+            )
+            if binds:
+                # a BIND target is a synthesized string with no term kind —
+                # it cannot name a resource to describe; out of fragment
+                raise ParseError("BIND in DESCRIBE is out of fragment")
             bound = {
                 t[1:]
                 for grp in ([patterns] + optionals + (unions[0] if unions else []))
@@ -888,7 +987,9 @@ class _SelectParser:
         if self._peek()[0] != "WHERE":
             # SPARQL allows ASK { ... } — normalize by injecting WHERE
             self.toks.insert(self.i, ("WHERE", "WHERE"))
-        patterns, optionals, filters, unions, minuses, exists = self._where_block()
+        patterns, optionals, filters, unions, minuses, exists, binds = (
+            self._where_block()
+        )
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after ASK query: {self._peek()[1]!r}"
@@ -901,6 +1002,7 @@ class _SelectParser:
             "unions": unions[0] if unions else [],
             "minuses": minuses,
             "exists": exists,
+            "binds": binds,
         }
 
     def _parse_construct(self):
@@ -925,7 +1027,13 @@ class _SelectParser:
                     raise ParseError(
                         "property paths are not allowed in CONSTRUCT templates"
                     )
-        patterns, optionals, filters, unions, minuses, exists = self._where_block()
+        patterns, optionals, filters, unions, minuses, exists, binds = (
+            self._where_block()
+        )
+        if binds:
+            # a BIND target carries no term kind (iri/literal), which the
+            # CONSTRUCT emitter needs per template slot; out of fragment
+            raise ParseError("BIND in CONSTRUCT is out of fragment")
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after CONSTRUCT query: {self._peek()[1]!r}"

@@ -506,6 +506,55 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int,
     return (parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])), var
 
 
+# ------------------------------------------------------- BIND evaluation
+#
+# Integer value expressions (core/sparql "bnum"/"bvar"/"bop" AST) over the
+# binding table: operands read lexical forms under the fragment's
+# integer-lexical rule (core/numeric — non-integer form -> NULL, which
+# propagates through the arithmetic), int64 *checked* Arrow kernels so
+# overflow raises on BOTH engines (DuckDB BIGINT arithmetic also raises),
+# and the result re-enters the binding table as its decimal string (the
+# same rendering as SUM; DuckDB twin: CAST(expr AS VARCHAR)).
+
+_BIND_OPS = {"+": "add_checked", "-": "subtract_checked", "*": "multiply_checked"}
+
+
+def _bind_vars(expr, out: set):
+    """Collect the variable names a BIND value expression references."""
+    if expr[0] == "bvar":
+        out.add(expr[1])
+    elif expr[0] == "bop":
+        _bind_vars(expr[2], out)
+        _bind_vars(expr[3], out)
+
+
+def _bind_eval(expr, tbl: pa.Table):
+    """Evaluate a BIND AST over ``tbl`` -> int64 Array (or Scalar for an
+    all-constant expression)."""
+    from ..core.numeric import INT_LEX_SQL_RE
+
+    if expr[0] == "bnum":
+        return pa.scalar(expr[1], pa.int64())
+    if expr[0] == "bvar":
+        col = tbl[expr[1]]
+        # rebase sliced string chunks before if_else (pyarrow 16.1 offset
+        # corruption — the repo-wide mitigation; concat_arrays copies)
+        arr = (
+            pa.concat_arrays([c.cast(pa.string()) for c in col.chunks])
+            if col.num_chunks > 0
+            else pa.array([], pa.string())
+        )
+        ok = pc.match_substring_regex(arr, INT_LEX_SQL_RE)
+        clean = pc.if_else(ok, arr, pa.scalar(None, pa.string()))
+        # Arrow's string->int cast rejects a leading '+'; strip it (the
+        # regex guarantees at most one, at position 0)
+        clean = pc.replace_substring_regex(clean, r"^\+", "")
+        return pc.cast(clean, pa.int64())
+    lhs = _bind_eval(expr[2], tbl)
+    rhs = _bind_eval(expr[3], tbl)
+    return getattr(pc, _BIND_OPS[expr[1]])(lhs, rhs)
+
+
 def _reject_closures(groups, ctx: str):
     for g in groups:
         for p in g:
@@ -544,6 +593,7 @@ def bgp_execute(
     unions=(),
     minuses=(),
     exists=(),
+    binds=(),
 ):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
@@ -615,6 +665,8 @@ def bgp_execute(
             keep.update(v for p in g for v in _pattern_vars(p))
         for cp in closure_pats:
             keep.update(_pattern_vars(cp))
+        for _bv, be in binds:
+            _bind_vars(be, keep)
         if var_patterns:
             acc, bound = _join_group(triples_ds, var_patterns, num_buckets, keep)
         else:
@@ -746,6 +798,48 @@ def bgp_execute(
             "anti" if neg else "semi",
         )
 
+    if binds:
+        # evaluated in declaration order AFTER every join (so a later BIND
+        # may read an earlier target); each target extends the binding
+        # table as a string column — FILTERs, DISTINCT, ORDER BY and the
+        # aggregates downstream treat it exactly like a pattern variable.
+        # The freshness check runs against the query's FULL variable
+        # surface, not the pushdown-pruned `bound` — projection may have
+        # dropped a pattern var the BIND would silently shadow.
+        surface_vars = set(bound)
+        for grp in [list(patterns)] + list(optionals) + [
+            b for b in (unions or ())
+        ]:
+            surface_vars.update(v for p in grp for v in _pattern_vars(p))
+        for bv, be in binds:
+            refs: set = set()
+            _bind_vars(be, refs)
+            missing_b = sorted(refs - set(bound))
+            if missing_b:
+                raise ValueError(
+                    f"BIND expression references unbound variables: {missing_b}"
+                )
+            if bv in surface_vars:
+                raise ValueError(
+                    f"BIND target ?{bv} is already bound by a pattern or "
+                    "earlier BIND"
+                )
+            surface_vars.add(bv)
+            bound = list(bound) + [bv]
+        bind_list = list(binds)
+
+        def apply_binds(batch: pa.Table) -> pa.Table:
+            for bv, be in bind_list:
+                val = _bind_eval(be, batch)
+                if isinstance(val, pa.Scalar):
+                    col = pa.repeat(pc.cast(val, pa.string()), batch.num_rows)
+                else:
+                    col = pc.cast(val, pa.string())
+                batch = batch.append_column(bv, col)
+            return batch
+
+        acc = acc.map_batches(apply_binds, batch_format="pyarrow")
+
     if filters:
         fvars = set()
         for f in filters:
@@ -859,6 +953,7 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         unions=q["unions"],
         minuses=q.get("minuses") or (),
         exists=q.get("exists") or (),
+        binds=q.get("binds") or (),
     )
     if aggregates:
         res, cols = _aggregate_bindings(res, q["group_by"], aggregates)
@@ -978,6 +1073,13 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
                     f"closure pattern {p} with two constants is out of "
                     "fragment; bind one side to a variable"
                 )
+        if q["filters"] or q.get("binds"):
+            # no binding table exists to evaluate them over — silently
+            # ignoring a FILTER/BIND would answer the wrong question
+            raise ValueError(
+                "FILTER/BIND over an all-constant ASK is out of fragment "
+                "(no variables to bind)"
+            )
         found = all(
             len(_scan(triples_ds, p).limit(1).take(1)) > 0 for p in q["patterns"]
         )
@@ -1008,6 +1110,7 @@ def sparql_ask(triples_ds, query: str, num_buckets: int | None = None):
         unions=q["unions"],
         minuses=q.get("minuses") or (),
         exists=q.get("exists") or (),
+        binds=q.get("binds") or (),
     )
     found = len(res.limit(1).take(1)) > 0
     return rd.from_arrow(pa.table({"ask": pa.array([found], pa.bool_())}))
@@ -1675,12 +1778,16 @@ def kg_sparql_agg(sf_dir: str):
 # core/numeric.py docstring for why DECIMAL semantics were rejected).
 # The pattern comes from core/numeric.INT_LEX_SQL_RE so the Python
 # kernel, its parity test and every SQL twin stay in lockstep.
-def _int_cast_sql(col: str) -> str:
+def _int_cast_sql(col: str, typ: str = "HUGEINT") -> str:
+    # HUGEINT for aggregate twins (the running SUM is unbounded on both
+    # engines); BIGINT for BIND value-expression twins (the Ray side is
+    # int64 checked arithmetic — BIGINT makes overflow raise on BOTH
+    # engines instead of silently diverging)
     from ..core.numeric import INT_LEX_SQL_RE
 
     return (
         "TRY_CAST(CASE WHEN regexp_matches(" + col + ", '" + INT_LEX_SQL_RE
-        + "') THEN " + col + " END AS HUGEINT)"
+        + "') THEN " + col + " END AS " + typ + ")"
     )
 
 KG_SPARQL_SUM_QUERY = """
@@ -2210,3 +2317,45 @@ def kg_sparql_path_star(sf_dir: str):
     the seed itself in the result (so the conversation row, typed
     c:Conversation, appears alongside its turns and tool uses)."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_STAR_QUERY)
+
+
+# BIND: per-turn derived weight 2*index+1 (odd weights — first turn
+# counts 1, each later turn 2 more), summed per role. Exercises the whole
+# BIND path: int-lexical operand read, int64 checked arithmetic, string
+# rendering, and a derived column flowing into the SUM aggregate (which
+# re-reads it under the same integer-lexical rule). Twin: identical
+# BIGINT expression rendered to VARCHAR, re-guarded through the shared
+# _int_cast_sql spelling before the HUGEINT sum — byte-identical by
+# construction.
+KG_SPARQL_BIND_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?role (COUNT(*) AS ?n_turns) (SUM(?w) AS ?w_sum)
+WHERE {
+  ?t c:role ?role . ?t c:index ?i .
+  BIND( 2 * ?i + 1 AS ?w )
+}
+GROUP BY ?role
+"""
+
+KG_SPARQL_BIND_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.obj_value AS role,
+         CAST(2 * {_int_cast_sql("t2.obj_value", "BIGINT")} + 1 AS VARCHAR) AS w
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}index'
+  WHERE t1.pred = '{_C}role'
+)
+SELECT role, COUNT(*) AS n_turns,
+       CAST(SUM({_int_cast_sql("w")}) AS VARCHAR) AS w_sum
+FROM b GROUP BY role
+"""
+
+
+def kg_sparql_bind(sf_dir: str):
+    """SPARQL BIND: a derived integer column (``2 * ?i + 1`` over the turn
+    index) summed per role — BIND arithmetic is int64-checked on both
+    engines (Arrow ``*_checked`` / DuckDB BIGINT), the rendered string
+    re-enters SUM under the fragment's integer-lexical semantics."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_BIND_QUERY)

@@ -1168,3 +1168,113 @@ def test_parse_and_execute_path_star(ray_session):
         broadcast_cap=0,
     )
     assert sorted(r[var] for r in nodes.take_all()) == ["n0", "n1", "n2"]
+
+
+def test_parse_bind():
+    q = parse_select(
+        "SELECT ?s ?w WHERE { ?s <http://e/val> ?v . BIND( 2 * ?v + 1 AS ?w ) }"
+    )
+    assert q["binds"] == [
+        ("w", ("bop", "+", ("bop", "*", ("bnum", 2), ("bvar", "v")), ("bnum", 1)))
+    ]
+    # '?v -3' lexes the sign into the number token; folds to an addition
+    q = parse_select("SELECT ?w WHERE { ?s <http://e/val> ?v . BIND(?v -3 AS ?w) }")
+    assert q["binds"] == [("w", ("bop", "+", ("bvar", "v"), ("bnum", -3)))]
+    # spelled-out subtraction is a real subtract node
+    q = parse_select("SELECT ?w WHERE { ?s <http://e/val> ?v . BIND(?v - 3 AS ?w) }")
+    assert q["binds"] == [("w", ("bop", "-", ("bvar", "v"), ("bnum", 3)))]
+    # SELECT * includes the target after the pattern vars
+    q = parse_select("SELECT * WHERE { ?s <http://e/val> ?v . BIND(?v + 0 AS ?w) }")
+    assert q["project"] == ["s", "v", "w"]
+    from rdf_xml_ex_ray.core.sparql import parse_query
+
+    for bad, msg in [
+        ("SELECT ?w WHERE { ?s <http://e/val> ?v . BIND(?v / 2 AS ?w) }",
+         "expected AS"),
+        ("SELECT ?w WHERE { ?s <http://e/val> ?v . BIND(1.5 + ?v AS ?w) }",
+         "integer lexical"),
+        ("SELECT ?w WHERE { ?s <http://e/val> ?v . BIND(1 AS ?w) BIND(2 AS ?w) }",
+         "duplicate BIND target"),
+        ("CONSTRUCT { ?s <http://e/q> ?s } WHERE "
+         "{ ?s <http://e/val> ?v . BIND(1 AS ?w) }", "out of fragment"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_query(bad)
+
+
+def test_executor_bind(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask, sparql_select
+
+    ds = _num_graph()
+    # arithmetic + rendering + NULL propagation ("oops" is a non-integer
+    # lexical form -> unbound)
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?w WHERE { ?s <http://e/val> ?v . BIND(2 * ?v + 1 AS ?w) } "
+        "ORDER BY ?s",
+    ).to_pandas()
+    assert list(zip(got["s"], got["w"])) == [
+        ("s1", "7"), ("s2", "21"), ("s3", "15"), ("s4", None),
+    ]
+    # bind-on-bind, FILTER over a bind target (null fails the comparison)
+    got = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(?v * ?v AS ?sq) "
+        "BIND(?sq - ?v AS ?d) FILTER(?d >= 42) } ORDER BY ?s",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s2", "s3"]
+    # parenthesized grouping; an all-constant expr broadcasts per row
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?k WHERE { ?s <http://e/tag> ?t . BIND((2 + 3) * 4 AS ?k) } "
+        "ORDER BY ?s",
+    ).to_pandas()
+    assert got["k"].tolist() == ["20", "20"]
+    # a bind target feeding an aggregate (re-read as an integer lexical)
+    got = sparql_select(
+        ds,
+        "SELECT (SUM(?w) AS ?tot) WHERE { ?s <http://e/val> ?v . "
+        "BIND(?v * 10 AS ?w) }",
+    ).to_pandas()
+    assert got["tot"].tolist() == ["200"]
+    # ASK sees binds too
+    assert sparql_ask(
+        ds, "ASK { ?s <http://e/val> ?v . BIND(?v * 2 AS ?d) FILTER(?d = 20) }"
+    ).take_all() == [{"ask": True}]
+    assert sparql_ask(
+        ds, "ASK { ?s <http://e/val> ?v . BIND(?v * 2 AS ?d) FILTER(?d = 21) }"
+    ).take_all() == [{"ask": False}]
+    for bad, msg in [
+        ("SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(?z + 1 AS ?w) }",
+         "unbound"),
+        ("SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(1 AS ?v) }",
+         "already bound"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_select(ds, bad)
+
+
+def test_executor_bind_overflow_raises_both_engines(ray_session):
+    """int64 overflow in BIND arithmetic is a LOUD error on both engines
+    (Arrow checked kernels / DuckDB BIGINT) — never a silent wrap."""
+    import duckdb
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    big = "999999999999999999"  # 18 digits: passes the lexical guard
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    cols["subj"].append("s9"); cols["subj_kind"].append("iri")
+    cols["pred"].append("http://e/val"); cols["obj_kind"].append("literal")
+    cols["obj_value"].append(big); cols["obj_lang"].append(None)
+    cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    with pytest.raises(Exception, match="[Oo]verflow"):
+        sparql_select(
+            ds, "SELECT ?w WHERE { ?s <http://e/val> ?v . BIND(?v * ?v AS ?w) }"
+        ).take_all()
+    with pytest.raises(Exception, match="[Oo]ut of [Rr]ange|[Oo]verflow"):
+        duckdb.connect().execute(
+            f"SELECT CAST({big} AS BIGINT) * CAST({big} AS BIGINT)"
+        )
