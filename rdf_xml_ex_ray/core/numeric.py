@@ -44,10 +44,19 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["INT_LEX_SQL_RE", "int_lex", "int_lex_array"]
+__all__ = ["DBL_LEX_SQL_RE", "INT_LEX_SQL_RE", "int_lex", "int_lex_array"]
 
 # Keep this literal in sync with the SQL twins' regexp_matches pattern.
 INT_LEX_SQL_RE = r"^[+-]?\d{1,18}$"
+
+# Numeric-comparison domain for FILTER/HAVING: finite decimal forms only.
+# Probed divergences this guard removes (pipelines/bgp._filter_mask is the
+# consumer): DuckDB's bare TRY_CAST accepts '1_0' (-> 10), ' 3'/'3 '
+# (trims), 'nan' (and DuckDB orders NaN = NaN as TRUE where numpy says
+# False) — none of which pandas/Arrow parsing mirrors. Inside this domain
+# Arrow's fast_float and DuckDB's strtod agree bit-for-bit, including
+# overflow to +-inf ('1e400') and underflow to 0 ('1e-400'), both probed.
+DBL_LEX_SQL_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 
 _INT_RE = re.compile(r"[+-]?\d{1,18}\Z", re.A)
 

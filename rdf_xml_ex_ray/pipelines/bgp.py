@@ -301,8 +301,6 @@ def _sfn_mask(expr, tbl: pa.Table) -> np.ndarray:
 
 
 def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
-    import pandas as pd
-
     kind = expr[0]
     if kind == "or":
         return np.logical_or.reduce([_filter_mask(e, tbl) for e in expr[1]])
@@ -349,11 +347,32 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
     def operand(o):
         nonlocal valid
         if o[0] == "var":
-            s = tbl[o[1]].to_pandas()
+            col = tbl[o[1]]
             if numeric:
-                v = pd.to_numeric(s, errors="coerce").to_numpy(np.float64, na_value=np.nan)
+                # numeric read = the fragment's finite-decimal domain
+                # (core/numeric.DBL_LEX_SQL_RE) parsed by Arrow's strtod-
+                # compatible fast_float — bit-identical to the twins'
+                # guarded TRY_CAST (_dbl_cast_sql). A bare pandas
+                # to_numeric / DuckDB TRY_CAST pair diverges on '1_0',
+                # padded whitespace and NaN ordering (probed; see
+                # core/numeric.py). Aggregate outputs (HAVING) arrive as
+                # typed int64/float64 columns and skip the lexical read.
+                from ..core.numeric import DBL_LEX_SQL_RE
+
+                if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                    v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                else:
+                    arr = (
+                        pa.concat_arrays([c.cast(pa.string()) for c in col.chunks])
+                        if col.num_chunks > 0
+                        else pa.array([], pa.string())
+                    )
+                    ok = pc.match_substring_regex(arr, DBL_LEX_SQL_RE)
+                    clean = pc.if_else(ok, arr, pa.scalar(None, pa.string()))
+                    v = pc.cast(clean, pa.float64()).to_numpy(zero_copy_only=False)
                 valid &= ~np.isnan(v)
                 return v
+            s = col.to_pandas()
             valid &= s.notna().to_numpy()
             return s.to_numpy(dtype=object)
         return o[1]
@@ -1520,8 +1539,23 @@ def _kg_triples_quarter(sf_dir: str):
     return ds
 
 
-# FILTER: numeric range on the turn index (TRY_CAST-to-double semantics on
-# both engines) over a 3-pattern BGP.
+# FILTER/HAVING numeric comparisons read lexical forms through the finite-
+# decimal guard (core/numeric.DBL_LEX_SQL_RE) — inside that domain DuckDB's
+# strtod and Arrow's fast_float agree bit-for-bit; outside it a bare
+# TRY_CAST diverges ('1_0', padded whitespace, NaN — and DuckDB's total
+# order makes NaN = NaN TRUE where numpy says False). Twins must spell
+# numeric FILTER comparisons with THIS, mirroring _filter_mask.
+def _dbl_cast_sql(col: str) -> str:
+    from ..core.numeric import DBL_LEX_SQL_RE
+
+    return (
+        "TRY_CAST(CASE WHEN regexp_matches(" + col + ", '" + DBL_LEX_SQL_RE
+        + "') THEN " + col + " END AS DOUBLE)"
+    )
+
+
+# FILTER: numeric range on the turn index (guarded-TRY_CAST-to-double
+# semantics on both engines) over a 3-pattern BGP.
 KG_SPARQL_FILTER_QUERY = """
 PREFIX c: <http://example.org/convo#>
 PREFIX role: <http://example.org/role/>
@@ -1542,8 +1576,8 @@ JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
 JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}role'
           AND t3.obj_value = 'http://example.org/role/assistant'
 WHERE t1.pred = '{_C}turn'
-  AND TRY_CAST(t2.obj_value AS DOUBLE) >= 2
-  AND TRY_CAST(t2.obj_value AS DOUBLE) < 5
+  AND {_dbl_cast_sql("t2.obj_value")} >= 2
+  AND {_dbl_cast_sql("t2.obj_value")} < 5
 """
 
 

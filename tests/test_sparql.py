@@ -1278,3 +1278,60 @@ def test_executor_bind_overflow_raises_both_engines(ray_session):
         duckdb.connect().execute(
             f"SELECT CAST({big} AS BIGINT) * CAST({big} AS BIGINT)"
         )
+
+
+def test_filter_numeric_hostile_lexicals_match_oracle(ray_session):
+    """End-to-end numeric-FILTER parity on HOSTILE lexical forms — the
+    comparison reads values through the finite-decimal guard
+    (core/numeric.DBL_LEX_SQL_RE) + Arrow fast_float, and the twin spells
+    the identical guarded TRY_CAST (_dbl_cast_sql). A bare to_numeric /
+    TRY_CAST pair diverges on '1_0' (DuckDB: 10), padded whitespace
+    (DuckDB trims), 'nan' (DuckDB's total order makes NaN = NaN TRUE) and
+    '1e400' (pandas NULL, strtod +inf) — all probed, all in this battery."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import _dbl_cast_sql, sparql_select
+
+    forms = [
+        "3", " 3", "3 ", "+3", "-3", "3.5", "-3.5", "1e5", "1E5", ".5",
+        "5.", "+.5", "1_0", "inf", "Infinity", "-inf", "nan", "NaN",
+        "0x10", "3d", "", "٣", "1e", "1e+", "--3", "1,5", "\t7", "7\n",
+        "1e400", "-1e400", "1e-400", "0b1", "³", "007", "0", "-0",
+    ]
+    rows = []
+    for i, f in enumerate(forms):
+        rows.append((f"s{i}", "http://e/val", f))
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    con = duckdb.connect()
+    con.register(
+        "kt",
+        pd.DataFrame({"subj": cols["subj"], "pred": cols["pred"],
+                      "obj_value": cols["obj_value"]}),
+    )
+    for sp_op, sql_op, const in [
+        (">=", ">=", "1"), ("<", "<", "4"), (">", ">", "0"),
+        ("<=", "<=", "100000"), ("=", "=", "3"), ("!=", "<>", "3"),
+    ]:
+        got = sparql_select(
+            ds,
+            "SELECT ?s WHERE { ?s <http://e/val> ?v . "
+            f"FILTER(?v {sp_op} {const}) }} ORDER BY ?s",
+        ).to_pandas()["s"].tolist()
+        want = [
+            r[0] for r in con.execute(
+                f"SELECT subj FROM kt WHERE pred = 'http://e/val' AND "
+                f"{_dbl_cast_sql('obj_value')} {sql_op} {const} "
+                "ORDER BY subj"
+            ).fetchall()
+        ]
+        assert got == want, (sp_op, const, got, want)
