@@ -936,10 +936,12 @@ WHERE t1.pred = '{_C}turn'
 def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
     """Run a restricted SPARQL SELECT (core/sparql.py fragment) against a
     triple-row Dataset: BGP joins + OPTIONAL left-joins + FILTER masks,
-    then DISTINCT (one bucketed exchange), ORDER BY (distributed sort;
-    the remaining projected vars are appended ASC as tie-breakers so the
-    row order is TOTAL — a distributed engine must pin ties or two runs
-    disagree, and the SQL twin must spell the same tie-breakers), and
+    then DISTINCT (one bucketed exchange), ORDER BY (null-safe distributed
+    sort via _null_safe_sort — unbound sorts first ASC / last DESC, the
+    SPARQL ordering; the remaining projected vars are appended ASC as
+    tie-breakers so the row order is TOTAL — a distributed engine must
+    pin ties or two runs disagree, and the SQL twin must spell the same
+    tie-breakers, with NULLS FIRST/LAST when keys are nullable), and
     LIMIT/OFFSET. An un-ORDERed LIMIT sorts on the full projection (the
     established deterministic-LIMIT idiom). OFFSET materializes only
     offset+limit rows on the driver (the parser requires LIMIT with it)."""
@@ -1019,9 +1021,9 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
             if v not in keys:
                 keys.append(v)
                 desc.append(False)
-        res = res.sort(keys, descending=desc)
+        res = _null_safe_sort(res, keys, desc, cols)
     elif q["limit"] is not None:
-        res = res.sort(cols)
+        res = _null_safe_sort(res, cols, [False] * len(cols), cols)
 
     if q["limit"] is not None:
         offset = q["offset"] or 0
@@ -1039,6 +1041,45 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
                 tbl = pa.schema([(v, pa.string()) for v in cols]).empty_table()
             res = rd.from_arrow(tbl.slice(offset))
     return res
+
+
+def _null_safe_sort(res, keys: list[str], desc: list[bool], out_cols: list[str]):
+    """Distributed sort robust to NULLs in any key column. Ray's sort
+    samples quantile boundaries and compares raw key values, so a null in
+    a key column (an OPTIONAL/UNION-padded var, a BIND over a non-integer
+    lexical, an all-null-group SUM) raises ``TypeError: '<' not supported``
+    deep inside the exchange. Each key becomes a (validity int8, filled
+    value) surrogate pair: ASC puts unbound FIRST (SPARQL's ordering —
+    unbound < everything), DESC reverses it to unbound last; among bound
+    values the order is unchanged, so twins without nulls are unaffected
+    and twins with nullable keys must spell ``ASC NULLS FIRST`` /
+    ``DESC NULLS LAST``. Surrogates are dropped by the final projection."""
+    key_list = list(keys)
+
+    def add_surrogates(batch: pa.Table) -> pa.Table:
+        for i, k in enumerate(key_list):
+            col = batch[k]
+            batch = batch.append_column(
+                f"__nn{i}", pc.cast(pc.is_valid(col), pa.int8())
+            )
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                filled = pc.fill_null(col, "")
+            else:
+                filled = pc.fill_null(col, pa.scalar(0).cast(col.type))
+            batch = batch.append_column(f"__fv{i}", filled)
+        return batch
+
+    skeys: list[str] = []
+    sdesc: list[bool] = []
+    for i, d in enumerate(desc):
+        skeys += [f"__nn{i}", f"__fv{i}"]
+        sdesc += [d, d]
+    out = res.map_batches(add_surrogates, batch_format="pyarrow").sort(
+        skeys, descending=sdesc
+    )
+    return out.map_batches(
+        lambda t: pa.table({c: t[c] for c in out_cols}), batch_format="pyarrow"
+    )
 
 
 def _distinct(res, cols: list[str]):

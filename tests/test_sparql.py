@@ -1335,3 +1335,53 @@ def test_filter_numeric_hostile_lexicals_match_oracle(ray_session):
             ).fetchall()
         ]
         assert got == want, (sp_op, const, got, want)
+
+
+def test_order_by_nullable_keys(ray_session):
+    """ORDER BY over nullable columns (UNION padding, BIND over a
+    non-integer lexical, OPTIONAL) must not crash Ray's sort boundary
+    sampling — _null_safe_sort surrogates make it total: unbound first
+    under ASC (SPARQL ordering), last under DESC."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [("s1", "http://e/p", "3"), ("s2", "http://e/q", "5")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    # ?w is null for the branch that doesn't bind ?z (UNION padding)
+    q = ("SELECT ?w WHERE { { ?x <http://e/p> ?v } UNION "
+         "{ ?v <http://e/q> ?z } BIND(?z + 1 AS ?w) } ORDER BY %s(?w)")
+    got = sparql_select(ds, q % "ASC").to_pandas()
+    assert got["w"].tolist() == [None, "6"]
+    got = sparql_select(ds, q % "DESC").to_pandas()
+    assert got["w"].tolist() == ["6", None]
+    # nullable key in the implicit deterministic-LIMIT sort
+    got = sparql_select(
+        ds,
+        "SELECT ?x ?w WHERE { { ?x <http://e/p> ?v } UNION "
+        "{ ?v <http://e/q> ?z } BIND(?z + 1 AS ?w) } LIMIT 2",
+    ).to_pandas()
+    assert len(got) == 2
+    # OPTIONAL-null in a tie-break column (appended behind ORDER BY ?s)
+    rows2 = [("s1", "http://e/p", "3"), ("s2", "http://e/p", "4"),
+             ("s1", "http://e/t", "tag")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows2:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds2 = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    got = sparql_select(
+        ds2,
+        "SELECT ?s ?t WHERE { ?s <http://e/p> ?v . "
+        "OPTIONAL { ?s <http://e/t> ?t } } ORDER BY ?s",
+    ).to_pandas()
+    assert list(zip(got["s"], got["t"])) == [("s1", "tag"), ("s2", None)]
