@@ -647,6 +647,21 @@ def bgp_execute(
     _reject_closures(minuses, "MINUS groups")
     _reject_closures([g for _n, g in exists], "FILTER EXISTS groups")
     _reject_closures(unions, "UNION branches")
+    if binds:
+        # MINUS / EXISTS groups join BEFORE binds evaluate, so a group
+        # mentioning a BIND target would silently treat it as a free inner
+        # variable instead of correlating on the computed value — reject
+        # rather than answer a different question. (An OPTIONAL group
+        # colliding with a target trips the freshness check below.)
+        bind_targets = {bv for bv, _be in binds}
+        for g in list(minuses) + [g for _n, g in exists]:
+            overlap = bind_targets & {v for p in g for v in _pattern_vars(p)}
+            if overlap:
+                raise ValueError(
+                    f"MINUS / FILTER EXISTS group references BIND target(s) "
+                    f"{sorted(overlap)}; BINDs evaluate after group joins — "
+                    "out of fragment"
+                )
     if unions:
         if patterns or optionals:
             raise ValueError("unions are mutually exclusive with patterns/optionals")

@@ -1385,3 +1385,27 @@ def test_order_by_nullable_keys(ray_session):
         "OPTIONAL { ?s <http://e/t> ?t } } ORDER BY ?s",
     ).to_pandas()
     assert list(zip(got["s"], got["t"])) == [("s1", "tag"), ("s2", None)]
+
+
+def test_bind_target_in_minus_exists_rejected(ray_session):
+    """A MINUS / FILTER EXISTS group naming a BIND target must reject
+    loudly: groups join before binds evaluate, so the name would silently
+    become a FREE inner variable instead of correlating on the computed
+    value. OPTIONAL collisions trip the freshness check instead."""
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    for bad in [
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(?v + 1 AS ?w) "
+        "MINUS { ?s <http://e/tag> ?w } }",
+        "SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(?v + 1 AS ?w) "
+        "FILTER EXISTS { ?s <http://e/tag> ?w } }",
+    ]:
+        with pytest.raises(ValueError, match="BIND target"):
+            sparql_select(ds, bad)
+    with pytest.raises(ValueError, match="already bound"):
+        sparql_select(
+            ds,
+            "SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(?v + 1 AS ?w) "
+            "OPTIONAL { ?s <http://e/tag> ?w } }",
+        )
