@@ -83,6 +83,17 @@ class PathPlus(NamedTuple):
     pred: Union[str, tuple]
     zero: bool = False
 
+
+class NegSet(NamedTuple):
+    """Predicate marker for a negated property set ``!p`` / ``!(p1|p2)``:
+    matches any triple whose predicate is NOT in ``preds`` (forward
+    members only — ``^`` inside the set is out of fragment; inverting the
+    whole step, ``^!p``, is supported since direction is the caller's
+    desugar). The scan filters ``pred NOT IN (...)``; SQL twins spell the
+    same. Closure over a negated set (``!p+``) stays out of fragment."""
+
+    preds: tuple
+
 _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
@@ -420,17 +431,23 @@ class _SelectParser:
     # ------------------------------------------------------- group parser
 
     def _path_elt(self):
-        """One property-path step: ``iri``, ``^iri`` (inverse), or a
+        """One property-path step: ``iri``, ``^iri`` (inverse), a
         parenthesized alternation ``(p1|p2|...)`` of plain IRIs —
-        optionally inverted as a whole, ``^(p1|p2)``. Returns (inverse,
-        iri) or (inverse, (iri, iri, ...)); an alternation step scans with
-        a predicate-set filter (SQL ``pred IN (...)``), still one scan.
-        Mixing ``^`` INSIDE an alternation branch would need per-branch
-        direction in a single scan — out of fragment, rejected."""
+        optionally inverted as a whole, ``^(p1|p2)`` — or a negated
+        property set ``!iri`` / ``!(p1|p2)`` (``^!p`` inverts the step).
+        Returns (inverse, iri | tuple | NegSet); an alternation step scans
+        with a predicate-set filter (SQL ``pred IN (...)``), a negated set
+        with its complement (``pred NOT IN (...)``) — still one scan.
+        Mixing ``^`` INSIDE a set would need per-branch direction in a
+        single scan — out of fragment, rejected."""
         inverse = False
         if self._peek() == ("op", "^"):
             self._next()
             inverse = True
+        neg = False
+        if self._peek() == ("op", "!"):
+            self._next()
+            neg = True
         if self._peek() == ("punct", "("):
             self._next()
             alts = []
@@ -438,8 +455,8 @@ class _SelectParser:
                 k, v = self._peek()
                 if k == "op" and v == "^":
                     raise ParseError(
-                        "'^' inside a path alternation is out of fragment; "
-                        "invert the whole group: ^(p1|p2)"
+                        "'^' inside a path alternation / negated set is out "
+                        "of fragment; invert the whole group: ^(p1|p2)"
                     )
                 if k not in ("iriref", "pname", "a_kw"):
                     raise ParseError(
@@ -452,35 +469,41 @@ class _SelectParser:
                     continue
                 self._expect("punct", ")")
                 break
-            alt: Union[str, tuple] = (
+            base: Union[str, tuple, NegSet] = (
                 alts[0] if len(alts) == 1 else tuple(dict.fromkeys(alts))
             )
-            return inverse, self._maybe_plus(alt)
-        k, v = self._peek()
-        if k in ("iriref", "pname", "a_kw"):
+        else:
+            k, v = self._peek()
+            if k not in ("iriref", "pname", "a_kw"):
+                raise ParseError(f"property-path step must be an IRI, got {v!r}")
             self._next()
-            return inverse, self._maybe_plus(self._resolve_const(k, v))
-        raise ParseError(f"property-path step must be an IRI, got {v!r}")
+            base = self._resolve_const(k, v)
+        if neg:
+            base = NegSet(base if isinstance(base, tuple) else (base,))
+        return inverse, self._maybe_plus(base)
 
     def _maybe_plus(self, pred):
         """Consume a trailing ``+`` (one-or-more closure) or ``*``
         (zero-or-more: reachable set plus the constant seed itself) on a
         path step. Both need one constant endpoint — enforced by the
         executor, which rejects ``?x p+/* ?y``."""
-        if self._peek() == ("op", "+"):
+        nxt = self._peek()
+        if nxt in (("op", "+"), ("star", "*")):
+            if isinstance(pred, NegSet):
+                raise ParseError(
+                    "closure over a negated property set is out of fragment"
+                )
             self._next()
-            return PathPlus(pred)
-        if self._peek() == ("star", "*"):
-            self._next()
-            return PathPlus(pred, zero=True)
+            return PathPlus(pred, zero=nxt == ("star", "*"))
         return pred
 
     def _predicate(self):
-        """Predicate position: a plain ``?var``, or a property path of IRI
-        steps — sequence ``p1/p2`` and inverse ``^p`` only (``|``, ``*``,
-        ``+``, ``?`` stay out of fragment; the transitive cases are the
-        kg_reachability operator's job). Returns the var token or a list
-        of (inverse, iri) steps for the caller to desugar."""
+        """Predicate position: a plain ``?var``, or a property path of
+        steps joined by ``/`` — each step an IRI, ``^``-inverse,
+        parenthesized alternation, negated set or ``+``/``*`` closure
+        (see _path_elt / _maybe_plus; ``p?`` zero-or-one stays out of
+        fragment). Returns the var token or a list of (inverse, step)
+        pairs for the caller to desugar."""
         k, v = self._peek()
         if k == "var":
             self._next()

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.sparql import PathPlus
+from ..core.sparql import NegSet, PathPlus
 from .oracle import KG_TRIPLES_SQL
 
 __all__ = ["bgp_execute", "kg_bgp", "KG_BGP_SQL"]
@@ -87,7 +87,16 @@ def _scan(triples_ds, pattern):
     def project(batch: pa.Table) -> pa.Table:
         mask = None
         for pos, const in filters:
-            if isinstance(const, tuple):  # path alternation: pred IN set
+            if isinstance(const, NegSet):  # negated set: pred NOT IN (...)
+                # checked BEFORE the plain-tuple branch — NegSet is a
+                # NamedTuple and would otherwise scan as an alternation
+                m = pc.invert(
+                    pc.is_in(
+                        batch[pos],
+                        value_set=pa.array(list(const.preds), pa.string()),
+                    )
+                )
+            elif isinstance(const, tuple):  # path alternation: pred IN set
                 m = pc.is_in(
                     batch[pos], value_set=pa.array(list(const), pa.string())
                 )
@@ -111,7 +120,11 @@ def _order_patterns(patterns) -> list:
     """Greedy left-deep join order: start at the most-constant pattern,
     then always extend through a shared variable (reject cartesians)."""
     remaining = list(patterns)
-    n_const = lambda p: sum(0 if _is_var(t) else 1 for t in p)  # noqa: E731
+    # a NegSet predicate is constant but UNselective (it matches most of
+    # the store) — don't let it win the most-constant-first heuristic
+    n_const = lambda p: sum(  # noqa: E731
+        0 if (_is_var(t) or isinstance(t, NegSet)) else 1 for t in p
+    )
     first = max(remaining, key=n_const)
     ordered = [first]
     remaining.remove(first)
@@ -2449,3 +2462,39 @@ def kg_sparql_bind(sf_dir: str):
     engines (Arrow ``*_checked`` / DuckDB BIGINT), the rendered string
     re-enters SUM under the fragment's integer-lexical semantics."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_BIND_QUERY)
+
+
+# Negated property set !(...): every property of an assistant turn EXCEPT
+# the bulky text, the role selector itself and rdf:type — i.e. index,
+# tsMicros and toolUse links. One scan with a pred NOT IN complement
+# filter; the twin spells the identical NOT IN.
+KG_SPARQL_NEGSET_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?t ?o
+WHERE {
+  ?t c:role role:assistant .
+  ?t !(c:text|c:role|<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>) ?o
+}
+"""
+
+KG_SPARQL_NEGSET_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS t, t2.obj_value AS o
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.subj
+          AND t2.pred NOT IN ('{_C}text', '{_C}role',
+                              'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+WHERE t1.pred = '{_C}role'
+  AND t1.obj_value = 'http://example.org/role/assistant'
+"""
+
+
+def kg_sparql_negset(sf_dir: str):
+    """SPARQL negated property set: assistant turns' properties other
+    than text/role/rdf:type (their index, timestamp and tool-use links)
+    — one complement-filtered scan (``pred NOT IN``) joined to the role
+    selector."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_NEGSET_QUERY)

@@ -1409,3 +1409,40 @@ def test_bind_target_in_minus_exists_rejected(ray_session):
             "SELECT ?s WHERE { ?s <http://e/val> ?v . BIND(?v + 1 AS ?w) "
             "OPTIONAL { ?s <http://e/tag> ?w } }",
         )
+
+
+def test_parse_and_execute_negated_property_set(ray_session):
+    from rdf_xml_ex_ray.core.sparql import NegSet
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    q = parse_select("SELECT ?o WHERE { ?s !<http://e/val> ?o }")
+    assert q["patterns"] == [("?s", NegSet(("http://e/val",)), "?o")]
+    q = parse_select(
+        "PREFIX e: <http://e/> SELECT ?o WHERE { ?s !(e:val|e:tag) ?o }"
+    )
+    assert q["patterns"] == [("?s", NegSet(("http://e/val", "http://e/tag")), "?o")]
+    # ^!p inverts the step (s/o swap), the set stays forward-only
+    q = parse_select("SELECT ?o WHERE { ?s ^!<http://e/val> ?o }")
+    assert q["patterns"] == [("?o", NegSet(("http://e/val",)), "?s")]
+    for bad, msg in [
+        ("SELECT ?o WHERE { ?s !(<http://e/a>|^<http://e/b>) ?o }",
+         "out of fragment"),
+        ("SELECT ?o WHERE { ?s !<http://e/a>+ ?o }", "out of fragment"),
+        ("SELECT ?o WHERE { ?s !<http://e/a>* ?o }", "out of fragment"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_select(bad)
+
+    # executor: complement scan (s1 has val+tag; s2/s3 val only; s4 val)
+    ds = _num_graph()
+    got = sparql_select(
+        ds, "SELECT ?s ?o WHERE { ?s !<http://e/val> ?o } ORDER BY ?s"
+    ).to_pandas()
+    assert list(zip(got["s"], got["o"])) == [("s1", "alpha"), ("s3", "beta")]
+    # negset joined through a selector, sequence-position form
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?o WHERE { ?s <http://e/tag> ?t . "
+        "?s !(<http://e/tag>) ?o } ORDER BY ?s",
+    ).to_pandas()
+    assert list(zip(got["s"], got["o"])) == [("s1", "3"), ("s3", "7")]
