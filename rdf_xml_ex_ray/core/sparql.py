@@ -98,7 +98,7 @@ _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
-    "IN|NOT|EXISTS|BIND"
+    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
@@ -652,6 +652,13 @@ class _SelectParser:
                     "distributed distinct; use GROUP BY, or the distinct_kmv / "
                     "kg_void_stats operators)"
                 )
+            if not group_by and any(
+                isinstance(f, tuple) for f, _v, _d, _a in aggregates
+            ):
+                raise ParseError(
+                    "global GROUP_CONCAT (no GROUP BY) is out of fragment — "
+                    "it materializes the whole column in one string"
+                )
         elif group_by:
             raise ParseError("GROUP BY without aggregate functions in SELECT")
 
@@ -1084,17 +1091,26 @@ class _SelectParser:
             "exists": exists,
         }
 
-    def _aggregate_item(self) -> tuple[str, str | None, bool, str]:
+    def _aggregate_item(self) -> tuple:
         """``(AGG(* | [DISTINCT] ?v) AS ?alias)`` in the SELECT clause.
-        AGG in {COUNT, MIN, MAX, SUM, AVG}. MIN/MAX compare codepoint/byte
-        order — UTF-8 byte order equals codepoint order, so both engines
-        agree. SUM/AVG read INTEGER lexical forms exactly (core/numeric
-        semantics: any non-``[+-]?\\d{1,18}`` form is unbound/NULL); SUM
-        renders the exact integer as a string, AVG is strtod(SUM)/COUNT —
-        deterministic under distribution, unlike float summation."""
+        AGG in {COUNT, MIN, MAX, SUM, AVG, GROUP_CONCAT}. MIN/MAX compare
+        codepoint/byte order — UTF-8 byte order equals codepoint order, so
+        both engines agree. SUM/AVG read INTEGER lexical forms exactly
+        (core/numeric semantics: any non-``[+-]?\\d{1,18}`` form is
+        unbound/NULL); SUM renders the exact integer as a string, AVG is
+        strtod(SUM)/COUNT — deterministic under distribution, unlike float
+        summation. ``GROUP_CONCAT([DISTINCT] ?v ; SEPARATOR = "s")``
+        (default separator a single space) concatenates in CODEPOINT-
+        SORTED order — solution order is nondeterministic under
+        distribution, so the fragment pins the sort and twins spell
+        ``string_agg(v, s ORDER BY v)``; an all-null group is NULL
+        (DuckDB's convention). Its function slot is the tuple
+        ``("GC", separator)``; it requires GROUP BY (a global concat has
+        no small-result guarantee) and cannot pre-aggregate (merging
+        per-block concats would break the global sort)."""
         self._expect("punct", "(")
         fk, fv = self._next()
-        if fk not in ("COUNT", "MIN", "MAX", "SUM", "AVG"):
+        if fk not in ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT"):
             raise ParseError(f"expected aggregate function, got {fv!r}")
         self._expect("punct", "(")
         agg_distinct = False
@@ -1112,10 +1128,25 @@ class _SelectParser:
             raise ParseError(f"aggregate argument must be ?var or *, got {v2!r}")
         if agg_distinct and fk in ("MIN", "MAX"):
             raise ParseError(f"DISTINCT inside {fk}(...) is a no-op; drop it")
+        sep = " "
+        if self._peek() == ("punct", ";"):
+            if fk != "GROUP_CONCAT":
+                raise ParseError(f"';' is only valid inside GROUP_CONCAT, not {fk}")
+            self._next()
+            self._expect("SEPARATOR")
+            k3, v3 = self._next()
+            if (k3, v3) != ("op", "="):
+                raise ParseError(f"expected '=' after SEPARATOR, got {v3!r}")
+            k4, v4 = self._next()
+            if k4 != "literal":
+                raise ParseError("SEPARATOR needs a plain string literal")
+            sep = _unescape_literal(v4[1:-1])
         self._expect("punct", ")")
         self._expect("AS")
         alias = self._expect("var")[1:]
         self._expect("punct", ")")
+        if fk == "GROUP_CONCAT":
+            return (("GC", sep), var, agg_distinct, alias)
         return (fk, var, agg_distinct, alias)
 
 

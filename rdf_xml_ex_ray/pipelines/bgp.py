@@ -1370,6 +1370,12 @@ def _aggregate_bindings(res, group_by: list[str], aggregates, pre_aggregate=None
                     row[alias] = str(sum(vals))
                 else:
                     row[alias] = float(sum(vals)) / len(vals)
+            elif isinstance(f, tuple):  # ("GC", sep): GROUP_CONCAT
+                vals = df[v].dropna().tolist()
+                vals = sorted(set(vals)) if d else sorted(vals)
+                # codepoint-sorted concat (twin: string_agg ORDER BY v);
+                # all-null group -> NULL, DuckDB's convention
+                row[alias] = f[1].join(vals) if vals else None
             else:
                 s = df[v].dropna()
                 if len(s) == 0:
@@ -1390,9 +1396,15 @@ def _aggregate_bindings(res, group_by: list[str], aggregates, pre_aggregate=None
                 "__abucket", pa.array(_doc_bucket(key.to_pylist(), 64))
             )
 
-        decomposable = not any(d for _f, _v, d, _a in aggregates)
+        # DISTINCT needs the full value set per group; GROUP_CONCAT's
+        # globally-sorted concat cannot merge from per-block partials
+        decomposable = not any(
+            d or isinstance(f, tuple) for f, _v, d, _a in aggregates
+        )
         if pre_aggregate is True and not decomposable:
-            raise ValueError("DISTINCT aggregates cannot be pre-aggregated")
+            raise ValueError(
+                "DISTINCT / GROUP_CONCAT aggregates cannot be pre-aggregated"
+            )
         if decomposable and pre_aggregate is not False:
             partial_fields = [(c, pa.string()) for c in group_by]
             for f, _v, _d, alias in aggregates:
@@ -2498,3 +2510,39 @@ def kg_sparql_negset(sf_dir: str):
     — one complement-filtered scan (``pred NOT IN``) joined to the role
     selector."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_NEGSET_QUERY)
+
+
+# GROUP_CONCAT: per-conversation sorted distinct tool roster plus the raw
+# use count. Concat order is pinned to codepoint sort on BOTH engines
+# (the fragment's definition — solution order is nondeterministic under
+# distribution), so the strings are byte-identical by construction.
+KG_SPARQL_GROUPCONCAT_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?conv (GROUP_CONCAT(DISTINCT ?tool ; SEPARATOR = ",") AS ?tools)
+       (COUNT(?tool) AS ?n_uses)
+WHERE { ?conv c:turn ?t . ?t c:toolUse ?u . ?u c:tool ?tool }
+GROUP BY ?conv
+"""
+
+KG_SPARQL_GROUPCONCAT_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.subj AS conv, t3.obj_value AS tool
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}toolUse'
+  JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+  WHERE t1.pred = '{_C}turn'
+)
+SELECT conv, string_agg(DISTINCT tool, ',' ORDER BY tool) AS tools,
+       COUNT(tool) AS n_uses
+FROM b GROUP BY conv
+"""
+
+
+def kg_sparql_groupconcat(sf_dir: str):
+    """SPARQL GROUP_CONCAT: each conversation's codepoint-sorted distinct
+    tool roster (comma-joined) next to its raw tool-use count — the
+    mixed-aggregate (GC + COUNT) grouped path, which ships binding rows
+    (GROUP_CONCAT cannot merge from per-block partials)."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_GROUPCONCAT_QUERY)

@@ -1446,3 +1446,63 @@ def test_parse_and_execute_negated_property_set(ray_session):
         "?s !(<http://e/tag>) ?o } ORDER BY ?s",
     ).to_pandas()
     assert list(zip(got["s"], got["o"])) == [("s1", "3"), ("s3", "7")]
+
+
+def test_group_concat(ray_session):
+    """GROUP_CONCAT: codepoint-sorted concat, DISTINCT variant, custom
+    separator, all-null group -> NULL (DuckDB's convention), and loud
+    rejection of the global (no GROUP BY) form."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    q = parse_select(
+        'SELECT ?g (GROUP_CONCAT(DISTINCT ?v ; SEPARATOR = "|") AS ?c) '
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } GROUP BY ?g"
+    )
+    assert q["aggregates"] == [(("GC", "|"), "v", True, "c")]
+    # default separator is one space
+    q = parse_select(
+        "SELECT ?g (GROUP_CONCAT(?v) AS ?c) "
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } GROUP BY ?g"
+    )
+    assert q["aggregates"] == [(("GC", " "), "v", False, "c")]
+    with pytest.raises(ParseError, match="global GROUP_CONCAT"):
+        parse_select(
+            "SELECT (GROUP_CONCAT(?v) AS ?c) WHERE { ?s <http://e/v> ?v }"
+        )
+    with pytest.raises(ParseError, match="only valid inside GROUP_CONCAT"):
+        parse_select(
+            'SELECT ?g (SUM(?v ; SEPARATOR = ",") AS ?c) '
+            "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } GROUP BY ?g"
+        )
+
+    rows = [("s1", "http://e/g", "A"), ("s1", "http://e/v", "z"),
+            ("s2", "http://e/g", "A"), ("s2", "http://e/v", "b"),
+            ("s3", "http://e/g", "A"), ("s3", "http://e/v", "z"),
+            ("s4", "http://e/g", "B"), ("s4", "http://e/v", "k")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    got = sparql_select(
+        ds,
+        'SELECT ?g (GROUP_CONCAT(?v ; SEPARATOR = ",") AS ?all) '
+        '(GROUP_CONCAT(DISTINCT ?v ; SEPARATOR = ",") AS ?dis) '
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } "
+        "GROUP BY ?g ORDER BY ?g",
+    ).to_pandas()
+    assert list(zip(got["g"], got["all"], got["dis"])) == [
+        ("A", "b,z,z", "b,z"), ("B", "k", "k"),
+    ]
+    # all-null group: OPTIONAL var never bound -> NULL concat
+    got = sparql_select(
+        ds,
+        "SELECT ?g (GROUP_CONCAT(?t) AS ?c) WHERE { ?s <http://e/g> ?g . "
+        "OPTIONAL { ?s <http://e/missing> ?t } } GROUP BY ?g ORDER BY ?g",
+    ).to_pandas()
+    assert got["c"].tolist() == [None, None]
