@@ -164,8 +164,8 @@ def _bucketed_attach(pairs_ds, docs_ds, key_col: str, payload_type: pa.DataType,
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     # 2-way union of two DISTINCT small aggregates — not the K-way same-read
-    # fan-in CLAUDE.md's lore warns about (that one re-plans K copies of one
-    # read; here each branch is its own already-reduced dataset)
+    # fan-in the repo working notes warn about (that one re-plans K copies
+    # of one read; here each branch is its own already-reduced dataset)
     tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
         docs_ds.map_batches(tag_docs, batch_format="pyarrow")
     )
