@@ -98,7 +98,7 @@ _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
-    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR"
+    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
@@ -1093,7 +1093,9 @@ class _SelectParser:
 
     def _aggregate_item(self) -> tuple:
         """``(AGG(* | [DISTINCT] ?v) AS ?alias)`` in the SELECT clause.
-        AGG in {COUNT, MIN, MAX, SUM, AVG, GROUP_CONCAT}. MIN/MAX compare
+        AGG in {COUNT, MIN, MAX, SUM, AVG, GROUP_CONCAT, SAMPLE}. SAMPLE
+        is the deterministic codepoint-minimum choice (= MIN; any element
+        conforms, and a distributed engine must pin one). MIN/MAX compare
         codepoint/byte order — UTF-8 byte order equals codepoint order, so
         both engines agree. SUM/AVG read INTEGER lexical forms exactly
         (core/numeric semantics: any non-``[+-]?\\d{1,18}`` form is
@@ -1110,13 +1112,21 @@ class _SelectParser:
         per-block concats would break the global sort)."""
         self._expect("punct", "(")
         fk, fv = self._next()
-        if fk not in ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT"):
+        if fk not in ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE"):
             raise ParseError(f"expected aggregate function, got {fv!r}")
+        was_sample = fk == "SAMPLE"
+        if was_sample:
+            # SAMPLE returns an ARBITRARY element of the group (SPARQL 1.1
+            # §18.5.1.8) — any deterministic choice conforms, and a
+            # distributed engine must pin one or two runs disagree. The
+            # fragment picks the codepoint-minimum, i.e. MIN; twins spell
+            # MIN(v) likewise.
+            fk = "MIN"
         self._expect("punct", "(")
         agg_distinct = False
         if self._peek()[0] == "DISTINCT":
             self._next()
-            agg_distinct = True
+            agg_distinct = not was_sample  # SAMPLE(DISTINCT x) = SAMPLE(x)
         k2, v2 = self._next()
         if k2 == "star":
             if fk != "COUNT" or agg_distinct:

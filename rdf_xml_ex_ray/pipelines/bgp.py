@@ -2546,3 +2546,29 @@ def kg_sparql_groupconcat(sf_dir: str):
     mixed-aggregate (GC + COUNT) grouped path, which ships binding rows
     (GROUP_CONCAT cannot merge from per-block partials)."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_GROUPCONCAT_QUERY)
+
+
+# SAMPLE: one representative turn per conversation next to the turn count.
+# SPARQL allows any group element; the fragment pins the codepoint minimum
+# (= MIN) so the distributed answer is reproducible — the twin spells MIN.
+KG_SPARQL_SAMPLE_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?conv (SAMPLE(?t) AS ?a_turn) (COUNT(?t) AS ?n_turns)
+WHERE { ?conv c:turn ?t }
+GROUP BY ?conv
+"""
+
+KG_SPARQL_SAMPLE_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT subj AS conv, MIN(obj_value) AS a_turn, COUNT(obj_value) AS n_turns
+FROM kt WHERE pred = '{_C}turn' GROUP BY subj
+"""
+
+
+def kg_sparql_sample(sf_dir: str):
+    """SPARQL SAMPLE: a pinned representative turn per conversation (the
+    codepoint-minimum — deterministic under distribution) with the turn
+    count."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_SAMPLE_QUERY)

@@ -1506,3 +1506,28 @@ def test_group_concat(ray_session):
         "OPTIONAL { ?s <http://e/missing> ?t } } GROUP BY ?g ORDER BY ?g",
     ).to_pandas()
     assert got["c"].tolist() == [None, None]
+
+
+def test_sample_aggregate(ray_session):
+    """SAMPLE = the fragment's pinned codepoint-minimum choice (any group
+    element conforms per SPARQL 1.1; a distributed engine must pick one
+    deterministically). SAMPLE(DISTINCT x) = SAMPLE(x)."""
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    q = parse_select(
+        "SELECT ?g (SAMPLE(?v) AS ?one) "
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } GROUP BY ?g"
+    )
+    assert q["aggregates"] == [("MIN", "v", False, "one")]
+    q = parse_select(
+        "SELECT ?g (SAMPLE(DISTINCT ?v) AS ?one) "
+        "WHERE { ?s <http://e/g> ?g . ?s <http://e/v> ?v } GROUP BY ?g"
+    )
+    assert q["aggregates"] == [("MIN", "v", False, "one")]
+    ds = _num_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?s (SAMPLE(?o) AS ?one) WHERE { ?s <http://e/val> ?v . "
+        "?s <http://e/tag> ?o } GROUP BY ?s ORDER BY ?s",
+    ).to_pandas()
+    assert list(zip(got["s"], got["one"])) == [("s1", "alpha"), ("s3", "beta")]
