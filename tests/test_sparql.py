@@ -1531,3 +1531,31 @@ def test_sample_aggregate(ray_session):
         "?s <http://e/tag> ?o } GROUP BY ?s ORDER BY ?s",
     ).to_pandas()
     assert list(zip(got["s"], got["one"])) == [("s1", "alpha"), ("s3", "beta")]
+
+
+def test_group_by_bind_target(ray_session):
+    """GROUP BY over a BIND target, including the NULL group a
+    non-integer lexical produces (SQL convention: nulls form one group;
+    null-safe ORDER puts it first under ASC)."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [("s1", "http://e/v", "1"), ("s2", "http://e/v", "2"),
+            ("s3", "http://e/v", "3"), ("s4", "http://e/v", "oops")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    got = sparql_select(
+        ds,
+        "SELECT ?w (COUNT(*) AS ?n) WHERE { ?s <http://e/v> ?v . "
+        "BIND(?v + 10 AS ?w) } GROUP BY ?w ORDER BY ?w",
+    ).to_pandas()
+    assert list(zip(got["w"], got["n"])) == [
+        (None, 1), ("11", 1), ("12", 1), ("13", 1),
+    ]
