@@ -7,6 +7,8 @@ executor evaluates:
 
     PREFIX pfx: <ns> ...
     SELECT [DISTINCT] ?v1 ?v2 | * | ?g1 ... (AGG(*|[DISTINCT] ?v) AS ?alias) ...
+         | ?v1 ... (int-expr AS ?alias) ...  # expression projection
+                                             # (desugared to BIND)
     WHERE {
         s path o . ...              # path steps: p, ^p, (p1|p2); join by /
         FILTER ( expr ) ...
@@ -102,6 +104,8 @@ _KEYWORDS = (
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
+
+_AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
 
 # NB: regex alternation is first-match — the full pname (with local part)
 # must precede the bare namespace form so "ex:s" lexes as one token while
@@ -603,6 +607,7 @@ class _SelectParser:
             distinct = True
         project: list[str] | None = []
         aggregates: list[tuple[str, str | None, bool, str]] = []
+        sel_exprs: list[tuple[str, tuple]] = []  # expression projections
         if self._peek()[0] == "star":
             self._next()
             project = None  # all vars, in first-appearance order
@@ -613,7 +618,12 @@ class _SelectParser:
                     self._next()
                     project.append(v[1:])
                 elif (k, v) == ("punct", "("):
-                    aggregates.append(self._aggregate_item())
+                    if self._peek(1)[0] in _AGG_FNS:
+                        aggregates.append(self._aggregate_item())
+                    else:
+                        alias, bexpr = self._select_expr_item()
+                        sel_exprs.append((alias, bexpr))
+                        project.append(alias)
                 else:
                     break
             if not project and not aggregates:
@@ -621,6 +631,17 @@ class _SelectParser:
         patterns, optionals, filters, unions, minuses, exists, binds = (
             self._where_block()
         )
+        if sel_exprs:
+            if aggregates:
+                raise ParseError(
+                    "expression projections combined with aggregates are out "
+                    "of fragment (project the BIND of the expression instead)"
+                )
+            # desugar: expression projections ARE binds, evaluated after the
+            # WHERE clause's own BINDs (so they may read earlier targets);
+            # the shared duplicate/freshness checks below and in the
+            # executor cover them identically
+            binds = list(binds) + sel_exprs
         tgt_seen: set[str] = set()
         for bv, _be in binds:
             if bv in tgt_seen:
@@ -1091,6 +1112,19 @@ class _SelectParser:
             "exists": exists,
         }
 
+    def _select_expr_item(self) -> tuple[str, tuple]:
+        """``(int-expr AS ?alias)`` expression projection — the same
+        integer value-expression grammar as BIND (it desugars to one):
+        checked int64 arithmetic over bound variables, rendered as the
+        decimal string. SQL twins spell
+        ``CAST(<int-expr over guarded casts> AS VARCHAR) AS alias``."""
+        self._expect("punct", "(")
+        expr = self._num_expr()
+        self._expect("AS")
+        alias = self._expect("var")[1:]
+        self._expect("punct", ")")
+        return alias, expr
+
     def _aggregate_item(self) -> tuple:
         """``(AGG(* | [DISTINCT] ?v) AS ?alias)`` in the SELECT clause.
         AGG in {COUNT, MIN, MAX, SUM, AVG, GROUP_CONCAT, SAMPLE}. SAMPLE
@@ -1112,7 +1146,7 @@ class _SelectParser:
         per-block concats would break the global sort)."""
         self._expect("punct", "(")
         fk, fv = self._next()
-        if fk not in ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE"):
+        if fk not in _AGG_FNS:
             raise ParseError(f"expected aggregate function, got {fv!r}")
         was_sample = fk == "SAMPLE"
         if was_sample:

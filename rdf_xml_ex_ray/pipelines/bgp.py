@@ -2476,6 +2476,46 @@ def kg_sparql_bind(sf_dir: str):
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_BIND_QUERY)
 
 
+# Expression projection: SELECT (int-expr AS ?alias) — the same checked-
+# int64 value-expression grammar as BIND (the parser desugars it to one,
+# evaluated after the WHERE clause's own BINDs). Here: each assistant
+# turn with a derived rank 3*?idx - 1, plus a second projection reading
+# the first's target (?rank + 10) — exercising the declaration-order
+# evaluation chain. Twin: identical BIGINT arithmetic rendered to VARCHAR.
+KG_SPARQL_EXPR_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?turn (3 * ?idx - 1 AS ?rank) (?rank + 10 AS ?shifted)
+WHERE {
+  ?turn c:index ?idx . ?turn c:role role:assistant
+}
+"""
+
+KG_SPARQL_EXPR_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.subj AS turn,
+         3 * {_int_cast_sql("t1.obj_value", "BIGINT")} - 1 AS rank_i
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}role'
+            AND t2.obj_value = 'http://example.org/role/assistant'
+  WHERE t1.pred = '{_C}index'
+)
+SELECT turn, CAST(rank_i AS VARCHAR) AS rank,
+       CAST(rank_i + 10 AS VARCHAR) AS shifted
+FROM b
+"""
+
+
+def kg_sparql_expr(sf_dir: str):
+    """SPARQL expression projections: ``SELECT (3*?idx-1 AS ?rank)
+    (?rank+10 AS ?shifted)`` — desugared to BINDs by the parser; the
+    second projection reads the first's target (declaration-order
+    evaluation), both rendered as decimal strings on both engines."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXPR_QUERY)
+
+
 # Negated property set !(...): every property of an assistant turn EXCEPT
 # the bulky text, the role selector itself and rdf:type — i.e. index,
 # tsMicros and toolUse links. One scan with a pred NOT IN complement

@@ -1254,6 +1254,58 @@ def test_executor_bind(ray_session):
             sparql_select(ds, bad)
 
 
+def test_parse_select_expression_projection():
+    # (int-expr AS ?alias) in SELECT desugars to a BIND appended after the
+    # WHERE clause's own binds, and the alias lands in the projection
+    q = parse_select(
+        "SELECT ?s (2 * ?v AS ?d) WHERE { ?s <http://e/val> ?v . "
+        "BIND(?v + 1 AS ?w) }"
+    )
+    assert q["project"] == ["s", "d"]
+    assert q["binds"] == [
+        ("w", ("bop", "+", ("bvar", "v"), ("bnum", 1))),
+        ("d", ("bop", "*", ("bnum", 2), ("bvar", "v"))),
+    ]
+    from rdf_xml_ex_ray.core.sparql import parse_query
+
+    for bad, msg in [
+        # duplicate target across BIND and the projection expression
+        ("SELECT (1 AS ?w) WHERE { ?s <http://e/val> ?v . BIND(2 AS ?w) }",
+         "duplicate BIND target"),
+        # aggregates and expression projections don't mix
+        ("SELECT (COUNT(*) AS ?n) (1 + 2 AS ?k) WHERE { ?s <http://e/p> ?v }",
+         "out of fragment"),
+        # the expression grammar is BIND's: integers only
+        ("SELECT (1.5 + ?v AS ?k) WHERE { ?s <http://e/val> ?v }",
+         "integer lexical"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_query(bad)
+
+
+def test_executor_select_expression_projection(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    got = sparql_select(
+        ds,
+        "SELECT ?s (3 * ?v - 1 AS ?r) (?r + 10 AS ?shift) "
+        "WHERE { ?s <http://e/val> ?v } ORDER BY ?s",
+    ).to_pandas()
+    # non-integer lexical ('oops') propagates NULL through both exprs
+    assert list(zip(got["s"], got["r"], got["shift"])) == [
+        ("s1", "8", "18"), ("s2", "29", "39"), ("s3", "20", "30"),
+        ("s4", None, None),
+    ]
+    # an expression projection target is already bound for later FILTERs
+    got = sparql_select(
+        ds,
+        "SELECT (?v * ?v AS ?sq) WHERE { ?s <http://e/val> ?v "
+        "FILTER(?v >= 7) } ORDER BY ?sq",
+    ).to_pandas()
+    assert got["sq"].tolist() == ["100", "49"]
+
+
 def test_executor_bind_overflow_raises_both_engines(ray_session):
     """int64 overflow in BIND arithmetic is a LOUD error on both engines
     (Arrow checked kernels / DuckDB BIGINT) — never a silent wrap."""
