@@ -32,6 +32,12 @@ twins) and signed numeric literals. FILTER expressions support ``&&``,
 predicates ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS(?v, "s")`` /
 ``STRENDS`` / ``CONTAINS`` (RE2 regex syntax on BOTH engines; null →
 False; negatable with ``!`` under not-null-AND-not semantics),
+the term-facet forms ``isIRI(?v)`` / ``isBlank(?v)`` / ``isLiteral(?v)``
+(negatable) and ``LANG(?v)`` / ``DATATYPE(?v)`` compared ``=``/``!=``
+against a constant (LANG of a plain literal is ``""``; DATATYPE defaults
+to xsd:string / rdf:langString; both error→drop on non-literals; facets
+need the variable bound by a required pattern in object position — or
+subject position for the kind tests),
 ``?v [NOT] IN (c1, c2, ...)`` membership, and the comparisons
 ``= != < <= > >=``; ordering comparisons (``< <= > >=``) require one
 NUMERIC operand — they evaluate under SQL TRY_CAST-to-double semantics
@@ -100,12 +106,16 @@ _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
-    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE"
+    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
+    "ISIRI|ISBLANK|ISLITERAL"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
 
 _AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
+
+# term-kind test functions -> the stored kind value they assert
+_KIND_FNS = {"ISIRI": "iri", "ISBLANK": "bnode", "ISLITERAL": "literal"}
 
 # NB: regex alternation is first-match — the full pname (with local part)
 # must precede the bare namespace form so "ex:s" lexes as one token while
@@ -180,7 +190,11 @@ def _tokenize(text: str):
 #   ("cmp", op, operand, operand)  op in {=, !=, <, <=, >, >=}
 # operands: ("var", name) | ("num", float) | ("str", s) — IRI/pname/literal
 # constants all become ("str", resolved-string), matching the bgp engine's
-# kind-agnostic string-identity convention.
+# kind-agnostic string-identity convention. Term-facet forms:
+#   ("kindis", var, kind)     isIRI/isBlank/isLiteral; kind in {iri,bnode,literal}
+#   ("not_kindis", kindis)    bound AND kind-differs
+#   ("facet_cmp", op, ("lang"|"dt", var), ("str", const))  op in {=, !=}
+# evaluated from scan-carried facet columns (pipelines/bgp facet plan).
 
 
 class _SelectParser:
@@ -263,10 +277,17 @@ class _SelectParser:
                 return ("not", self._unary_expr())
             if nxt in _STRING_FNS:
                 return ("not_sfn", self._string_fn())
+            if nxt in _KIND_FNS:
+                # !isIRI(?v) etc: bound AND kind-differs (error-on-unbound
+                # -> row dropped; SQL `kind IS NOT NULL AND kind <> k`)
+                return ("not_kindis", self._kind_fn())
             raise ParseError(
-                "'!' is only supported before BOUND(...) or a string "
-                "function (REGEX/STRSTARTS/STRENDS/CONTAINS)"
+                "'!' is only supported before BOUND(...), a string function "
+                "(REGEX/STRSTARTS/STRENDS/CONTAINS) or a term-kind test "
+                "(isIRI/isBlank/isLiteral)"
             )
+        if self._peek()[0] in _KIND_FNS:
+            return self._kind_fn()
         if self._peek()[0] == "BOUND":
             self._next()
             self._expect("punct", "(")
@@ -281,6 +302,18 @@ class _SelectParser:
             self._expect("punct", ")")
             return inner
         return self._comparison()
+
+    def _kind_fn(self):
+        """``isIRI(?v)`` / ``isBlank(?v)`` / ``isLiteral(?v)`` — term-kind
+        tests over one variable. The executor reads the kind facet column
+        the variable's binding scan carries (subj_kind / obj_kind); an
+        unbound (OPTIONAL-padded) variable fails the test, matching SQL's
+        null comparison under the keep-iff-true sink."""
+        fk, _ = self._next()
+        self._expect("punct", "(")
+        var = self._expect("var")[1:]
+        self._expect("punct", ")")
+        return ("kindis", var, _KIND_FNS[fk])
 
     def _string_fn(self):
         """``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS(?v, "s")`` /
@@ -320,6 +353,17 @@ class _SelectParser:
         if k == "var":
             self._next()
             return ("var", v[1:])
+        if k in ("LANG", "DATATYPE"):
+            # LANG(?v) / DATATYPE(?v) — facet accessors, only usable on
+            # the LEFT of an =/!= against a constant (checked in
+            # _comparison). LANG of a plain literal is "" (SPARQL);
+            # DATATYPE of a plain literal is xsd:string, of a lang-tagged
+            # one rdf:langString; both ERROR (row dropped) on non-literals.
+            self._next()
+            self._expect("punct", "(")
+            var = self._expect("var")[1:]
+            self._expect("punct", ")")
+            return ("lang" if k == "LANG" else "dt", var)
         if k == "number":
             self._next()
             return ("num", float(v))
@@ -363,6 +407,16 @@ class _SelectParser:
         if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
             raise ParseError(f"expected comparison operator in FILTER, got {op!r}")
         rhs = self._operand()
+        if lhs[0] in ("lang", "dt") or rhs[0] in ("lang", "dt"):
+            fname = "LANG" if "lang" in (lhs[0], rhs[0]) else "DATATYPE"
+            if lhs[0] not in ("lang", "dt") or rhs[0] != "str":
+                raise ParseError(
+                    f"{fname}(?v) comparisons need the facet on the left and "
+                    "a constant on the right"
+                )
+            if op not in ("=", "!="):
+                raise ParseError(f"{fname}(?v) supports only = / != comparisons")
+            return ("facet_cmp", op, lhs, rhs)
         if op in ("<", "<=", ">", ">=") and lhs[0] != "num" and rhs[0] != "num":
             raise ParseError(
                 f"ordering comparison {op!r} needs one numeric operand "

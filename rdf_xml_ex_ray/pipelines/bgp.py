@@ -47,7 +47,7 @@ def _pattern_vars(pattern) -> list[str]:
     return [t[1:] for t in pattern if _is_var(t)]
 
 
-def _scan(triples_ds, pattern):
+def _scan(triples_ds, pattern, extra_cols=()):
     """One triple/quad pattern -> Dataset of its variable bindings.
 
     Constants are Arrow equality filters (obj constants match ``obj_value``
@@ -58,6 +58,11 @@ def _scan(triples_ds, pattern):
     A 4-term pattern binds/filters the ``graph`` column of a quad-row
     Dataset (SPARQL ``GRAPH``); 3-term patterns against a quad store scan
     the union of all named graphs (the union-default-graph convention).
+
+    ``extra_cols`` is a list of (output name, source column) pairs copied
+    from the matched store rows into the binding table — the term-facet
+    channel (obj_kind/obj_lang/obj_datatype/subj_kind) for FILTER's
+    LANG/DATATYPE/isIRI/isBlank/isLiteral (see bgp_execute's facet plan).
     """
     if len(pattern) not in (3, 4):
         raise ValueError(f"pattern must have 3 (triple) or 4 (quad) terms: {pattern}")
@@ -111,7 +116,10 @@ def _scan(triples_ds, pattern):
             # all-constant pattern: a zero-column Arrow table always reports
             # 0 rows, so keep the match count visible for existence checks
             return pa.table({"__present": pa.repeat(True, t.num_rows)})
-        return pa.table({v: t[pos].cast(pa.string()) for v, pos in var_cols.items()})
+        cols = {v: t[pos].cast(pa.string()) for v, pos in var_cols.items()}
+        for out_name, src_col in extra_cols:
+            cols[out_name] = t[src_col].cast(pa.string())
+        return pa.table(cols)
 
     return triples_ds.map_batches(project, batch_format="pyarrow")
 
@@ -213,7 +221,7 @@ def _project_bound(acc, bound: list[str], needed):
     )
 
 
-def _join_group(triples_ds, patterns, num_buckets: int, keep=None):
+def _join_group(triples_ds, patterns, num_buckets: int, keep=None, facet_map=None):
     """Inner-join a connected pattern group left-deep; returns (acc, bound).
 
     ``keep`` (a set of variable names, or None to disable) enables
@@ -221,18 +229,29 @@ def _join_group(triples_ds, patterns, num_buckets: int, keep=None):
     the accumulator drops every variable that neither a remaining
     pattern nor any downstream consumer (projection, FILTER, OPTIONAL /
     MINUS / closure join keys) will read. Property-path fresh variables
-    (?__pN) are the canonical win: each lives for exactly one hop."""
+    (?__pN) are the canonical win: each lives for exactly one hop.
+
+    ``facet_map`` maps a pattern (by tuple value) to the extra
+    (facet column, store column) pairs its scan must carry into the
+    binding table (bgp_execute attaches each facet to exactly ONE
+    pattern, so tuple-keyed lookup is unambiguous)."""
+    fmap = facet_map or {}
+
+    def scan_of(p):
+        extra = fmap.get(p, ())
+        return _scan(triples_ds, p, extra), (
+            list(dict.fromkeys(_pattern_vars(p))) + [c for c, _s in extra]
+        )
+
     ordered = _order_patterns(patterns)
-    acc = _scan(triples_ds, ordered[0])
-    bound = list(dict.fromkeys(_pattern_vars(ordered[0])))
+    acc, bound = scan_of(ordered[0])
     for i, pattern in enumerate(ordered[1:], start=1):
         if keep is not None:
             future = {v for p in ordered[i:] for v in _pattern_vars(p)}
+            future.update(c for p in ordered[i:] for c, _s in fmap.get(p, ()))
             acc, bound = _project_bound(acc, bound, keep | future)
-        acc, bound = _join_onto(
-            acc, bound, _scan(triples_ds, pattern),
-            list(dict.fromkeys(_pattern_vars(pattern))), num_buckets, "inner",
-        )
+        rhs, pvars = scan_of(pattern)
+        acc, bound = _join_onto(acc, bound, rhs, pvars, num_buckets, "inner")
     if keep is not None:
         acc, bound = _project_bound(acc, bound, keep)
     return acc, bound
@@ -279,6 +298,66 @@ def _union_groups(triples_ds, unions, num_buckets: int):
         return rd.from_arrow(empty), cols
     acc = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return acc, cols
+
+
+# ----------------------------------------------------- term-facet channel
+#
+# FILTER's LANG(?v) / DATATYPE(?v) / isIRI / isBlank / isLiteral read term
+# METADATA the string-only binding table doesn't carry. The plan: each
+# facet-bearing variable's first REQUIRED pattern binding (object position
+# for kind/lang/datatype, subject position for kind) copies the store's
+# facet column(s) into the binding table as reserved ``__f_{facet}__{var}``
+# columns; they thread through the joins like ordinary variables and the
+# projection drops them. SQL twins read obj_kind/obj_lang/obj_datatype off
+# the same matched row. Facets over UNION / OPTIONAL-only / closure / BIND
+# bindings are out of fragment (no single required row to read them from).
+
+_FACET_NAMES = ("kind", "lang", "dt")
+
+_FACET_SRC = {"kind": "obj_kind", "lang": "obj_lang", "dt": "obj_datatype"}
+
+
+def _facet_col(var: str, facet: str) -> str:
+    return f"__f_{facet}__{var}"
+
+
+def _binding_site(var: str, patterns):
+    """The pattern (and position) whose scan carries ?var's facets:
+    the first required pattern binding it in OBJECT position, else the
+    first binding it in SUBJECT position (kind only). Deterministic in
+    the query's pattern order, independent of the join order."""
+    for want in ("obj_value", "subj"):
+        for p in patterns:
+            positions = _POSITIONS if len(p) == 3 else _POSITIONS + ("graph",)
+            for posname, term in zip(positions, p):
+                if posname == want and _is_var(term) and term[1:] == var:
+                    return p, want
+    return None, None
+
+
+def _facet_reqs(expr, out: dict):
+    """Collect {var: set of facets} a FILTER AST needs."""
+    k = expr[0]
+    if k in ("or", "and"):
+        for sub in expr[1]:
+            _facet_reqs(sub, out)
+    elif k == "not":
+        _facet_reqs(expr[1], out)
+    elif k in ("kindis",):
+        out.setdefault(expr[1], set()).add("kind")
+    elif k == "not_kindis":
+        _facet_reqs(expr[1], out)
+    elif k == "facet_cmp":
+        _fk, var = expr[2]
+        need = out.setdefault(var, set())
+        need.add("kind")  # LANG/DATATYPE error on non-literals -> kind gate
+        need.add("lang")
+        if _fk == "dt":
+            need.add("dt")
+
+
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
 # ------------------------------------------------------ FILTER evaluation
@@ -330,6 +409,34 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         inner = expr[1]
         valid = ~np.asarray(tbl[inner[2]].combine_chunks().is_null())
         return valid & ~_sfn_mask(inner, tbl)
+    if kind == "kindis":  # isIRI/isBlank/isLiteral: kind facet equality
+        m = pc.equal(tbl[_facet_col(expr[1], "kind")].combine_chunks(), expr[2])
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    if kind == "not_kindis":  # bound AND kind-differs
+        inner = expr[1]
+        col = tbl[_facet_col(inner[1], "kind")].combine_chunks()
+        valid = ~np.asarray(col.is_null())
+        return valid & ~_filter_mask(inner, tbl)
+    if kind == "facet_cmp":  # LANG(?v)/DATATYPE(?v) =/!= "const"
+        op, (facet, var), (_s, const) = expr[1], expr[2], expr[3]
+        kindv = tbl[_facet_col(var, "kind")].to_pandas().to_numpy(dtype=object)
+        langv = tbl[_facet_col(var, "lang")].to_pandas().to_numpy(dtype=object)
+        is_lit = kindv == "literal"  # null kind -> object mismatch -> False
+        has_lang = np.array([isinstance(x, str) for x in langv], dtype=bool)
+        if facet == "lang":
+            # SPARQL LANG: "" for plain literals, the tag otherwise
+            eff = np.where(has_lang, langv, "")
+        else:
+            dtv = tbl[_facet_col(var, "dt")].to_pandas().to_numpy(dtype=object)
+            has_dt = np.array([isinstance(x, str) for x in dtv], dtype=bool)
+            # SPARQL DATATYPE: the tag'd default is rdf:langString, the
+            # plain default xsd:string (the store never carries both)
+            eff = np.where(
+                has_dt, dtv, np.where(has_lang, _RDF_LANGSTRING, _XSD_STRING)
+            )
+        m = np.equal(eff, const) if op == "=" else np.not_equal(eff, const)
+        # non-literals ERROR in SPARQL -> row dropped on both engines
+        return np.asarray(m, dtype=bool) & is_lit
     if kind == "not_in":  # ?v NOT IN (...): not-null AND not-member
         arr = tbl[expr[1]].combine_chunks().cast(pa.string())
         valid = ~np.asarray(arr.is_null())
@@ -605,10 +712,14 @@ def _expr_vars(e, out: set):
         out.add(e[1])
     elif e[0] == "sfn":
         out.add(e[2])
-    elif e[0] == "not_sfn":
+    elif e[0] in ("not_sfn", "not_kindis"):
         _expr_vars(e[1], out)
     elif e[0] == "in_rows":
         out.update(e[1])
+    elif e[0] == "kindis":
+        out.add(e[1])
+    elif e[0] == "facet_cmp":
+        out.add(e[2][1])
     else:
         for o in (e[2], e[3]):
             if o[0] == "var":
@@ -678,6 +789,15 @@ def bgp_execute(
     if unions:
         if patterns or optionals:
             raise ValueError("unions are mutually exclusive with patterns/optionals")
+        ureq: dict[str, set] = {}
+        for f in filters:
+            _facet_reqs(f, ureq)
+        if ureq:
+            # a UNION var has no single required scan to read facets from
+            raise ValueError(
+                "facet functions (LANG/DATATYPE/is*) over UNION bindings "
+                "are out of fragment"
+            )
         acc, bound = _union_groups(triples_ds, unions, num_buckets)
         required_bound = set(bound)
     else:
@@ -702,12 +822,43 @@ def bgp_execute(
                     pa.schema([(v, pa.string()) for v in project]).empty_table()
                 )
 
+        # term-facet plan: each LANG/DATATYPE/is* variable's facets are
+        # copied into the binding table by exactly ONE required scan
+        facet_req: dict[str, set] = {}
+        for f in filters:
+            _facet_reqs(f, facet_req)
+        facet_map: dict = {}
+        for fvar in sorted(facet_req):
+            facets = facet_req[fvar]
+            site, posname = _binding_site(fvar, var_patterns)
+            if site is None:
+                raise ValueError(
+                    f"facet functions (LANG/DATATYPE/is*) need ?{fvar} bound "
+                    "in a required pattern's subject or object position; "
+                    "OPTIONAL-only / closure / BIND / graph-position bindings "
+                    "are out of fragment"
+                )
+            if posname == "subj" and facets - {"kind"}:
+                raise ValueError(
+                    f"LANG/DATATYPE need ?{fvar} bound in OBJECT position; "
+                    f"?{fvar} is only subject-bound"
+                )
+            if var_patterns.count(site) > 1:
+                raise ValueError(
+                    f"facet attach is ambiguous: pattern {site} appears more "
+                    "than once in the BGP"
+                )
+            src = {"kind": "subj_kind"} if posname == "subj" else _FACET_SRC
+            facet_map.setdefault(site, []).extend(
+                (_facet_col(fvar, f), src[f]) for f in sorted(facets)
+            )
         # projection pushdown: a variable survives a join only if the
         # projection, a FILTER, or an OPTIONAL/MINUS/closure join key
         # still reads it downstream
         keep = set(project)
         for f in filters:
             _expr_vars(f, keep)
+        keep.update(c for cols in facet_map.values() for c, _s in cols)
         for g in list(optionals) + list(minuses) + [g for _n, g in exists]:
             keep.update(v for p in g for v in _pattern_vars(p))
         for cp in closure_pats:
@@ -715,7 +866,9 @@ def bgp_execute(
         for _bv, be in binds:
             _bind_vars(be, keep)
         if var_patterns:
-            acc, bound = _join_group(triples_ds, var_patterns, num_buckets, keep)
+            acc, bound = _join_group(
+                triples_ds, var_patterns, num_buckets, keep, facet_map
+            )
         else:
             acc, bound = None, []
         # closure (p+) patterns join their reachable-node sets onto the
@@ -1015,6 +1168,15 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
             # comparison — a SUM-based HAVING twin must spell
             # CAST(CAST(SUM(..) AS VARCHAR) AS DOUBLE) in its comparison,
             # or the engines diverge on sums past 2^53
+            hreq: dict[str, set] = {}
+            for h in having:
+                _facet_reqs(h, hreq)
+            if hreq:
+                # aggregate outputs carry no term metadata to read
+                raise ValueError(
+                    "facet functions (LANG/DATATYPE/is*) in HAVING are out "
+                    "of fragment"
+                )
             hvars = set()
             for h in having:
                 _expr_vars(h, hvars)
@@ -2514,6 +2676,42 @@ def kg_sparql_expr(sf_dir: str):
     second projection reads the first's target (declaration-order
     evaluation), both rendered as decimal strings on both engines."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXPR_QUERY)
+
+
+# Term-facet FILTERs: LANG / DATATYPE / isBlank read the store's term
+# METADATA (obj_kind/obj_lang/obj_datatype), which the binding scan copies
+# into reserved facet columns (bgp_execute's facet plan). One disjunctive
+# filter exercises all three channels: bnode objects (toolUse links),
+# lang-tagged text, and xsd:long-typed timestamps. The twin reads the same
+# store columns, with SPARQL's defaulting (plain literal -> xsd:string,
+# lang-tagged -> rdf:langString) spelled as a COALESCE/CASE.
+KG_SPARQL_FACETS_QUERY = """
+SELECT ?s ?p ?o
+WHERE {
+  ?s ?p ?o
+  FILTER( isBlank(?o) || LANG(?o) = "en" ||
+          DATATYPE(?o) = <http://www.w3.org/2001/XMLSchema#long> )
+}
+"""
+
+KG_SPARQL_FACETS_SQL = f"""
+SELECT subj AS s, pred AS p, obj_value AS o
+FROM ( {KG_TRIPLES_SQL} ) AS base
+WHERE obj_kind = 'bnode'
+   OR (obj_kind = 'literal' AND COALESCE(obj_lang, '') = 'en')
+   OR (obj_kind = 'literal' AND COALESCE(obj_datatype,
+        CASE WHEN obj_lang IS NOT NULL
+             THEN '{_RDF_LANGSTRING}'
+             ELSE '{_XSD_STRING}' END)
+        = 'http://www.w3.org/2001/XMLSchema#long')
+"""
+
+
+def kg_sparql_facets(sf_dir: str):
+    """SPARQL term-facet FILTERs over the flagship KG: every triple whose
+    object is a blank node, an English-tagged literal, or an xsd:long —
+    isBlank/LANG/DATATYPE evaluated from the scan-carried facet columns."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_FACETS_QUERY)
 
 
 # Negated property set !(...): every property of an assistant turn EXCEPT

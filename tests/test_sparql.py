@@ -1254,6 +1254,150 @@ def test_executor_bind(ray_session):
             sparql_select(ds, bad)
 
 
+def _facet_graph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    # (subj, subj_kind, pred, obj_kind, obj_value, obj_lang, obj_datatype)
+    rows = [
+        ("s1", "iri", "http://e/label", "literal", "hello", "en", None),
+        ("s1", "iri", "http://e/label", "literal", "bonjour", "fr", None),
+        ("s2", "iri", "http://e/label", "literal", "plain", None, None),
+        ("s2", "iri", "http://e/size", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("b0", "bnode", "http://e/label", "literal", "anon", None, None),
+        ("s1", "iri", "http://e/link", "bnode", "b0", None, None),
+        ("s2", "iri", "http://e/link", "iri", "http://e/s1", None, None),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, sk, p, ok, ov, ol, od in rows:
+        cols["subj"].append(s); cols["subj_kind"].append(sk)
+        cols["pred"].append(p); cols["obj_kind"].append(ok)
+        cols["obj_value"].append(ov); cols["obj_lang"].append(ol)
+        cols["obj_datatype"].append(od)
+    return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+
+def test_parse_facet_functions():
+    q = parse_select(
+        'SELECT ?s WHERE { ?s <http://e/label> ?o '
+        'FILTER(isBlank(?s) || LANG(?o) != "en") '
+        'FILTER(DATATYPE(?o) = <http://www.w3.org/2001/XMLSchema#string>) }'
+    )
+    assert q["filters"][0] == (
+        "or",
+        [("kindis", "s", "bnode"),
+         ("facet_cmp", "!=", ("lang", "o"), ("str", "en"))],
+    )
+    assert q["filters"][1] == (
+        "facet_cmp", "=", ("dt", "o"),
+        ("str", "http://www.w3.org/2001/XMLSchema#string"),
+    )
+    for bad, msg in [
+        # facet must be on the left, constant on the right
+        ('SELECT ?s WHERE { ?s <http://e/p> ?o FILTER("en" = LANG(?o)) }',
+         "facet on the left"),
+        ('SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(LANG(?o) = ?s) }',
+         "constant on the right"),
+        # ordering comparisons are out
+        ('SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(LANG(?o) < "en") }',
+         "only = / !="),
+        # '!' only before the supported unary forms
+        ('SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(!(?o = "x")) }',
+         "only supported before"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_select(bad)
+
+
+def test_executor_facet_functions(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask, sparql_select
+
+    ds = _facet_graph()
+    # LANG: tag equality, "" = plain literal, non-literal objects drop
+    got = sparql_select(
+        ds, 'SELECT ?s ?o WHERE { ?s <http://e/label> ?o '
+            'FILTER(LANG(?o) = "en") }'
+    ).to_pandas()
+    assert list(zip(got["s"], got["o"])) == [("s1", "hello")]
+    got = sparql_select(
+        ds, 'SELECT ?o WHERE { ?s <http://e/label> ?o FILTER(LANG(?o) = "") } '
+            'ORDER BY ?o'
+    ).to_pandas()
+    assert got["o"].tolist() == ["anon", "plain"]
+    got = sparql_select(
+        ds, 'SELECT ?o WHERE { ?s <http://e/label> ?o '
+            'FILTER(LANG(?o) != "en") } ORDER BY ?o'
+    ).to_pandas()
+    assert got["o"].tolist() == ["anon", "bonjour", "plain"]
+    # DATATYPE: explicit tag, xsd:string default, rdf:langString default;
+    # a non-literal object (link -> bnode/iri) errors -> row dropped
+    for const, want in [
+        ("http://www.w3.org/2001/XMLSchema#integer", ["42"]),
+        ("http://www.w3.org/2001/XMLSchema#string", ["anon", "plain"]),
+        ("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+         ["bonjour", "hello"]),
+    ]:
+        got = sparql_select(
+            ds, f"SELECT ?o WHERE {{ ?s ?p ?o FILTER(DATATYPE(?o) = <{const}>) }} "
+                "ORDER BY ?o"
+        ).to_pandas()
+        assert got["o"].tolist() == want, const
+    # kind tests on object AND subject positions; negation = bound-and-not
+    got = sparql_select(
+        ds, "SELECT ?s ?o WHERE { ?s <http://e/link> ?o FILTER(isBlank(?o)) }"
+    ).to_pandas()
+    assert list(zip(got["s"], got["o"])) == [("s1", "b0")]
+    got = sparql_select(
+        ds, "SELECT ?s WHERE { ?s <http://e/label> ?o FILTER(isBlank(?s)) }"
+    ).to_pandas()
+    assert got["s"].tolist() == ["b0"]
+    got = sparql_select(
+        ds, "SELECT ?s ?o WHERE { ?s <http://e/link> ?o FILTER(!isBlank(?o)) }"
+    ).to_pandas()
+    assert list(zip(got["s"], got["o"])) == [("s2", "http://e/s1")]
+    # facets thread through a join chain (facet var bound by pattern 2)
+    got = sparql_select(
+        ds, 'SELECT ?s ?v WHERE { ?s <http://e/link> ?t . '
+            '?t <http://e/label> ?v FILTER(isLiteral(?v) && LANG(?v) = "") }'
+    ).to_pandas()
+    assert list(zip(got["s"], got["v"])) == [("s1", "anon")]
+    # ASK sees facets too
+    assert sparql_ask(
+        ds, 'ASK { ?s <http://e/size> ?o FILTER(DATATYPE(?o) = '
+            "<http://www.w3.org/2001/XMLSchema#integer>) }"
+    ).take_all() == [{"ask": True}]
+
+
+def test_executor_facet_rejections(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _facet_graph()
+    for bad, msg in [
+        # facet var bound only by an OPTIONAL
+        ("SELECT ?s WHERE { ?s <http://e/label> ?x "
+         "OPTIONAL { ?s <http://e/link> ?o } FILTER(isBlank(?o)) }",
+         "required pattern"),
+        # LANG needs an object-position binding; ?s is subject-only
+        ('SELECT ?s WHERE { ?s <http://e/label> ?o FILTER(LANG(?s) = "en") }',
+         "OBJECT position"),
+        # facets over UNION branches
+        ('SELECT ?o WHERE { { ?s <http://e/label> ?o } UNION '
+         '{ ?s <http://e/link> ?o } FILTER(LANG(?o) = "en") }',
+         "UNION"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_select(ds, bad)
+    # facet in HAVING (aggregate outputs carry no term metadata)
+    with pytest.raises(ValueError, match="HAVING"):
+        sparql_select(
+            ds, "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s "
+                "HAVING(isBlank(?s))"
+        )
+
+
 def test_parse_select_expression_projection():
     # (int-expr AS ?alias) in SELECT desugars to a BIND appended after the
     # WHERE clause's own binds, and the alias lands in the projection
