@@ -1011,12 +1011,13 @@ class _SelectParser:
                 raise ParseError(
                     "MINUS / FILTER EXISTS combined with UNION is out of fragment"
                 )
-            if patterns or optionals:
-                raise ParseError(
-                    "UNION mixed with other required/OPTIONAL patterns is out "
-                    "of fragment (joining a union needs compatible-mapping "
-                    "semantics); FILTER over the union is supported"
-                )
+            # UNION mixed with required/OPTIONAL patterns is allowed; the
+            # executor joins the union's binding table onto the required
+            # bindings and enforces that every JOIN variable is bound by
+            # every branch (a branch-missing join var would need SPARQL's
+            # compatible-mapping null semantics — rejected loudly there).
+            # Vars missing from some branch are nullable outputs, like
+            # OPTIONAL targets.
         if not patterns and not unions:
             raise ParseError("WHERE block needs at least one required pattern")
         return patterns, optionals, filters, unions, minuses, exists, binds

@@ -786,9 +786,15 @@ def bgp_execute(
                     f"{sorted(overlap)}; BINDs evaluate after group joins — "
                     "out of fragment"
                 )
-    if unions:
-        if patterns or optionals:
-            raise ValueError("unions are mutually exclusive with patterns/optionals")
+    # per-branch and every-branch variable sets of the UNION (if any):
+    # a var bound by EVERY branch is never null in the union's output;
+    # one missing from some branch is nullable (like an OPTIONAL target)
+    u_branch_vars = [
+        {v for p in g for v in _pattern_vars(p)} for g in unions
+    ] if unions else []
+    u_common = set.intersection(*u_branch_vars) if u_branch_vars else set()
+
+    if unions and not patterns:
         ureq: dict[str, set] = {}
         for f in filters:
             _facet_reqs(f, ureq)
@@ -799,7 +805,7 @@ def bgp_execute(
                 "are out of fragment"
             )
         acc, bound = _union_groups(triples_ds, unions, num_buckets)
-        required_bound = set(bound)
+        required_bound = u_common
     else:
         closure_pats = [
             p for p in patterns if len(p) == 3 and isinstance(p[1], PathPlus)
@@ -812,7 +818,7 @@ def bgp_execute(
         # triple store is canonical/set-semantics, so multiplicity is 1).
         const_checks = [p for p in regular if not _pattern_vars(p)]
         var_patterns = [p for p in regular if _pattern_vars(p)]
-        if not var_patterns and not closure_pats:
+        if not var_patterns and not closure_pats and not unions:
             raise ValueError("BGP contains only constant patterns; no variables to bind")
         for chk in const_checks:
             if _scan(triples_ds, chk).count() == 0:
@@ -859,6 +865,9 @@ def bgp_execute(
         for f in filters:
             _expr_vars(f, keep)
         keep.update(c for cols in facet_map.values() for c, _s in cols)
+        # union join keys are bound ∩ union-vars — keep every union var
+        # the required side binds so the join columns survive pushdown
+        keep.update(v for bv in u_branch_vars for v in bv)
         for g in list(optionals) + list(minuses) + [g for _n, g in exists]:
             keep.update(v for p in g for v in _pattern_vars(p))
         for cp in closure_pats:
@@ -914,6 +923,46 @@ def bgp_execute(
                     acc, bound, nodes_ds, [cvar], num_buckets, "inner"
                 )
         required_bound = set(bound)
+        if unions:
+            # join the UNION's binding table onto the required bindings:
+            # one more bucketed exchange on the shared variables. Every
+            # join var must be bound by EVERY branch — a branch-missing
+            # join var would put nulls in the key (SPARQL's compatible
+            # mapping joins those to anything; an equijoin drops them), so
+            # reject loudly. Branch-missing NON-join vars are nullable
+            # outputs, excluded from required_bound like OPTIONAL targets.
+            u_acc, u_bound = _union_groups(triples_ds, unions, num_buckets)
+            if acc is None:
+                # the required side was all-constant existence checks (all
+                # passed, or we'd have returned empty): the union IS the
+                # binding table
+                acc, bound = u_acc, u_bound
+                required_bound = u_common
+                shared = None
+            else:
+                shared = set(bound) & set(u_bound)
+            if shared is not None and not shared:
+                raise ValueError(
+                    "UNION shares no variable with the required patterns "
+                    "(cartesian product); out of fragment"
+                )
+            if shared:
+                gaps = [
+                    (i, sorted(shared - bv))
+                    for i, bv in enumerate(u_branch_vars)
+                    if not shared <= bv
+                ]
+                if gaps:
+                    raise ValueError(
+                        f"UNION join variables {sorted(shared)} must be bound "
+                        f"by every branch; missing (branch, vars): {gaps} — a "
+                        "branch-missing join var needs compatible-mapping "
+                        "null semantics, out of fragment"
+                    )
+                acc, bound = _join_onto(
+                    acc, bound, u_acc, u_bound, num_buckets, "inner"
+                )
+                required_bound |= u_common
 
     for group in optionals:
         gvars_all = {v for p in group for v in _pattern_vars(p)}
@@ -2676,6 +2725,50 @@ def kg_sparql_expr(sf_dir: str):
     second projection reads the first's target (declaration-order
     evaluation), both rendered as decimal strings on both engines."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXPR_QUERY)
+
+
+# UNION joined with required patterns: the union's binding table joins
+# onto the required bindings with one more bucketed exchange on the shared
+# variables (?turn here — bound by BOTH branches, so no null join keys;
+# the executor rejects branch-missing join vars). Every assistant turn's
+# index paired with each item the union yields: its tools (branch 1, via
+# the bnode hop) and its text (branch 2).
+KG_SPARQL_UNION_JOIN_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?turn ?idx ?item
+WHERE {
+  ?turn c:index ?idx . ?turn c:role role:assistant .
+  { ?turn c:toolUse ?u . ?u c:tool ?item } UNION { ?turn c:text ?item }
+}
+"""
+
+KG_SPARQL_UNION_JOIN_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), u AS (
+  SELECT t1.subj AS turn, t2.obj_value AS item
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}tool'
+  WHERE t1.pred = '{_C}toolUse'
+  UNION ALL
+  SELECT subj AS turn, obj_value AS item FROM kt WHERE pred = '{_C}text'
+)
+SELECT r.subj AS turn, i.obj_value AS idx, u.item AS item
+FROM kt r
+JOIN kt i ON i.subj = r.subj AND i.pred = '{_C}index'
+JOIN u ON u.turn = r.subj
+WHERE r.pred = '{_C}role'
+  AND r.obj_value = 'http://example.org/role/assistant'
+"""
+
+
+def kg_sparql_union_join(sf_dir: str):
+    """SPARQL UNION joined with required patterns: assistant turns' index
+    against each union item (tool via the bnode hop, or the turn text) —
+    the union's binding table joins the required bindings in one bucketed
+    exchange on ?turn, which every branch binds."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_UNION_JOIN_QUERY)
 
 
 # Term-facet FILTERs: LANG / DATATYPE / isBlank read the store's term

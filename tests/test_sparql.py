@@ -607,11 +607,13 @@ def test_parse_union_and_groups():
     # a single braced group is just its patterns
     q2 = parse_select("SELECT ?s WHERE { { ?s <http://e/p> ?x } }")
     assert q2["patterns"] == [("?s", "http://e/p", "?x")] and q2["unions"] == []
-    with pytest.raises(ParseError, match="mixed"):
-        parse_select(
-            "SELECT ?s WHERE { { ?s <http://e/p> ?x } UNION "
-            "{ ?s <http://e/q> ?x } ?s <http://e/r> ?w }"
-        )
+    # union mixed with required patterns parses (r5: executor joins the
+    # union's binding table on the shared vars, every branch must bind them)
+    q3 = parse_select(
+        "SELECT ?s WHERE { { ?s <http://e/p> ?x } UNION "
+        "{ ?s <http://e/q> ?x } ?s <http://e/r> ?w }"
+    )
+    assert len(q3["unions"]) == 2 and q3["patterns"] == [("?s", "http://e/r", "?w")]
     with pytest.raises(ParseError, match="multiple UNION"):
         parse_select(
             "SELECT ?s WHERE { { ?s <http://e/p> ?x } UNION { ?s <http://e/q> ?x } "
@@ -1396,6 +1398,70 @@ def test_executor_facet_rejections(ray_session):
             ds, "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s "
                 "HAVING(isBlank(?s))"
         )
+
+
+def test_executor_union_joined_with_patterns(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _facet_graph()
+    # union joins the required bindings on ?s (bound by both branches)
+    got = sparql_select(
+        ds, "SELECT ?s ?o ?v WHERE { ?s <http://e/link> ?o . "
+            "{ ?s <http://e/label> ?v } UNION { ?s <http://e/size> ?v } } "
+            "ORDER BY ?s ?v"
+    ).to_pandas()
+    assert list(zip(got["s"], got["o"], got["v"])) == [
+        ("s1", "b0", "bonjour"), ("s1", "b0", "hello"),
+        ("s2", "http://e/s1", "42"), ("s2", "http://e/s1", "plain"),
+    ]
+    # a facet FILTER on a required-pattern var composes with the union
+    got = sparql_select(
+        ds, "SELECT ?s ?v WHERE { ?s <http://e/link> ?o . "
+            "{ ?s <http://e/label> ?v } UNION { ?s <http://e/size> ?v } "
+            "FILTER(isBlank(?o)) } ORDER BY ?v"
+    ).to_pandas()
+    assert list(zip(got["s"], got["v"])) == [
+        ("s1", "bonjour"), ("s1", "hello")
+    ]
+    # union-only + OPTIONAL (every-branch vars are non-null, join is exact)
+    got = sparql_select(
+        ds, "SELECT ?s ?v ?w WHERE { "
+            "{ ?s <http://e/label> ?v } UNION { ?s <http://e/size> ?v } "
+            "OPTIONAL { ?s <http://e/link> ?w } } ORDER BY ?v"
+    ).to_pandas()
+    assert list(zip(got["s"], got["v"], got["w"])) == [
+        ("s2", "42", "http://e/s1"), ("b0", "anon", None),
+        ("s1", "bonjour", "b0"), ("s1", "hello", "b0"),
+        ("s2", "plain", "http://e/s1"),
+    ]
+    # a var missing from one branch is a nullable OUTPUT
+    got = sparql_select(
+        ds, "SELECT ?v ?t WHERE { ?s <http://e/label> ?x . "
+            "{ ?s <http://e/size> ?v } UNION "
+            "{ ?s <http://e/size> ?v . ?s <http://e/link> ?t } } "
+            "ORDER BY ?v ?t"
+    ).to_pandas()
+    # unbound sorts FIRST ascending (the SPARQL ordering the null-safe
+    # sort pins)
+    assert list(zip(got["v"], got["t"])) == [
+        ("42", None), ("42", "http://e/s1"),
+    ]
+    for bad, msg in [
+        # OPTIONAL joining through a nullable (branch-missing) union var
+        ("SELECT ?s WHERE { { ?s <http://e/label> ?v } UNION "
+         "{ ?s <http://e/size> ?v . ?s <http://e/link> ?t } "
+         "OPTIONAL { ?t <http://e/label> ?w } }", "nullable"),
+        # a JOIN var must be bound by every branch
+        ("SELECT ?t WHERE { ?t <http://e/label> ?w . "
+         "{ ?s <http://e/link> ?t } UNION { ?s <http://e/size> ?v } }",
+         "bound by every branch"),
+        # union sharing nothing with the required patterns
+        ("SELECT ?a WHERE { ?a <http://e/size> ?b . "
+         "{ ?s <http://e/label> ?v } UNION { ?s <http://e/size> ?v } }",
+         "cartesian"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_select(ds, bad)
 
 
 def test_parse_select_expression_projection():
