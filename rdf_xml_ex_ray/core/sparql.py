@@ -203,6 +203,7 @@ class _SelectParser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._path_n = 0  # fresh-variable counter for property-path desugar
+        self._sub_depth = 0  # subquery nesting level (max 1)
 
     def _peek(self, ahead: int = 0):
         j = self.i + ahead
@@ -654,6 +655,28 @@ class _SelectParser:
             return self._parse_construct()
         if form == "DESCRIBE":
             return self._parse_describe()
+        q = self._select_body()
+        if self._peek()[0] is not None:
+            raise ParseError(f"trailing content after query: {self._peek()[1]!r}")
+        return q
+
+    def _subselect(self) -> dict:
+        """``{ SELECT ... }`` inside WHERE — one nesting level only. The
+        executor evaluates it as its own select pipeline and joins the
+        result onto the outer bindings (see pipelines/bgp.bgp_execute's
+        subquery plan)."""
+        if self._sub_depth >= 1:
+            raise ParseError("nested subqueries (depth > 1) are out of fragment")
+        self._sub_depth += 1
+        try:
+            return self._select_body(sub=True)
+        finally:
+            self._sub_depth -= 1
+
+    def _select_body(self, sub: bool = False) -> dict:
+        """SELECT clause through solution modifiers (shared by the
+        top-level query and ``{ SELECT ... }`` subqueries); the caller
+        owns the terminator (end-of-input / closing brace)."""
         self._expect("SELECT")
         distinct = False
         if self._peek()[0] == "DISTINCT":
@@ -682,9 +705,14 @@ class _SelectParser:
                     break
             if not project and not aggregates:
                 raise ParseError("SELECT needs at least one ?var, aggregate or *")
-        patterns, optionals, filters, unions, minuses, exists, binds = (
-            self._where_block()
-        )
+        if sub and any(f == "AVG" for f, *_x in aggregates):
+            raise ParseError(
+                "AVG in a subquery projection is out of fragment (the "
+                "float-to-string rendering at the join boundary diverges "
+                "between engines); project SUM and COUNT instead"
+            )
+        (patterns, optionals, filters, unions, minuses, exists, binds,
+         subqueries) = self._where_block()
         if sel_exprs:
             if aggregates:
                 raise ParseError(
@@ -782,12 +810,16 @@ class _SelectParser:
                 limit = int(val)
             else:
                 offset = int(val)
-        if self._peek()[0] is not None:
-            raise ParseError(f"trailing content after query: {self._peek()[1]!r}")
         if offset is not None and limit is None:
             raise ParseError(
                 "OFFSET without LIMIT is out of fragment (unbounded "
                 "driver-side skip); add a LIMIT"
+            )
+        if sub and order_by and limit is None:
+            raise ParseError(
+                "ORDER BY in a subquery without LIMIT has no effect "
+                "(subquery solution order is not preserved); add a LIMIT "
+                "or drop the ORDER BY"
             )
         if project is None:
             seen: dict[str, None] = {}
@@ -798,6 +830,9 @@ class _SelectParser:
                     # non-str terms are alternation predicate sets
                     if isinstance(t, str) and t.startswith("?") and not t.startswith("?__p"):
                         seen[t[1:]] = None
+            for sq in subqueries:
+                for v in sq["project"] + [a for *_x, a in sq["aggregates"]]:
+                    seen[v] = None
             for bv, _be in binds:
                 seen[bv] = None
             project = list(seen)
@@ -818,12 +853,13 @@ class _SelectParser:
             "order_by": order_by,
             "limit": limit,
             "offset": offset,
+            "subqueries": subqueries,
         }
 
     def _where_block(self):
         """``WHERE { ... }`` → (patterns, optionals, filters, unions,
-        minuses, exists, binds) with the fragment's structural checks
-        applied."""
+        minuses, exists, binds, subqueries) with the fragment's structural
+        checks applied."""
         self._expect("WHERE")
         self._expect("punct", "{")
         patterns: list = []
@@ -833,6 +869,7 @@ class _SelectParser:
         exists: list[tuple[bool, list]] = []  # (negated, pattern group)
         unions: list[list[list]] = []  # [construct][branch][pattern]
         binds: list[tuple[str, tuple]] = []  # (target var, value-expr AST)
+        subqueries: list[dict] = []  # parsed { SELECT ... } groups
         while self._peek() != ("punct", "}"):
             k, v = self._peek()
             if k is None:
@@ -979,8 +1016,20 @@ class _SelectParser:
             elif k == "UNION":
                 raise ParseError("UNION must follow a braced group: { ... } UNION { ... }")
             elif (k, v) == ("punct", "{"):
-                # braced group: plain (its patterns inline) or UNION chain
+                # braced group: subquery, plain (its patterns inline), or
+                # UNION chain
                 self._next()
+                if self._peek()[0] == "SELECT":
+                    sq = self._subselect()
+                    self._expect("punct", "}")
+                    if self._peek()[0] == "UNION":
+                        raise ParseError(
+                            "a subquery as a UNION branch is out of fragment"
+                        )
+                    subqueries.append(sq)
+                    if self._peek() == ("punct", "."):
+                        self._next()
+                    continue
                 grp: list = []
                 if not self._triple_block(grp):
                     raise ParseError("empty braced group in WHERE")
@@ -1018,9 +1067,15 @@ class _SelectParser:
             # compatible-mapping null semantics — rejected loudly there).
             # Vars missing from some branch are nullable outputs, like
             # OPTIONAL targets.
-        if not patterns and not unions:
+        if not patterns and not unions and not subqueries:
             raise ParseError("WHERE block needs at least one required pattern")
-        return patterns, optionals, filters, unions, minuses, exists, binds
+        if subqueries and (minuses or exists):
+            raise ParseError(
+                "MINUS / FILTER EXISTS combined with a subquery is out of "
+                "fragment"
+            )
+        return (patterns, optionals, filters, unions, minuses, exists, binds,
+                subqueries)
 
     def _parse_describe(self):
         """``DESCRIBE <iri> ...`` (constant resources) or ``DESCRIBE ?v
@@ -1052,9 +1107,10 @@ class _SelectParser:
         minuses: list = []
         exists: list = []
         if var is not None:
-            patterns, optionals, filters, unions, minuses, exists, binds = (
-                self._where_block()
-            )
+            (patterns, optionals, filters, unions, minuses, exists, binds,
+             subqueries) = self._where_block()
+            if subqueries:
+                raise ParseError("subqueries are only supported in SELECT")
             if binds:
                 # a BIND target is a synthesized string with no term kind —
                 # it cannot name a resource to describe; out of fragment
@@ -1093,9 +1149,10 @@ class _SelectParser:
         if self._peek()[0] != "WHERE":
             # SPARQL allows ASK { ... } — normalize by injecting WHERE
             self.toks.insert(self.i, ("WHERE", "WHERE"))
-        patterns, optionals, filters, unions, minuses, exists, binds = (
-            self._where_block()
-        )
+        (patterns, optionals, filters, unions, minuses, exists, binds,
+         subqueries) = self._where_block()
+        if subqueries:
+            raise ParseError("subqueries are only supported in SELECT")
         if self._peek()[0] is not None:
             raise ParseError(
                 f"trailing content after ASK query: {self._peek()[1]!r}"
@@ -1133,9 +1190,10 @@ class _SelectParser:
                     raise ParseError(
                         "property paths are not allowed in CONSTRUCT templates"
                     )
-        patterns, optionals, filters, unions, minuses, exists, binds = (
-            self._where_block()
-        )
+        (patterns, optionals, filters, unions, minuses, exists, binds,
+         subqueries) = self._where_block()
+        if subqueries:
+            raise ParseError("subqueries are only supported in SELECT")
         if binds:
             # a BIND target carries no term kind (iri/literal), which the
             # CONSTRUCT emitter needs per template slot; out of fragment

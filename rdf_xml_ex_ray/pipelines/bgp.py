@@ -726,6 +726,32 @@ def _expr_vars(e, out: set):
                 out.add(o[1])
 
 
+def _subquery_cols(subq: dict) -> list[str]:
+    """Output columns of a parsed subquery dict, in projection order."""
+    return subq["project"] + [a for *_x, a in subq["aggregates"]]
+
+
+def _subquery_nullable(subq: dict) -> set:
+    """Subquery output columns that can be NULL: OPTIONAL-only vars,
+    union branch-missing vars, BIND targets (a non-integer lexical is
+    unbound), and every aggregate alias except COUNT (null on an all-null
+    input group). The complement is safe to treat as required-bound."""
+    req = {v for p in subq["patterns"] for v in _pattern_vars(p)}
+    u_all: set = set()
+    if subq["unions"]:
+        branch_sets = [
+            {v for p in g for v in _pattern_vars(p)} for g in subq["unions"]
+        ]
+        req |= set.intersection(*branch_sets)
+        u_all = set().union(*branch_sets)
+    nullable: set = u_all - req
+    for g in subq["optionals"]:
+        nullable |= {v for p in g for v in _pattern_vars(p)} - req
+    nullable |= {bv for bv, _be in subq.get("binds", ())}
+    nullable |= {a for f, _v, _d, a in subq["aggregates"] if f != "COUNT"}
+    return nullable
+
+
 def bgp_execute(
     triples_ds,
     patterns,
@@ -737,6 +763,7 @@ def bgp_execute(
     minuses=(),
     exists=(),
     binds=(),
+    subqueries=(),
 ):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
@@ -818,7 +845,7 @@ def bgp_execute(
         # triple store is canonical/set-semantics, so multiplicity is 1).
         const_checks = [p for p in regular if not _pattern_vars(p)]
         var_patterns = [p for p in regular if _pattern_vars(p)]
-        if not var_patterns and not closure_pats and not unions:
+        if not var_patterns and not closure_pats and not unions and not subqueries:
             raise ValueError("BGP contains only constant patterns; no variables to bind")
         for chk in const_checks:
             if _scan(triples_ds, chk).count() == 0:
@@ -865,9 +892,11 @@ def bgp_execute(
         for f in filters:
             _expr_vars(f, keep)
         keep.update(c for cols in facet_map.values() for c, _s in cols)
-        # union join keys are bound ∩ union-vars — keep every union var
-        # the required side binds so the join columns survive pushdown
+        # union / subquery join keys are bound ∩ their output vars — keep
+        # every such var the required side binds so the join columns
+        # survive pushdown
         keep.update(v for bv in u_branch_vars for v in bv)
+        keep.update(c for sq in subqueries for c in _subquery_cols(sq))
         for g in list(optionals) + list(minuses) + [g for _n, g in exists]:
             keep.update(v for p in g for v in _pattern_vars(p))
         for cp in closure_pats:
@@ -963,6 +992,50 @@ def bgp_execute(
                     acc, bound, u_acc, u_bound, num_buckets, "inner"
                 )
                 required_bound |= u_common
+
+    for subq in subqueries:
+        # evaluate the subquery as its own select pipeline, cast its
+        # columns to string at the boundary (aggregate ints render as
+        # decimal strings — twins spell CAST(... AS VARCHAR)), and join it
+        # onto the outer bindings with one bucketed exchange. Join vars
+        # must be non-nullable on BOTH sides (null keys would need
+        # compatible-mapping semantics); nullable subquery outputs join
+        # the result as nullable columns, like OPTIONAL targets.
+        sub_res, sub_cols = _select_exec(triples_ds, subq, num_buckets)
+        cols_t = tuple(sub_cols)
+
+        def to_str(t: pa.Table, c=cols_t) -> pa.Table:
+            return pa.table({n: t[n].cast(pa.string()) for n in c})
+
+        sub_res = sub_res.map_batches(to_str, batch_format="pyarrow")
+        nullable = _subquery_nullable(subq)
+        if acc is None:
+            # subquery-only WHERE: the subquery IS the binding table
+            acc, bound = sub_res, list(sub_cols)
+            required_bound = set(sub_cols) - nullable
+            continue
+        shared = set(bound) & set(sub_cols)
+        if not shared:
+            raise ValueError(
+                "subquery shares no variable with the other patterns "
+                "(cartesian product); out of fragment"
+            )
+        bad_n = sorted(shared & nullable)
+        if bad_n:
+            raise ValueError(
+                f"subquery join variables {bad_n} may be unbound (OPTIONAL "
+                "/ union-branch / BIND / nullable-aggregate outputs); "
+                "joining through nullable variables is out of fragment"
+            )
+        if not shared <= required_bound:
+            raise ValueError(
+                f"subquery joins through nullable outer variables "
+                f"{sorted(shared - required_bound)}; out of fragment"
+            )
+        acc, bound = _join_onto(
+            acc, bound, sub_res, list(sub_cols), num_buckets, "inner"
+        )
+        required_bound |= set(sub_cols) - nullable
 
     for group in optionals:
         gvars_all = {v for p in group for v in _pattern_vars(p)}
@@ -1060,6 +1133,8 @@ def bgp_execute(
             b for b in (unions or ())
         ]:
             surface_vars.update(v for p in grp for v in _pattern_vars(p))
+        for sq in subqueries:
+            surface_vars.update(_subquery_cols(sq))
         for bv, be in binds:
             refs: set = set()
             _bind_vars(be, refs)
@@ -1175,11 +1250,16 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
     LIMIT/OFFSET. An un-ORDERed LIMIT sorts on the full projection (the
     established deterministic-LIMIT idiom). OFFSET materializes only
     offset+limit rows on the driver (the parser requires LIMIT with it)."""
-    import pandas as pd
-
     from ..core.sparql import parse_select
 
     q = parse_select(query)
+    res, _cols = _select_exec(triples_ds, q, num_buckets)
+    return res
+
+
+def _select_exec(triples_ds, q: dict, num_buckets: int | None = None):
+    """Execute a parsed SELECT dict (core/sparql) -> (Dataset, output
+    columns). Shared by the top-level front-end and the subquery plan."""
     aggregates = q["aggregates"]
     if aggregates:
         # project only what the aggregation consumes: group keys + agg vars
@@ -1190,7 +1270,11 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         needed = list(needed)
         if not needed:  # pure COUNT(*): carry one bound column to count rows
             pats = q["patterns"] or [p for g in q["unions"] for p in g]
-            needed = [next(v for p in pats for v in _pattern_vars(p))]
+            if pats:
+                needed = [next(v for p in pats for v in _pattern_vars(p))]
+            else:  # subquery-only WHERE
+                sq = q["subqueries"][0]
+                needed = [(sq["project"] + [a for *_x, a in sq["aggregates"]])[0]]
         bgp_project = needed
     else:
         bgp_project = q["project"]
@@ -1205,6 +1289,7 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
         minuses=q.get("minuses") or (),
         exists=q.get("exists") or (),
         binds=q.get("binds") or (),
+        subqueries=q.get("subqueries") or (),
     )
     if aggregates:
         res, cols = _aggregate_bindings(res, q["group_by"], aggregates)
@@ -1279,7 +1364,7 @@ def sparql_select(triples_ds, query: str, num_buckets: int | None = None):
             else:
                 tbl = pa.schema([(v, pa.string()) for v in cols]).empty_table()
             res = rd.from_arrow(tbl.slice(offset))
-    return res
+    return res, cols
 
 
 def _null_safe_sort(res, keys: list[str], desc: list[bool], out_cols: list[str]):
@@ -2769,6 +2854,51 @@ def kg_sparql_union_join(sf_dir: str):
     the union's binding table joins the required bindings in one bucketed
     exchange on ?turn, which every branch binds."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_UNION_JOIN_QUERY)
+
+
+# Subquery: an aggregating { SELECT ... GROUP BY } evaluated as its own
+# select pipeline and joined onto the outer bindings by its group key
+# (?conv — non-null by construction). COUNT crosses the boundary as a
+# decimal string (twin: CAST(COUNT(..) AS VARCHAR)) and the outer FILTER
+# re-reads it under the guarded TRY_CAST-to-double semantics.
+KG_SPARQL_SUBQUERY_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?conv ?turn ?n_assist
+WHERE {
+  ?conv c:turn ?turn . ?turn c:role role:assistant .
+  { SELECT ?conv (COUNT(?t) AS ?n_assist) WHERE {
+      ?conv c:turn ?t . ?t c:role role:assistant } GROUP BY ?conv }
+  FILTER(?n_assist >= 4)
+}
+"""
+
+KG_SPARQL_SUBQUERY_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), sub AS (
+  SELECT t1.subj AS conv, CAST(COUNT(t1.obj_value) AS VARCHAR) AS n_assist
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}role'
+            AND t2.obj_value = 'http://example.org/role/assistant'
+  WHERE t1.pred = '{_C}turn'
+  GROUP BY t1.subj
+)
+SELECT o1.subj AS conv, o1.obj_value AS turn, sub.n_assist AS n_assist
+FROM kt o1
+JOIN kt o2 ON o2.subj = o1.obj_value AND o2.pred = '{_C}role'
+          AND o2.obj_value = 'http://example.org/role/assistant'
+JOIN sub ON sub.conv = o1.subj
+WHERE o1.pred = '{_C}turn'
+  AND {_dbl_cast_sql("sub.n_assist")} >= 4
+"""
+
+
+def kg_sparql_subquery(sf_dir: str):
+    """SPARQL subquery over the flagship KG: each assistant turn of the
+    conversations with >= 4 assistant turns, carrying the per-conversation
+    count — the inner GROUP BY pipeline joins the outer BGP on ?conv."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_SUBQUERY_QUERY)
 
 
 # Term-facet FILTERs: LANG / DATATYPE / isBlank read the store's term

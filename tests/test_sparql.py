@@ -1464,6 +1464,100 @@ def test_executor_union_joined_with_patterns(ray_session):
             sparql_select(ds, bad)
 
 
+def test_parse_subquery():
+    q = parse_select(
+        "SELECT ?c ?n WHERE { ?c <http://e/turn> ?t . "
+        "{ SELECT ?c (COUNT(?x) AS ?n) WHERE { ?c <http://e/turn> ?x } "
+        "GROUP BY ?c } }"
+    )
+    assert len(q["subqueries"]) == 1
+    sq = q["subqueries"][0]
+    assert sq["project"] == ["c"] and sq["group_by"] == ["c"]
+    assert sq["aggregates"] == [("COUNT", "x", False, "n")]
+    # SELECT * includes subquery output columns
+    q2 = parse_select(
+        "SELECT * WHERE { ?c <http://e/turn> ?t . "
+        "{ SELECT ?c (COUNT(?x) AS ?n) WHERE { ?c <http://e/turn> ?x } "
+        "GROUP BY ?c } }"
+    )
+    assert q2["project"] == ["c", "t", "n"]
+    from rdf_xml_ex_ray.core.sparql import parse_query
+
+    for bad, msg in [
+        ("SELECT ?c WHERE { ?c <http://e/p> ?t . { SELECT ?a WHERE { "
+         "?a <http://e/q> ?b . { SELECT ?z WHERE { ?z <http://e/r> ?w } } "
+         "} } }", "nested subqueries"),
+        ("SELECT ?c WHERE { ?c <http://e/p> ?t . "
+         "{ SELECT (AVG(?b) AS ?m) WHERE { ?a <http://e/q> ?b } } }",
+         "AVG in a subquery"),
+        ("SELECT ?c WHERE { ?c <http://e/p> ?t . { SELECT ?a WHERE { "
+         "?a <http://e/q> ?b } ORDER BY ?a } }", "no effect"),
+        ("ASK { ?c <http://e/p> ?t . { SELECT ?a WHERE { ?a <http://e/q> "
+         "?b } } }", "only supported in SELECT"),
+        ("SELECT ?c WHERE { ?c <http://e/p> ?t . { SELECT ?a WHERE { "
+         "?a <http://e/q> ?b } } MINUS { ?c <http://e/r> ?z } }",
+         "subquery is out of fragment"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_query(bad)
+
+
+def test_executor_subquery(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [("c1", "t1"), ("c1", "t2"), ("c1", "t3"), ("c2", "t4"),
+            ("c2", "t5"), ("c3", "t6")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for c, t in rows:
+        cols["subj"].append(c); cols["subj_kind"].append("iri")
+        cols["pred"].append("http://e/turn"); cols["obj_kind"].append("iri")
+        cols["obj_value"].append(t); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    # aggregate subquery joined on its group key, COUNT re-read by FILTER
+    got = sparql_select(
+        ds, "SELECT ?c ?t ?n WHERE { ?c <http://e/turn> ?t . "
+            "{ SELECT ?c (COUNT(?x) AS ?n) WHERE { ?c <http://e/turn> ?x } "
+            "GROUP BY ?c } FILTER(?n >= 2) } ORDER BY ?c ?t"
+    ).to_pandas()
+    assert list(zip(got["c"], got["t"], got["n"])) == [
+        ("c1", "t1", "3"), ("c1", "t2", "3"), ("c1", "t3", "3"),
+        ("c2", "t4", "2"), ("c2", "t5", "2"),
+    ]
+    # subquery-only WHERE: the subquery is the binding table
+    got = sparql_select(
+        ds, "SELECT ?c ?n WHERE { { SELECT ?c (COUNT(?x) AS ?n) WHERE "
+            "{ ?c <http://e/turn> ?x } GROUP BY ?c } } ORDER BY ?c"
+    ).to_pandas()
+    assert list(zip(got["c"], got["n"])) == [
+        ("c1", "3"), ("c2", "2"), ("c3", "1")
+    ]
+    # DISTINCT subquery (non-aggregate) as a semi-join-style input
+    got = sparql_select(
+        ds, "SELECT ?c ?t WHERE { ?c <http://e/turn> ?t . "
+            "{ SELECT DISTINCT ?c WHERE { ?c <http://e/turn> ?x "
+            'FILTER(STRENDS(?x, "4")) } } }'
+    ).to_pandas()
+    assert sorted(zip(got["c"], got["t"])) == [("c2", "t4"), ("c2", "t5")]
+    for bad, msg in [
+        # no shared variable with the outer patterns
+        ("SELECT ?c WHERE { ?c <http://e/turn> ?t . { SELECT ?a (COUNT(?x) "
+         "AS ?n) WHERE { ?a <http://e/other> ?x } GROUP BY ?a } }",
+         "cartesian"),
+        # joining through a nullable aggregate alias
+        ("SELECT ?t WHERE { ?c <http://e/turn> ?t . { SELECT ?a (MIN(?x) "
+         "AS ?t) WHERE { ?a <http://e/turn> ?x } GROUP BY ?a } }",
+         "nullable"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_select(ds, bad)
+
+
 def test_parse_select_expression_projection():
     # (int-expr AS ?alias) in SELECT desugars to a BIND appended after the
     # WHERE clause's own binds, and the alias lands in the projection
