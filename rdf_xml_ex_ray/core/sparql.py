@@ -7,17 +7,19 @@ executor evaluates:
 
     PREFIX pfx: <ns> ...
     SELECT [DISTINCT] ?v1 ?v2 | * | ?g1 ... (AGG(*|[DISTINCT] ?v) AS ?alias) ...
-         | ?v1 ... (int-expr AS ?alias) ...  # expression projection
-                                             # (desugared to BIND)
+         | ?v1 ... (value-expr AS ?alias) ...  # expression projection
+                                               # (desugared to BIND)
     WHERE {
         s path o . ...              # path steps: p, ^p, (p1|p2); join by /
         FILTER ( expr ) ...
         FILTER [NOT] EXISTS { s path o . ... } ...  # semi/anti-join
-        BIND ( int-expr AS ?v ) ...         # integer value expression
+        BIND ( value-expr AS ?v ) ...       # int arithmetic / string fns
         OPTIONAL { s path o . ... } ...
         MINUS { s path o . ... } ...        # anti-join on shared vars
         GRAPH (?g | iri) { s path o . ... } ...
-        { s path o . ... } UNION { ... } [UNION { ... }]   # standalone
+        { s path o . ... } UNION { ... } [UNION { ... }]  # standalone or
+                                            # joined with other patterns
+        { SELECT ... }                      # one-level subquery
     }
     [GROUP BY ?g1 ...]
     [HAVING ( expr ) ...]                   # over group keys / agg aliases
@@ -47,21 +49,28 @@ String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
 engines: UTF-8 byte order = codepoint order). SUM/AVG aggregate INTEGER
 lexical forms exactly (core/numeric.py semantics — non-integer forms are
 unbound/NULL; SUM is the exact integer as a string, AVG = strtod(SUM) /
-COUNT). ``BIND`` value expressions are INTEGER arithmetic (``+ - *``,
-parentheses) over bound variables and integer constants: operands read
-under the same integer-lexical rule (non-integer form -> unbound/NULL,
-which propagates), int64 arithmetic with overflow a loud error on BOTH
-engines (Arrow checked kernels / DuckDB BIGINT), result rendered as its
-decimal string; a BIND evaluates after its group's patterns join, so the
-target must be fresh and every referenced variable pattern-bound (or an
-earlier BIND target). Property paths cover sequence ``p1/p2``, inverse
-``^p``, parenthesized alternation ``(p1|p2)`` as a step (desugared to
-fresh-variable patterns; an alternation step scans with a predicate-set
-filter) and seed-anchored transitive closure ``p+`` / ``p*`` (one
-constant endpoint; distributed BFS); sub-selects, general expression
-projections and UNION mixed with other patterns stay out of scope; the
-parser rejects anything outside the fragment loudly rather than
-guessing.
+COUNT). ``BIND`` value expressions come in two typed flavors, dispatched
+on the first token (see ``_value_expr``): INTEGER arithmetic (``+ - *``,
+parentheses, ``STRLEN(str-expr)``) over bound variables and integer
+constants — operands read under the same integer-lexical rule
+(non-integer form -> unbound/NULL, which propagates), int64 arithmetic
+with overflow a loud error on BOTH engines (Arrow checked kernels /
+DuckDB BIGINT), result rendered as its decimal string — and STRING
+expressions ``UCASE`` / ``LCASE`` / ``CONCAT`` / ``SUBSTR`` (1-based
+codepoints, positive-constant start/len) / ``REPLACE`` (global, RE2 on
+both engines) / ``STR`` (identity on the stored value string) over
+variables and string constants, NULL-propagating (an unbound operand →
+unbound target, SPARQL's error semantics and DuckDB's ``||``/function
+convention alike). A BIND evaluates after its group's patterns join, so
+the target must be fresh and every referenced variable pattern-bound (or
+an earlier BIND target). Property paths cover sequence ``p1/p2``,
+inverse ``^p``, parenthesized alternation ``(p1|p2)`` as a step
+(desugared to fresh-variable patterns; an alternation step scans with a
+predicate-set filter) and seed-anchored transitive closure ``p+`` /
+``p*`` (one constant endpoint; distributed BFS). Subqueries nest one
+level (``{ SELECT ... }`` in WHERE, joined on its projected variables);
+deeper nesting and the rest of SPARQL stay out of scope — the parser
+rejects anything outside the fragment loudly rather than guessing.
 """
 
 from __future__ import annotations
@@ -107,10 +116,14 @@ _KEYWORDS = (
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
     "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
-    "ISIRI|ISBLANK|ISLITERAL"
+    "ISIRI|ISBLANK|ISLITERAL|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|REPLACE"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
+
+# string-VALUED functions usable in BIND / expression projections (STRLEN
+# is integer-valued and lives in the numeric grammar instead)
+_STR_VALUE_FNS = ("STR", "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE")
 
 _AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
 
@@ -440,13 +453,127 @@ class _SelectParser:
     # semantics diverge between engines).
 
     def _bind_clause(self):
-        """``BIND ( int-expr AS ?v )`` → (varname, expr AST)."""
+        """``BIND ( value-expr AS ?v )`` → (varname, expr AST)."""
         self._expect("punct", "(")
-        expr = self._num_expr()
+        expr = self._value_expr()
         self._expect("AS")
         var = self._expect("var")[1:]
         self._expect("punct", ")")
         return (var, expr)
+
+    def _value_expr(self):
+        """A BIND / expression-projection value expression — either the
+        integer grammar (``_num_expr``, which includes ``STRLEN``) or a
+        string expression (``_str_expr``), dispatched on the first token:
+        a string-valued function keyword or a string literal starts a
+        string expression; anything else (vars, numbers, ``(``, STRLEN)
+        stays in the numeric grammar, so ``BIND(?x AS ?y)`` keeps its
+        established integer-lexical semantics."""
+        k, _v = self._peek()
+        if k in _STR_VALUE_FNS or k == "literal":
+            return self._str_expr()
+        return self._num_expr()
+
+    def _str_expr(self):
+        """String-valued expression AST (consumed by pipelines/bgp
+        ``_bind_eval``):
+
+            ("sstr", const)                  string constant
+            ("svar", name)                   a variable's stored VALUE
+                                             string (kind-agnostic — the
+                                             binding-table convention)
+            ("sfn", "UCASE"|"LCASE", sub)    Unicode case mapping (Arrow
+                                             utf8_upper/lower = DuckDB
+                                             upper/lower, probe-verified
+                                             incl. ß/İ/ǳ/final sigma)
+            ("sfn", "CONCAT", (sub, ...))    concatenation; any NULL
+                                             operand → NULL (DuckDB ``||``)
+            ("sfn", "SUBSTR", sub, start, len|None)
+                                             1-based CODEPOINT slice;
+                                             start/len are positive /
+                                             non-negative int constants
+                                             (expressions and the 0/negative
+                                             edge semantics are out of
+                                             fragment — they diverge between
+                                             engines)
+            ("sfn", "REPLACE", sub, pat, rep)
+                                             global regex replace, RE2
+                                             syntax on BOTH engines (Arrow
+                                             replace_substring_regex /
+                                             DuckDB regexp_replace 'g')
+
+        ``STR(x)`` is the identity on the stored value string (the table
+        already holds lexical forms / IRI strings) — it parses and returns
+        its argument's AST."""
+        k, v = self._next()
+        if k == "literal":
+            return ("sstr", _unescape_literal(v[1:-1]))
+        if k == "var":
+            return ("svar", v[1:])
+        if k == "STR":
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ")")
+            return sub
+        if k in ("UCASE", "LCASE"):
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ")")
+            return ("sfn", k, sub)
+        if k == "CONCAT":
+            self._expect("punct", "(")
+            args = [self._str_expr()]
+            while self._peek() == ("punct", ","):
+                self._next()
+                args.append(self._str_expr())
+            self._expect("punct", ")")
+            if len(args) < 2:
+                raise ParseError("CONCAT needs at least 2 arguments")
+            return ("sfn", "CONCAT", tuple(args))
+        if k == "SUBSTR":
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ",")
+            start = self._int_const("SUBSTR start")
+            if start < 1:
+                raise ParseError(
+                    "SUBSTR start must be >= 1 (SPARQL is 1-based; the "
+                    "0/negative edge semantics diverge between engines)"
+                )
+            length = None
+            if self._peek() == ("punct", ","):
+                self._next()
+                length = self._int_const("SUBSTR length")
+                if length < 0:
+                    raise ParseError("SUBSTR length must be >= 0")
+            self._expect("punct", ")")
+            return ("sfn", "SUBSTR", sub, start, length)
+        if k == "REPLACE":
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ",")
+            kp, vp = self._next()
+            if kp != "literal":
+                raise ParseError("REPLACE pattern must be a string literal")
+            self._expect("punct", ",")
+            kr, vr = self._next()
+            if kr != "literal":
+                raise ParseError("REPLACE replacement must be a string literal")
+            self._expect("punct", ")")
+            return (
+                "sfn",
+                "REPLACE",
+                sub,
+                _unescape_literal(vp[1:-1]),
+                _unescape_literal(vr[1:-1]),
+            )
+        raise ParseError(f"bad string-expression operand: {v!r}")
+
+    def _int_const(self, what: str) -> int:
+        k, v = self._next()
+        if k != "number" or not re.fullmatch(r"[+-]?\d{1,18}", v):
+            raise ParseError(f"{what} must be an integer constant, got {v!r}")
+        return int(v)
 
     def _num_expr(self):
         node = self._num_term()
@@ -472,6 +599,14 @@ class _SelectParser:
 
     def _num_prim(self):
         k, v = self._next()
+        if k == "STRLEN":
+            # integer-valued string accessor: codepoint count (Arrow
+            # utf8_length = DuckDB length(); NULL propagates) — composes
+            # with the int64-checked arithmetic like any operand
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ")")
+            return ("blen", sub)
         if k == "var":
             return ("bvar", v[1:])
         if k == "number":
@@ -1226,13 +1361,14 @@ class _SelectParser:
         }
 
     def _select_expr_item(self) -> tuple[str, tuple]:
-        """``(int-expr AS ?alias)`` expression projection — the same
-        integer value-expression grammar as BIND (it desugars to one):
-        checked int64 arithmetic over bound variables, rendered as the
-        decimal string. SQL twins spell
-        ``CAST(<int-expr over guarded casts> AS VARCHAR) AS alias``."""
+        """``(value-expr AS ?alias)`` expression projection — the same
+        value-expression grammar as BIND (it desugars to one): checked
+        int64 arithmetic (rendered as the decimal string; SQL twins spell
+        ``CAST(... AS VARCHAR) AS alias``) or a string expression
+        (UCASE/LCASE/CONCAT/SUBSTR/REPLACE/STR, entering the binding
+        table directly)."""
         self._expect("punct", "(")
-        expr = self._num_expr()
+        expr = self._value_expr()
         self._expect("AS")
         alias = self._expect("var")[1:]
         self._expect("punct", ")")

@@ -660,35 +660,82 @@ _BIND_OPS = {"+": "add_checked", "-": "subtract_checked", "*": "multiply_checked
 
 def _bind_vars(expr, out: set):
     """Collect the variable names a BIND value expression references."""
-    if expr[0] == "bvar":
+    head = expr[0]
+    if head in ("bvar", "svar"):
         out.add(expr[1])
-    elif expr[0] == "bop":
+    elif head == "bop":
         _bind_vars(expr[2], out)
         _bind_vars(expr[3], out)
+    elif head == "blen":
+        _bind_vars(expr[1], out)
+    elif head == "sfn":
+        fn = expr[1]
+        if fn == "CONCAT":
+            for a in expr[2]:
+                _bind_vars(a, out)
+        else:  # UCASE / LCASE / SUBSTR / REPLACE — operand is expr[2]
+            _bind_vars(expr[2], out)
+
+
+def _str_operand(tbl: pa.Table, name: str):
+    """A binding column as ONE contiguous string array — rebases sliced
+    chunks before any compute (pyarrow 16.1 sliced-chunk offset corruption
+    in if_else — the repo-wide mitigation; concat_arrays copies)."""
+    col = tbl[name]
+    if col.num_chunks > 0:
+        return pa.concat_arrays([c.cast(pa.string()) for c in col.chunks])
+    return pa.array([], pa.string())
 
 
 def _bind_eval(expr, tbl: pa.Table):
-    """Evaluate a BIND AST over ``tbl`` -> int64 Array (or Scalar for an
-    all-constant expression)."""
+    """Evaluate a BIND AST over ``tbl`` -> int64 Array (numeric flavor),
+    string Array (string flavor), or a Scalar for an all-constant
+    expression. NULL propagates through every node (unbound operand →
+    unbound result — SPARQL error semantics = DuckDB's function/``||``
+    convention)."""
     from ..core.numeric import INT_LEX_SQL_RE
 
-    if expr[0] == "bnum":
+    head = expr[0]
+    if head == "bnum":
         return pa.scalar(expr[1], pa.int64())
-    if expr[0] == "bvar":
-        col = tbl[expr[1]]
-        # rebase sliced string chunks before if_else (pyarrow 16.1 offset
-        # corruption — the repo-wide mitigation; concat_arrays copies)
-        arr = (
-            pa.concat_arrays([c.cast(pa.string()) for c in col.chunks])
-            if col.num_chunks > 0
-            else pa.array([], pa.string())
-        )
+    if head == "sstr":
+        return pa.scalar(expr[1], pa.string())
+    if head == "svar":
+        return _str_operand(tbl, expr[1])
+    if head == "bvar":
+        arr = _str_operand(tbl, expr[1])
         ok = pc.match_substring_regex(arr, INT_LEX_SQL_RE)
         clean = pc.if_else(ok, arr, pa.scalar(None, pa.string()))
         # Arrow's string->int cast rejects a leading '+'; strip it (the
         # regex guarantees at most one, at position 0)
         clean = pc.replace_substring_regex(clean, r"^\+", "")
         return pc.cast(clean, pa.int64())
+    if head == "blen":
+        # codepoint count: Arrow utf8_length = DuckDB length()
+        return pc.cast(pc.utf8_length(_bind_eval(expr[1], tbl)), pa.int64())
+    if head == "sfn":
+        fn = expr[1]
+        if fn == "UCASE":
+            return pc.utf8_upper(_bind_eval(expr[2], tbl))
+        if fn == "LCASE":
+            return pc.utf8_lower(_bind_eval(expr[2], tbl))
+        if fn == "CONCAT":
+            vals = [_bind_eval(a, tbl) for a in expr[2]]
+            # emit_null (the default) propagates any NULL operand; twins
+            # spell DuckDB's equally-propagating ``||`` chain
+            return pc.binary_join_element_wise(*vals, "")
+        if fn == "SUBSTR":
+            _, _, sub, start, length = expr
+            stop = None if length is None else start - 1 + length
+            return pc.utf8_slice_codeunits(
+                _bind_eval(sub, tbl), start - 1, stop
+            )
+        if fn == "REPLACE":
+            _, _, sub, pat, rep = expr
+            return pc.replace_substring_regex(
+                _bind_eval(sub, tbl), pattern=pat, replacement=rep
+            )
+        raise ValueError(f"unknown string function {fn!r}")  # unreachable
     lhs = _bind_eval(expr[2], tbl)
     rhs = _bind_eval(expr[3], tbl)
     return getattr(pc, _BIND_OPS[expr[1]])(lhs, rhs)
@@ -2810,6 +2857,50 @@ def kg_sparql_expr(sf_dir: str):
     second projection reads the first's target (declaration-order
     evaluation), both rendered as decimal strings on both engines."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXPR_QUERY)
+
+
+# String value expressions: REPLACE strips the role-IRI prefix (global RE2
+# regex on both engines), SUBSTR takes the first 3 codepoints, UCASE maps
+# them, CONCAT splices the turn index in (NULL-propagating — DuckDB ||),
+# and STRLEN bridges a string expression back into the checked-int64
+# projection grammar. Twin: the same fns under their DuckDB spellings
+# (regexp_replace 'g' / substring / upper / || / length — probe-verified
+# parity incl. Unicode case edges).
+KG_SPARQL_STRFNS_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?turn ?tag (STRLEN(?role) AS ?rl)
+WHERE {
+  ?turn c:role ?role . ?turn c:index ?idx .
+  BIND(REPLACE(?role, "^http://example.org/role/", "") AS ?rname)
+  BIND(CONCAT(UCASE(SUBSTR(?rname, 1, 3)), ":", ?idx) AS ?tag)
+}
+"""
+
+KG_SPARQL_STRFNS_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT t1.subj AS turn, t1.obj_value AS role, t2.obj_value AS idx,
+         regexp_replace(t1.obj_value, '^http://example.org/role/', '', 'g')
+           AS rname
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}index'
+  WHERE t1.pred = '{_C}role'
+)
+SELECT turn,
+       upper(substring(rname, 1, 3)) || ':' || idx AS tag,
+       CAST(length(role) AS VARCHAR) AS rl
+FROM b
+"""
+
+
+def kg_sparql_strfns(sf_dir: str):
+    """SPARQL string value expressions: ``BIND(REPLACE/SUBSTR/UCASE/
+    CONCAT ...)`` deriving a role:index tag per turn plus a
+    ``(STRLEN(?role) AS ?rl)`` projection — every string function of the
+    fragment in one chain, evaluated by Arrow kernels that are
+    probe-verified byte-identical to the DuckDB twin's."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_STRFNS_QUERY)
 
 
 # UNION joined with required patterns: the union's binding table joins

@@ -1915,3 +1915,94 @@ def test_group_by_bind_target(ray_session):
     assert list(zip(got["w"], got["n"])) == [
         (None, 1), ("11", 1), ("12", 1), ("13", 1),
     ]
+
+
+# ------------------------------------------------- string value expressions
+
+
+def test_parse_string_bind_and_strlen_projection():
+    q = parse_select(
+        """
+        SELECT ?s (STRLEN(?t) * 2 AS ?l)
+        WHERE {
+          ?s <http://e/tag> ?t .
+          BIND(CONCAT(UCASE(?t), "-", STR(?s)) AS ?c)
+          BIND(REPLACE(SUBSTR(?t, 2, 3), "a", "o") AS ?r)
+        }
+        """
+    )
+    binds = dict(q["binds"])
+    assert binds["c"] == (
+        "sfn", "CONCAT", (("sfn", "UCASE", ("svar", "t")), ("sstr", "-"),
+                          ("svar", "s")),
+    )
+    assert binds["r"] == (
+        "sfn", "REPLACE", ("sfn", "SUBSTR", ("svar", "t"), 2, 3), "a", "o",
+    )
+    # the projection expression desugars to a BIND with the blen node
+    assert binds["l"] == ("bop", "*", ("blen", ("svar", "t")), ("bnum", 2))
+
+
+def test_parse_string_fns_reject_out_of_fragment():
+    with pytest.raises(ParseError, match="SUBSTR start"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . BIND(SUBSTR(?t, 0) AS ?x) }'
+        )
+    with pytest.raises(ParseError, match="SUBSTR length"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . BIND(SUBSTR(?t, 1, -2) AS ?x) }'
+        )
+    with pytest.raises(ParseError, match="CONCAT needs at least 2"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . BIND(CONCAT(?t) AS ?x) }'
+        )
+    with pytest.raises(ParseError, match="REPLACE pattern"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . BIND(REPLACE(?t, ?t, "x") AS ?x) }'
+        )
+    # a string function is not an integer operand: arithmetic over UCASE
+    # has no type — rejected at the parse level (STRLEN is the bridge)
+    with pytest.raises(ParseError):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . BIND(UCASE(?t) + 1 AS ?x) }'
+        )
+
+
+def test_executor_string_bind_fns(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    got = sparql_select(
+        ds,
+        'SELECT ?s ?u ?m ?r WHERE { ?s <http://e/tag> ?t . '
+        'BIND(UCASE(?t) AS ?u) BIND(SUBSTR(?t, 2, 3) AS ?m) '
+        'BIND(REPLACE(?t, "a", "o") AS ?r) } ORDER BY ?s',
+    ).to_pandas()
+    assert got["u"].tolist() == ["ALPHA", "BETA"]
+    assert got["m"].tolist() == ["lph", "eta"]
+    assert got["r"].tolist() == ["olpho", "beto"]
+
+    # STRLEN bridges into checked-int arithmetic; rendered as decimal string
+    got = sparql_select(
+        ds,
+        "SELECT ?s (STRLEN(?t) * 2 AS ?l) WHERE { ?s <http://e/tag> ?t } ORDER BY ?s",
+    ).to_pandas()
+    assert got["l"].tolist() == ["10", "8"]
+
+    # CONCAT propagates an OPTIONAL-null operand to an unbound target
+    got = sparql_select(
+        ds,
+        'SELECT ?s ?c WHERE { ?s <http://e/val> ?v . '
+        'OPTIONAL { ?s <http://e/tag> ?t } '
+        'BIND(CONCAT(?s, ":", ?t) AS ?c) } ORDER BY ?s',
+    ).to_pandas()
+    assert got["c"].tolist()[0] == "s1:alpha"
+    assert got["c"].isna().tolist() == [False, True, False, True]
+
+    # FILTER over a string BIND target
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/tag> ?t . '
+        'BIND(UCASE(?t) AS ?u) FILTER(?u = "ALPHA") }',
+    ).to_pandas()
+    assert got["s"].tolist() == ["s1"]
