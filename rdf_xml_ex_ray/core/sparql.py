@@ -61,7 +61,10 @@ codepoints, positive-constant start/len) / ``REPLACE`` (global, RE2 on
 both engines) / ``STR`` (identity on the stored value string) over
 variables and string constants, NULL-propagating (an unbound operand →
 unbound target, SPARQL's error semantics and DuckDB's ``||``/function
-convention alike). A BIND evaluates after its group's patterns join, so
+convention alike), plus ``COALESCE(e1, e2, ...)`` (first non-NULL — the
+OPTIONAL-default idiom) and ``IF(cond, then, else)`` whose condition is
+a FILTER expression under FILTER semantics (error/unbound → False →
+else; term-facet forms inside it are out of fragment). A BIND evaluates after its group's patterns join, so
 the target must be fresh and every referenced variable pattern-bound (or
 an earlier BIND target). Property paths cover sequence ``p1/p2``,
 inverse ``^p``, parenthesized alternation ``(p1|p2)`` as a step
@@ -116,14 +119,20 @@ _KEYWORDS = (
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
     "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
-    "ISIRI|ISBLANK|ISLITERAL|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|REPLACE"
+    "ISIRI|ISBLANK|ISLITERAL|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|"
+    "COALESCE|IF"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
 
 # string-VALUED functions usable in BIND / expression projections (STRLEN
-# is integer-valued and lives in the numeric grammar instead)
-_STR_VALUE_FNS = ("STR", "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE")
+# is integer-valued and lives in the numeric grammar instead; COALESCE and
+# IF are string-typed in this fragment — their operands are string
+# expressions, which covers variables of any provenance since the binding
+# table stores lexical forms)
+_STR_VALUE_FNS = (
+    "STR", "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE", "COALESCE", "IF"
+)
 
 _AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
 
@@ -172,6 +181,20 @@ def _unescape_literal(body: str) -> str:
             raise ParseError(f"unknown literal escape \\{c!r} in SPARQL string")
 
     return _ESC_RE.sub(sub, body)
+
+
+def _reject_facets(expr, where: str):
+    """Reject term-facet FILTER forms (isIRI/isBlank/isLiteral, LANG,
+    DATATYPE) inside ``where`` — they read scan-carried facet columns the
+    surrounding construct doesn't plan for."""
+    head = expr[0]
+    if head in ("kindis", "not_kindis", "facet_cmp"):
+        raise ParseError(f"term-facet forms inside {where} are out of fragment")
+    if head in ("or", "and"):
+        for e in expr[1]:
+            _reject_facets(e, where)
+    elif head == "not":
+        _reject_facets(expr[1], where)
 
 
 def _tokenize(text: str):
@@ -567,6 +590,34 @@ class _SelectParser:
                 _unescape_literal(vp[1:-1]),
                 _unescape_literal(vr[1:-1]),
             )
+        if k == "COALESCE":
+            # first non-NULL operand (DuckDB coalesce / Arrow pc.coalesce
+            # agree) — the idiomatic default for an OPTIONAL-null variable
+            self._expect("punct", "(")
+            args = [self._str_expr()]
+            while self._peek() == ("punct", ","):
+                self._next()
+                args.append(self._str_expr())
+            self._expect("punct", ")")
+            if len(args) < 2:
+                raise ParseError("COALESCE needs at least 2 arguments")
+            return ("scoal", tuple(args))
+        if k == "IF":
+            # IF(cond, then, else): cond is a FILTER expression evaluated
+            # under the same semantics as FILTER itself (error/unbound →
+            # False → else branch; DuckDB CASE WHEN's NULL → ELSE agrees).
+            # Term-facet forms (LANG/DATATYPE/isIRI/...) inside the
+            # condition would need facet columns the bind stage doesn't
+            # carry — out of fragment, rejected below.
+            self._expect("punct", "(")
+            cond = self._expr()
+            _reject_facets(cond, "IF(...) conditions")
+            self._expect("punct", ",")
+            then = self._str_expr()
+            self._expect("punct", ",")
+            other = self._str_expr()
+            self._expect("punct", ")")
+            return ("sif", cond, then, other)
         raise ParseError(f"bad string-expression operand: {v!r}")
 
     def _int_const(self, what: str) -> int:

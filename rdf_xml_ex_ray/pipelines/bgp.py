@@ -668,6 +668,13 @@ def _bind_vars(expr, out: set):
         _bind_vars(expr[3], out)
     elif head == "blen":
         _bind_vars(expr[1], out)
+    elif head == "scoal":
+        for a in expr[1]:
+            _bind_vars(a, out)
+    elif head == "sif":
+        _expr_vars(expr[1], out)  # the FILTER-expression condition
+        _bind_vars(expr[2], out)
+        _bind_vars(expr[3], out)
     elif head == "sfn":
         fn = expr[1]
         if fn == "CONCAT":
@@ -713,6 +720,15 @@ def _bind_eval(expr, tbl: pa.Table):
     if head == "blen":
         # codepoint count: Arrow utf8_length = DuckDB length()
         return pc.cast(pc.utf8_length(_bind_eval(expr[1], tbl)), pa.int64())
+    if head == "scoal":
+        # first non-NULL operand — Arrow coalesce = DuckDB coalesce
+        return pc.coalesce(*(_bind_eval(a, tbl) for a in expr[1]))
+    if head == "sif":
+        # the condition is a FILTER expression under FILTER semantics
+        # (error/unbound → False → else); DuckDB CASE WHEN cond THEN a
+        # ELSE b END agrees (NULL condition takes ELSE)
+        mask = pa.array(_filter_mask(expr[1], tbl))
+        return pc.if_else(mask, _bind_eval(expr[2], tbl), _bind_eval(expr[3], tbl))
     if head == "sfn":
         fn = expr[1]
         if fn == "UCASE":
@@ -2892,6 +2908,47 @@ SELECT turn,
        CAST(length(role) AS VARCHAR) AS rl
 FROM b
 """
+
+
+# Conditional value expressions: COALESCE defaults an OPTIONAL-null tool
+# to "none" (Arrow coalesce = DuckDB coalesce), IF routes on a numeric
+# FILTER-semantics condition (guarded TRY_CAST double compare; error/NULL
+# → else — DuckDB CASE WHEN agrees).
+KG_SPARQL_COND_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?turn (COALESCE(?tool, "none") AS ?tool2)
+       (IF(?idx >= 4, "late", "early") AS ?phase)
+WHERE {
+  ?turn c:index ?idx .
+  OPTIONAL { ?turn c:toolUse ?use . ?use c:tool ?tool }
+}
+"""
+
+KG_SPARQL_COND_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS turn,
+       coalesce(u.tool, 'none') AS tool2,
+       CASE WHEN {_dbl_cast_sql("t1.obj_value")} >= 4
+            THEN 'late' ELSE 'early' END AS phase
+FROM kt t1
+LEFT JOIN (
+  SELECT t2.subj AS s, t3.obj_value AS tool
+  FROM kt t2 JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+  WHERE t2.pred = '{_C}toolUse'
+) u ON u.s = t1.subj
+WHERE t1.pred = '{_C}index'
+"""
+
+
+def kg_sparql_cond(sf_dir: str):
+    """SPARQL conditional value expressions: ``COALESCE(?tool, "none")``
+    defaulting the OPTIONAL-null tool and ``IF(?idx >= 4, ...)`` routing
+    on a FILTER-semantics numeric condition — both evaluated as Arrow
+    kernels over the binding table, matching DuckDB's coalesce /
+    CASE WHEN exactly."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_COND_QUERY)
 
 
 def kg_sparql_strfns(sf_dir: str):

@@ -2006,3 +2006,42 @@ def test_executor_string_bind_fns(ray_session):
         'BIND(UCASE(?t) AS ?u) FILTER(?u = "ALPHA") }',
     ).to_pandas()
     assert got["s"].tolist() == ["s1"]
+
+
+def test_parse_coalesce_if():
+    q = parse_select(
+        """
+        SELECT ?s (IF(?v >= 7, "hi", COALESCE(?t, "none")) AS ?z)
+        WHERE { ?s <http://e/val> ?v . OPTIONAL { ?s <http://e/tag> ?t } }
+        """
+    )
+    binds = dict(q["binds"])
+    assert binds["z"] == (
+        "sif", ("cmp", ">=", ("var", "v"), ("num", 7.0)),
+        ("sstr", "hi"), ("scoal", (("svar", "t"), ("sstr", "none"))),
+    )
+    with pytest.raises(ParseError, match="COALESCE needs at least 2"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . BIND(COALESCE(?t) AS ?x) }'
+        )
+    with pytest.raises(ParseError, match="term-facet forms inside IF"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?t . '
+            'BIND(IF(isIRI(?t), "i", "l") AS ?x) }'
+        )
+
+
+def test_executor_coalesce_if(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    got = sparql_select(
+        ds,
+        'SELECT ?s ?d ?p WHERE { ?s <http://e/val> ?v . '
+        'OPTIONAL { ?s <http://e/tag> ?t } '
+        'BIND(COALESCE(?t, "none") AS ?d) '
+        'BIND(IF(?v >= 7, "hi", "lo") AS ?p) } ORDER BY ?s',
+    ).to_pandas()
+    assert got["d"].tolist() == ["alpha", "none", "beta", "none"]
+    # 'oops' fails the numeric comparison (error -> False -> else branch)
+    assert got["p"].tolist() == ["lo", "hi", "hi", "lo"]
