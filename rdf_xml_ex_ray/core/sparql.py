@@ -89,9 +89,11 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 class PathPlus(NamedTuple):
     """Predicate marker for a closure path step: ``p+`` / ``(p1|p2)+``
-    (one-or-more), or with ``zero=True`` the ``p*`` zero-or-more variant
+    (one-or-more), with ``zero=True`` the ``p*`` zero-or-more variant
     (the constant seed term itself joins the result set — SPARQL's
-    zero-length path matches any term, in the graph or not).
+    zero-length path matches any term, in the graph or not), and with
+    ``max_hops=1`` (+ ``zero=True``) the ``p?`` zero-or-one variant —
+    the same BFS stopped after one round, no convergence requirement.
 
     The BGP executor evaluates a pattern carrying this as a seed-anchored
     transitive closure (distributed BFS over the p-edge scan) — the
@@ -102,6 +104,7 @@ class PathPlus(NamedTuple):
 
     pred: Union[str, tuple]
     zero: bool = False
+    max_hops: int = 0  # 0 = unbounded (convergence enforced)
 
 
 class NegSet(NamedTuple):
@@ -156,7 +159,7 @@ _TOKEN_RE = re.compile(
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+|-)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+|-|\?)
     | (?P<punct>[{}.;(),])
     """,
     re.X | re.I,
@@ -728,17 +731,20 @@ class _SelectParser:
         return inverse, self._maybe_plus(base)
 
     def _maybe_plus(self, pred):
-        """Consume a trailing ``+`` (one-or-more closure) or ``*``
-        (zero-or-more: reachable set plus the constant seed itself) on a
-        path step. Both need one constant endpoint — enforced by the
-        executor, which rejects ``?x p+/* ?y``."""
+        """Consume a trailing ``+`` (one-or-more closure), ``*``
+        (zero-or-more: reachable set plus the constant seed itself) or
+        ``?`` (zero-or-one: the seed plus its direct successors) on a
+        path step. All need one constant endpoint — enforced by the
+        executor, which rejects ``?x p+/*/? ?y``."""
         nxt = self._peek()
-        if nxt in (("op", "+"), ("star", "*")):
+        if nxt in (("op", "+"), ("star", "*"), ("op", "?")):
             if isinstance(pred, NegSet):
                 raise ParseError(
                     "closure over a negated property set is out of fragment"
                 )
             self._next()
+            if nxt == ("op", "?"):
+                return PathPlus(pred, zero=True, max_hops=1)
             return PathPlus(pred, zero=nxt == ("star", "*"))
         return pred
 

@@ -562,13 +562,18 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int,
     edges = _scan(triples_ds, ("?__cs", pred.pred, "?__co")).materialize()
     src, dst = ("__cs", "__co") if forward else ("__co", "__cs")
 
+    # p? (and any future bounded form) stops after max_hops rounds with
+    # no convergence requirement; 0 = unbounded transitive closure
+    hop_limit = pred.max_hops or MAX_CLOSURE_HOPS
+    bounded = pred.max_hops > 0
+
     # ---- broadcast regime: reached/frontier live on the driver (small),
     # each hop is a map-side is_in filter — 0 exchanges
     frontier_set: set = {seed}
     reached: set = {seed} if pred.zero else set()
     hops_done = 0
     overflow = False
-    while hops_done < MAX_CLOSURE_HOPS and frontier_set and not overflow:
+    while hops_done < hop_limit and frontier_set and not overflow:
         if len(reached) + len(frontier_set) > broadcast_cap:
             overflow = True  # migrate BEFORE the hop (cap=0 => never broadcast)
             break
@@ -594,7 +599,7 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int,
         if len(reached) > broadcast_cap:
             overflow = True
     if not overflow:
-        if hops_done >= MAX_CLOSURE_HOPS and frontier_set:
+        if not bounded and hops_done >= hop_limit and frontier_set:
             raise RuntimeError(
                 f"closure did not converge in {MAX_CLOSURE_HOPS} hops"
             )
@@ -624,7 +629,7 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int,
     frontier = rd.from_arrow(
         pa.table({var: pa.array(sorted(frontier_set), pa.string())})
     )
-    for _ in range(hops_done, MAX_CLOSURE_HOPS):
+    for _ in range(hops_done, hop_limit):
         hop, _b = _join_onto(frontier, [var], steps, [var, "__nxt"], num_buckets, "inner")
         nxt = _distinct(
             hop.map_batches(
@@ -641,7 +646,10 @@ def _closure_nodes(triples_ds, pattern, num_buckets: int,
         parts.append(nxt)
         frontier = nxt
     else:
-        raise RuntimeError(f"closure did not converge in {MAX_CLOSURE_HOPS} hops")
+        if not bounded:
+            raise RuntimeError(
+                f"closure did not converge in {MAX_CLOSURE_HOPS} hops"
+            )
     return (parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])), var
 
 
@@ -2791,6 +2799,39 @@ def kg_sparql_path_star(sf_dir: str):
     the seed itself in the result (so the conversation row, typed
     c:Conversation, appears alongside its turns and tool uses)."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_STAR_QUERY)
+
+
+# Zero-or-one path p?: the seed plus its DIRECT successors — the closure
+# BFS stopped after one round (max_hops=1, no convergence requirement).
+# Twin: a two-branch UNION (seed row, one-hop scan) joined to rdf:type.
+KG_SPARQL_PATH_OPT_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX conv: <http://example.org/conv/>
+SELECT ?node ?ty
+WHERE { conv:c1 c:turn? ?node . ?node a ?ty }
+"""
+
+KG_SPARQL_PATH_OPT_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), r AS (
+  SELECT 'http://example.org/conv/c1' AS node
+  UNION
+  SELECT obj_value AS node FROM kt
+  WHERE pred = '{_C}turn' AND subj = 'http://example.org/conv/c1'
+)
+SELECT r.node AS node, t.obj_value AS ty
+FROM r
+JOIN kt t ON t.subj = r.node
+         AND t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+"""
+
+
+def kg_sparql_path_opt(sf_dir: str):
+    """SPARQL zero-or-one path ``c:turn?`` from a constant conversation
+    seed, joined to each node's rdf:type — the conversation itself plus
+    its direct turns, one BFS round, set semantics."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_PATH_OPT_QUERY)
 
 
 # BIND: per-turn derived weight 2*index+1 (odd weights — first turn

@@ -2045,3 +2045,37 @@ def test_executor_coalesce_if(ray_session):
     assert got["d"].tolist() == ["alpha", "none", "beta", "none"]
     # 'oops' fails the numeric comparison (error -> False -> else branch)
     assert got["p"].tolist() == ["lo", "hi", "hi", "lo"]
+
+
+def test_parse_and_execute_zero_or_one_path(ray_session):
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.core.sparql import PathPlus
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    q = parse_select("SELECT ?n WHERE { <a> <http://e/p>? ?n }")
+    assert q["patterns"] == [
+        ("a", PathPlus("http://e/p", zero=True, max_hops=1), "?n")
+    ]
+    with pytest.raises(ParseError, match="out of fragment"):
+        parse_select("SELECT ?n WHERE { ?s !<http://e/p>? ?n }")
+
+    # a -> b -> c chain: p? from the seed is {a, b} — exactly one hop,
+    # no convergence requirement (p* would add c)
+    rows = [("a", "http://e/p", "b"), ("b", "http://e/p", "c")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("iri")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    got = sparql_select(ds, "SELECT ?n WHERE { <a> <http://e/p>? ?n } ORDER BY ?n")
+    assert [r["n"] for r in got.take_all()] == ["a", "b"]
+    # inverse anchoring: ?n p? <c> -> {c, b}
+    got = sparql_select(ds, "SELECT ?n WHERE { ?n <http://e/p>? <c> } ORDER BY ?n")
+    assert [r["n"] for r in got.take_all()] == ["b", "c"]
+    # the unbounded forms still reach the whole chain
+    got = sparql_select(ds, "SELECT ?n WHERE { <a> <http://e/p>* ?n } ORDER BY ?n")
+    assert [r["n"] for r in got.take_all()] == ["a", "b", "c"]
