@@ -90,6 +90,18 @@ def main(argv=None) -> int:
     sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     sparql_p.add_argument("--num-cpus", type=int, default=None)
 
+    update_p = sub.add_parser(
+        "update",
+        help="SPARQL UPDATE (INSERT/DELETE DATA, DELETE WHERE, "
+             "DELETE/INSERT WHERE) — writes the NEW store (non-destructive)",
+    )
+    update_p.add_argument("request", help="one UPDATE request (restricted fragment)")
+    update_p.add_argument("store", help="parquet triple-store dir (read-only input)")
+    update_p.add_argument("--out", required=True,
+                          help="directory for the updated store (canonical, "
+                               "subj_bucket-partitioned)")
+    update_p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -314,6 +326,27 @@ def main(argv=None) -> int:
                 for r in rows:
                     print(json.dumps(r))
                 print(json.dumps({"n_bindings": res.count(), "shown": len(rows)}))
+        elif args.cmd == "update":
+            import ray.data as rd
+
+            from rdf_xml_ex_ray.core.model import TRIPLE_COLUMNS
+            from rdf_xml_ex_ray.core.terms import ParseError as _PE
+            from rdf_xml_ex_ray.pipelines.update import sparql_update
+            from rdf_xml_ex_ray.stages.canonicalize import canonicalize
+
+            triples = rd.read_parquet(args.store).map_batches(
+                lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+                batch_format="pyarrow",
+            )
+            try:
+                new_store = sparql_update(triples, args.request)
+            except (ValueError, _PE) as exc:
+                parser.error(f"update: {exc}")
+            canonicalize(new_store).write_parquet(
+                args.out, partition_cols=["subj_bucket"]
+            )
+            n = rd.read_parquet(args.out).count()
+            print(json.dumps({"out": args.out, "n_triples": n}))
         elif args.cmd == "decode":
             import pyarrow.compute as pc
 

@@ -123,7 +123,7 @@ _KEYWORDS = (
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
     "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
     "ISIRI|ISBLANK|ISLITERAL|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|"
-    "COALESCE|IF"
+    "COALESCE|IF|INSERT|DELETE|DATA"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
@@ -159,7 +159,8 @@ _TOKEN_RE = re.compile(
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<star>\*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^|\||\+|-|\?)
+    | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|/|\^\^|\^|\||\+|-|\?)
     | (?P<punct>[{}.;(),])
     """,
     re.X | re.I,
@@ -828,7 +829,7 @@ class _SelectParser:
         if self._peek() == ("punct", "."):
             self._next()
 
-    def parse(self):
+    def _consume_prefixes(self):
         while self._peek()[0] == "PREFIX":
             self._next()
             ns_tok = self._next()
@@ -840,6 +841,9 @@ class _SelectParser:
                 raise ParseError(f"bad PREFIX name: {ns_tok[1]!r}")
             iri = self._expect("iriref")
             self.prefixes[pfx] = iri[1:-1]
+
+    def parse(self):
+        self._consume_prefixes()
         form = self._peek()[0]
         if form == "ASK":
             return self._parse_ask()
@@ -851,6 +855,101 @@ class _SelectParser:
         if self._peek()[0] is not None:
             raise ParseError(f"trailing content after query: {self._peek()[1]!r}")
         return q
+
+    # ----------------------------------------------------- SPARQL UPDATE
+
+    def _tagged_term(self, ctx: str):
+        """One update-template / data-block term with its TERM KIND kept:
+        ``("var", name)`` | ``("iri", iri)`` | ``("lit", value, lang,
+        datatype)``. Bare numbers are rejected (Turtle's implicit xsd
+        typing would be a silent semantic choice — write the typed
+        literal explicitly); blank nodes are rejected (the store's bnode
+        labels are an internal namespace — minting fresh ones in an
+        update is out of fragment)."""
+        k, v = self._next()
+        if k == "var":
+            return ("var", v[1:])
+        if k in ("iriref", "pname", "a_kw"):
+            return ("iri", self._resolve_const(k, v))
+        if k == "literal":
+            val = _unescape_literal(v[1:-1])
+            nk, nv = self._peek()
+            if nk == "langtag":
+                self._next()
+                return ("lit", val, nv[1:], None)
+            if (nk, nv) == ("op", "^^"):
+                self._next()
+                dk, dv = self._next()
+                if dk not in ("iriref", "pname"):
+                    raise ParseError(f"datatype must be an IRI, got {dv!r}")
+                return ("lit", val, None, self._resolve_const(dk, dv))
+            return ("lit", val, None, None)
+        if k == "number":
+            raise ParseError(
+                f"bare numeric term {v!r} in {ctx} is out of fragment — "
+                "write the typed literal explicitly, e.g. "
+                f'"{v}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+            )
+        raise ParseError(f"bad {ctx} term: {v!r}")
+
+    def _tagged_triples(self, ctx: str, allow_vars: bool) -> list[tuple]:
+        """``{ s p o . s p o [.] }`` — '.'-separated PLAIN triples with
+        term kinds kept (no ';'/',' continuations, no property paths, no
+        GRAPH blocks — all rejected loudly)."""
+        self._expect("punct", "{")
+        out: list[tuple] = []
+        while self._peek() != ("punct", "}"):
+            if self._peek()[0] is None:
+                raise ParseError(f"unterminated {ctx}")
+            s = self._tagged_term(ctx)
+            p = self._tagged_term(ctx)
+            o = self._tagged_term(ctx)
+            if s[0] == "lit":
+                raise ParseError(f"literal subject in {ctx} is invalid RDF")
+            if p[0] == "lit":
+                raise ParseError(f"literal predicate in {ctx} is invalid RDF")
+            if not allow_vars:
+                for t in (s, p, o):
+                    if t[0] == "var":
+                        raise ParseError(
+                            f"variables are not allowed in {ctx} (a DATA "
+                            "block holds constant triples)"
+                        )
+            out.append((s, p, o))
+            if self._peek() == ("punct", "."):
+                self._next()
+            elif self._peek() != ("punct", "}"):
+                raise ParseError(
+                    f"expected '.' or '}}' in {ctx}, got {self._peek()[1]!r} "
+                    "(';'/',' continuations are out of fragment here)"
+                )
+        self._next()
+        if not out:
+            raise ParseError(f"empty {ctx}")
+        return out
+
+    def _modify_where(self) -> dict:
+        (patterns, optionals, filters, unions, minuses, exists, binds,
+         subqueries) = self._where_block()
+        if subqueries:
+            raise ParseError("subqueries in an UPDATE WHERE are out of fragment")
+        return {
+            "patterns": patterns,
+            "optionals": optionals,
+            "filters": filters,
+            "unions": unions[0] if unions else [],
+            "minuses": minuses,
+            "exists": exists,
+            "binds": binds,
+        }
+
+    def _assert_end(self, ctx: str):
+        if self._peek()[0] is not None:
+            raise ParseError(
+                f"trailing content after {ctx}: {self._peek()[1]!r} "
+                "(';'-separated update sequences are out of fragment — "
+                "apply them as separate requests)"
+            )
 
     def _subselect(self) -> dict:
         """``{ SELECT ... }`` inside WHERE — one nesting level only. The
@@ -1515,3 +1614,123 @@ def parse_select(text: str) -> dict:
     if q["form"] != "select":
         raise ParseError(f"expected a SELECT query, got {q['form'].upper()}")
     return q
+
+
+def _untag_triple(tagged) -> tuple:
+    """Tagged template triple → the executor's plain-term convention
+    (``?name`` = variable, anything else a constant matched by VALUE —
+    a DELETE template's identity is (subj, pred, obj_value); its lang /
+    datatype marks are ignored, the engine-wide kind-agnostic matching
+    convention)."""
+    out = []
+    for t in tagged:
+        if t[0] == "var":
+            out.append("?" + t[1])
+        elif t[0] == "iri":
+            out.append(t[1])
+        else:
+            if t[1].startswith("?"):
+                raise ParseError(
+                    f"literal constant {t[1]!r} starting with '?' would be "
+                    "ambiguous with a variable in the plain-term convention"
+                )
+            out.append(t[1])
+    return tuple(out)
+
+
+def _tmpl_bound_check(templates, where: dict, what: str):
+    """Every template variable must be bound by the WHERE group (required
+    patterns, OPTIONAL groups, UNION branches, closure endpoints or BIND
+    targets — the executor decides per-row nullability; null slots skip
+    the row, the CONSTRUCT convention)."""
+    tvars = {t[1] for trip in templates for t in trip if t[0] == "var"}
+    bound = {bv for bv, _be in where["binds"]}
+    for grp in [where["patterns"]] + list(where["optionals"]) + list(
+        where["unions"]
+    ):
+        for p in grp:
+            for term in p:
+                if isinstance(term, str) and term.startswith("?"):
+                    bound.add(term[1:])
+    missing = sorted(tvars - bound)
+    if missing:
+        raise ParseError(f"{what} uses unbound variables: {missing}")
+
+
+def parse_update(text: str) -> dict:
+    """SPARQL UPDATE (restricted fragment) → an op dict for
+    pipelines/update.sparql_update:
+
+        PREFIX decls ...
+        INSERT DATA { s p o . ... }      # constant tagged triples
+        DELETE DATA { s p o . ... }      # deletion is by VALUE identity
+        DELETE WHERE { patterns }        # plain pattern group, doubles as
+                                         # the delete template (SPARQL 1.1
+                                         # §3.1.3.3 — no FILTER/OPTIONAL)
+        DELETE { tmpl } [INSERT { tmpl }] WHERE { group }
+        INSERT { tmpl } WHERE { group }
+
+    Templates are '.'-separated plain triples (vars + tagged constants);
+    the WHERE group supports the SELECT fragment's pattern features
+    (FILTER / OPTIONAL / UNION / MINUS / EXISTS / BIND / paths) minus
+    subqueries. One request per call — ';' sequences are rejected.
+    Returns {"op": "insert_data"|"delete_data", "data": [...]} or
+    {"op": "modify", "delete_tmpl": [plain triples], "insert_tmpl":
+    [tagged triples], "where": {...}}."""
+    p = _SelectParser(text)
+    p._consume_prefixes()
+    k, v = p._peek()
+    if k == "INSERT":
+        p._next()
+        if p._peek()[0] == "DATA":
+            p._next()
+            data = p._tagged_triples("INSERT DATA block", allow_vars=False)
+            p._assert_end("INSERT DATA")
+            return {"op": "insert_data", "data": data}
+        ins = p._tagged_triples("INSERT template", allow_vars=True)
+        where = p._modify_where()
+        p._assert_end("INSERT ... WHERE")
+        _tmpl_bound_check(ins, where, "INSERT template")
+        return {"op": "modify", "delete_tmpl": [], "insert_tmpl": ins,
+                "where": where}
+    if k == "DELETE":
+        p._next()
+        nk = p._peek()[0]
+        if nk == "DATA":
+            p._next()
+            data = p._tagged_triples("DELETE DATA block", allow_vars=False)
+            p._assert_end("DELETE DATA")
+            return {"op": "delete_data", "data": data}
+        if nk == "WHERE":
+            where = p._modify_where()
+            p._assert_end("DELETE WHERE")
+            for key in ("optionals", "filters", "unions", "minuses",
+                        "exists", "binds"):
+                if where[key]:
+                    raise ParseError(
+                        "DELETE WHERE takes a plain pattern group only "
+                        f"(found {key}); use DELETE {{...}} WHERE {{...}} "
+                        "for the general form"
+                    )
+            for pat in where["patterns"]:
+                if len(pat) != 3:
+                    raise ParseError("GRAPH in DELETE WHERE is out of fragment")
+                for term in pat:
+                    if not isinstance(term, str) or term.startswith("?__p"):
+                        raise ParseError(
+                            "property paths are not allowed in DELETE WHERE"
+                        )
+            return {"op": "modify", "delete_tmpl": list(where["patterns"]),
+                    "insert_tmpl": [], "where": where}
+        del_t = p._tagged_triples("DELETE template", allow_vars=True)
+        ins_t: list = []
+        if p._peek()[0] == "INSERT":
+            p._next()
+            ins_t = p._tagged_triples("INSERT template", allow_vars=True)
+        where = p._modify_where()
+        p._assert_end("DELETE/INSERT ... WHERE")
+        _tmpl_bound_check(del_t + ins_t, where, "DELETE/INSERT template")
+        return {"op": "modify",
+                "delete_tmpl": [_untag_triple(t) for t in del_t],
+                "insert_tmpl": ins_t, "where": where}
+    raise ParseError(f"expected an INSERT or DELETE update, got {v!r}")

@@ -835,10 +835,17 @@ def bgp_execute(
     exists=(),
     binds=(),
     subqueries=(),
+    extra_facets=None,
 ):
     """Evaluate a BGP (list of (s, p, o) patterns, ``?name`` = variable)
     against a triple-row Dataset; returns the binding table projected to
     ``project`` (bag semantics — identical to the SQL twin's inner joins).
+
+    ``extra_facets`` ({var: set of "kind"/"lang"/"dt"}) requests facet
+    columns beyond what the FILTERs need — the UPDATE engine uses it to
+    read term kinds for INSERT-template slots. The planned columns are
+    named ``__f_{facet}__{var}`` and may be listed in ``project`` (the
+    ``__f_`` prefix is the engine's reserved facet namespace).
 
     ``optionals`` is a list of pattern groups, each evaluated as its own
     inner BGP and LEFT-joined onto the required bindings on their shared
@@ -893,7 +900,7 @@ def bgp_execute(
     u_common = set.intersection(*u_branch_vars) if u_branch_vars else set()
 
     if unions and not patterns:
-        ureq: dict[str, set] = {}
+        ureq: dict[str, set] = dict(extra_facets) if extra_facets else {}
         for f in filters:
             _facet_reqs(f, ureq)
         if ureq:
@@ -928,7 +935,11 @@ def bgp_execute(
 
         # term-facet plan: each LANG/DATATYPE/is* variable's facets are
         # copied into the binding table by exactly ONE required scan
-        facet_req: dict[str, set] = {}
+        facet_req: dict[str, set] = (
+            {v: set(fs) for v, fs in extra_facets.items()}
+            if extra_facets
+            else {}
+        )
         for f in filters:
             _facet_reqs(f, facet_req)
         facet_map: dict = {}
@@ -1251,7 +1262,9 @@ def bgp_execute(
 
         acc = acc.map_batches(apply_filters, batch_format="pyarrow")
 
-    missing = [v for v in project if v not in bound]
+    missing = [
+        v for v in project if v not in bound and not v.startswith("__f_")
+    ]
     if missing:
         raise ValueError(f"projection variables not bound by any pattern: {missing}")
     return acc.map_batches(
