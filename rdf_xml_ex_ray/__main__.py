@@ -88,6 +88,13 @@ def main(argv=None) -> int:
     sparql_p.add_argument("--sf-dir", help="build the flagship triples from this sf dir instead")
     sparql_p.add_argument("--out", help="write the binding table as parquet instead of printing")
     sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
+    sparql_p.add_argument(
+        "--format",
+        choices=("json", "csv", "tsv"),
+        help="serialize the WHOLE result as a SPARQL 1.1 results document "
+             "(json/tsv typed via term-kind facets, csv untyped per spec) — "
+             "printed, or written to --out as one file",
+    )
     sparql_p.add_argument("--num-cpus", type=int, default=None)
 
     update_p = sub.add_parser(
@@ -309,6 +316,41 @@ def main(argv=None) -> int:
                 parser.error("sparql: need a store dir or --sf-dir")
             try:
                 form = parse_query(args.query)["form"]
+                if args.format:
+                    from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
+                    from rdf_xml_ex_ray.sources.results import (
+                        ask_json,
+                        select_csv,
+                        select_json,
+                        select_tsv,
+                    )
+
+                    if form == "ask" and args.format == "json":
+                        doc = json.dumps(ask_json(sparql_ask(triples, args.query)))
+                    elif form != "select":
+                        parser.error(
+                            f"sparql: --format {args.format} serializes "
+                            f"SELECT (or ASK as json) results, not {form.upper()}"
+                        )
+                    elif args.format == "csv":
+                        res_c = sparql_select(triples, args.query)
+                        doc = select_csv(res_c, res_c.schema().names)
+                    else:
+                        res_t, out_vars, prov = sparql_select_typed(
+                            triples, args.query
+                        )
+                        doc = (
+                            json.dumps(select_json(res_t, out_vars, prov))
+                            if args.format == "json"
+                            else select_tsv(res_t, out_vars, prov)
+                        )
+                    if args.out:
+                        with open(args.out, "w", encoding="utf-8") as fh:
+                            fh.write(doc)
+                        print(json.dumps({"out": args.out, "format": args.format}))
+                    else:
+                        print(doc)
+                    return 0
                 run = {
                     "select": sparql_select,
                     "ask": sparql_ask,

@@ -1451,6 +1451,97 @@ def _select_exec(triples_ds, q: dict, num_buckets: int | None = None):
     return res, cols
 
 
+def sparql_select_typed(triples_ds, query: str, num_buckets: int | None = None):
+    """SELECT execution for results SERIALIZATION (SPARQL 1.1 JSON / TSV
+    need term KINDS, which the plain binding table doesn't carry).
+    Returns ``(Dataset, out_vars, provenance)``: the dataset carries, for
+    every facet-eligible projected variable, its ``__f_kind__`` /
+    ``__f_lang__`` / ``__f_dt__`` columns; ``provenance[var]`` is
+    ``"facet"`` (true term kinds from the variable's required binding
+    site) or ``"derived"`` (a BIND / expression-projection target — a
+    genuine plain literal). A projected variable with NEITHER provenance
+    (OPTIONAL/UNION/closure/subquery-only binding) is rejected loudly —
+    serialize those result sets as CSV (untyped by spec) or parquet.
+    DISTINCT and GROUP BY are out of fragment here (term-level
+    distinctness and aggregate kind metadata); ORDER BY / LIMIT / OFFSET
+    apply as in sparql_select."""
+    from ..core.sparql import parse_select
+
+    q = parse_select(query)
+    if q["distinct"] or q["group_by"] or q["aggregates"]:
+        raise ValueError(
+            "typed serialization covers the plain SELECT fragment — "
+            "DISTINCT / GROUP BY results carry no term-kind provenance; "
+            "use CSV or parquet output"
+        )
+    derived = {bv for bv, _be in (q.get("binds") or ())}
+    prov: dict[str, str] = {}
+    extra: dict[str, set] = {}
+    for v in q["project"]:
+        if v in derived:
+            prov[v] = "derived"
+            continue
+        site, pos = _binding_site(v, q["patterns"])
+        if site is None:
+            raise ValueError(
+                f"typed serialization needs ?{v} bound by a required "
+                "pattern (or a BIND target); OPTIONAL/UNION/closure/"
+                "subquery-only bindings carry no term kind — use CSV or "
+                "parquet output"
+            )
+        prov[v] = "facet"
+        extra[v] = {"kind"} if pos == "subj" else {"kind", "lang", "dt"}
+    out_cols = list(q["project"]) + [
+        _facet_col(v, f)
+        for v in q["project"]
+        if prov[v] == "facet"
+        for f in sorted(extra[v])
+    ]
+    res = bgp_execute(
+        triples_ds,
+        q["patterns"],
+        out_cols,
+        num_buckets=num_buckets,
+        optionals=q["optionals"],
+        filters=q["filters"],
+        unions=q["unions"],
+        minuses=q.get("minuses") or (),
+        exists=q.get("exists") or (),
+        binds=q.get("binds") or (),
+        subqueries=q.get("subqueries") or (),
+        extra_facets=extra or None,
+    )
+    order_by = list(q["order_by"])
+    if order_by:
+        bad = [v for v, _ in order_by if v not in q["project"]]
+        if bad:
+            raise ValueError(f"ORDER BY variables must be projected: {bad}")
+        keys = [v for v, _ in order_by]
+        desc = [d for _, d in order_by]
+        for v in q["project"]:
+            if v not in keys:
+                keys.append(v)
+                desc.append(False)
+        res = _null_safe_sort(res, keys, desc, out_cols)
+    elif q["limit"] is not None:
+        res = _null_safe_sort(
+            res, q["project"], [False] * len(q["project"]), out_cols
+        )
+    if q["limit"] is not None:
+        res = res.limit((q["offset"] or 0) + q["limit"])
+        if q["offset"]:
+            import ray
+            import ray.data as rd
+
+            parts = [t.select(out_cols) for t in ray.get(res.to_arrow_refs())]
+            if parts:
+                tbl = pa.concat_tables(parts, promote_options="permissive")
+            else:
+                tbl = pa.schema([(v, pa.string()) for v in out_cols]).empty_table()
+            res = rd.from_arrow(tbl.slice(q["offset"]))
+    return res, q["project"], prov
+
+
 def _null_safe_sort(res, keys: list[str], desc: list[bool], out_cols: list[str]):
     """Distributed sort robust to NULLs in any key column. Ray's sort
     samples quantile boundaries and compares raw key values, so a null in

@@ -1,0 +1,131 @@
+"""SPARQL 1.1 query-results serializers: JSON, CSV, TSV.
+
+Reference parity: rdf-elixir's ecosystem exposes query results through
+SPARQL.ex's result modules (JSON / CSV / TSV per the W3C recs); this gives
+the distributed engine the same interchange surface on top of
+pipelines/bgp.sparql_select{_typed}.
+
+Formats (W3C SPARQL 1.1 Query Results):
+
+- JSON (``application/sparql-results+json``): typed — every binding is
+  ``{"type": "uri"|"literal"|"bnode", "value": ...}`` with ``xml:lang`` /
+  ``datatype`` when present. Term kinds come from
+  ``sparql_select_typed``'s facet columns; BIND / expression targets are
+  genuine plain literals.
+- TSV (``text/tab-separated-values``): typed — full term syntax per row
+  (``<iri>``, ``"literal"@lang`` / ``^^<dt>`` with N-Triples escaping,
+  ``_:label``).
+- CSV (``text/csv``): UNTYPED by spec — raw lexical values, RFC 4180
+  quoting, blank nodes as ``_:label``, unbound cells empty. Works on any
+  plain ``sparql_select`` output (no kind provenance needed; bnode
+  detection is by the store's internal label shape only when kind columns
+  are present — plain CSV writes the raw value).
+
+Blank-node labels: the store's internal ``{conv}!b{k}`` labels hex-encode
+to spec-valid labels on the way out (core/ntriples.encode_bnode_label —
+the repo-wide sink invariant).
+
+Serialization MATERIALIZES the result on the driver — these are
+interchange documents, not data-scale sinks; write parquet for big result
+sets (the CLI's default ``--out`` path)."""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+
+from ..core.ntriples import _escape, encode_bnode_label
+
+__all__ = ["select_json", "select_csv", "select_tsv", "ask_json"]
+
+
+def _iter_typed_rows(ds, out_vars, prov):
+    """Yield per-row [(var, kind, value, lang, dt) | None unbound]."""
+    kc = {v: f"__f_kind__{v}" for v in out_vars if prov[v] == "facet"}
+    lc = {v: f"__f_lang__{v}" for v in out_vars}
+    dc = {v: f"__f_dt__{v}" for v in out_vars}
+    for row in ds.iter_rows():
+        out = []
+        for v in out_vars:
+            val = row.get(v)
+            if val is None:
+                out.append(None)
+                continue
+            if prov[v] == "derived":
+                out.append((v, "literal", val, None, None))
+                continue
+            kind = row.get(kc[v]) or "literal"
+            out.append(
+                (v, kind, val, row.get(lc[v]), row.get(dc[v]))
+            )
+        yield out
+
+
+def select_json(ds, out_vars, prov) -> dict:
+    """(Dataset, vars, provenance) from sparql_select_typed → the SPARQL
+    1.1 Query Results JSON document (a plain dict — json.dumps it)."""
+    bindings = []
+    for row in _iter_typed_rows(ds, out_vars, prov):
+        b = {}
+        for term in row:
+            if term is None:
+                continue
+            v, kind, val, lang, dt = term
+            if kind == "iri":
+                b[v] = {"type": "uri", "value": val}
+            elif kind == "bnode":
+                b[v] = {"type": "bnode", "value": encode_bnode_label(val)}
+            else:
+                lit = {"type": "literal", "value": val}
+                if lang:
+                    lit["xml:lang"] = lang
+                elif dt:
+                    lit["datatype"] = dt
+                b[v] = lit
+        bindings.append(b)
+    return {"head": {"vars": list(out_vars)},
+            "results": {"bindings": bindings}}
+
+
+def _term_tsv(kind: str, val: str, lang, dt) -> str:
+    if kind == "iri":
+        return f"<{val}>"
+    if kind == "bnode":
+        return "_:" + encode_bnode_label(val)
+    body = f'"{_escape(val)}"'
+    if lang:
+        return f"{body}@{lang}"
+    if dt:
+        return f"{body}^^<{dt}>"
+    return body
+
+
+def select_tsv(ds, out_vars, prov) -> str:
+    """→ SPARQL 1.1 TSV results (typed term syntax, unbound = empty)."""
+    lines = ["\t".join("?" + v for v in out_vars)]
+    for row in _iter_typed_rows(ds, out_vars, prov):
+        lines.append(
+            "\t".join(
+                "" if t is None else _term_tsv(t[1], t[2], t[3], t[4])
+                for t in row
+            )
+        )
+    return "\n".join(lines) + "\n"
+
+
+def select_csv(ds, out_vars) -> str:
+    """→ SPARQL 1.1 CSV results: raw lexical values (untyped by spec),
+    RFC 4180 quoting, unbound cells empty. Takes any plain sparql_select
+    output — no kind provenance needed."""
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\r\n")  # RFC 4180 line ends
+    w.writerow(out_vars)
+    for row in ds.iter_rows():
+        w.writerow(["" if row.get(v) is None else row[v] for v in out_vars])
+    return buf.getvalue()
+
+
+def ask_json(ask_ds) -> dict:
+    """sparql_ask's one-row {ask: bool} Dataset → the SPARQL JSON boolean
+    document."""
+    return {"head": {}, "boolean": bool(ask_ds.take(1)[0]["ask"])}

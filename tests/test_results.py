@@ -1,0 +1,99 @@
+"""SPARQL 1.1 results serializers (JSON / CSV / TSV) over typed SELECT
+output — term kinds from the facet plan, derived BIND targets as plain
+literals, internal bnode labels hex-encoded on the way out."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from rdf_xml_ex_ray.core.terms import ParseError  # noqa: F401  (parity import)
+
+
+def _store():
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    rows = [
+        ("a", "iri", "http://e/p", "iri", "b", None, None),
+        ("a", "iri", "http://e/name", "literal", "Ann", "en", None),
+        ("c!b0", "bnode", "http://e/name", "literal", "5", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+    cols = {n: [r[i] for r in rows] for i, n in enumerate(TRIPLE_SCHEMA.names)}
+    return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+
+def test_select_json_typed(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
+    from rdf_xml_ex_ray.sources.results import select_json
+
+    ds, out_vars, prov = sparql_select_typed(
+        _store(),
+        'SELECT ?s ?o (CONCAT("v=", ?o) AS ?d) '
+        "WHERE { ?s <http://e/name> ?o } ORDER BY ?o",
+    )
+    doc = select_json(ds, out_vars, prov)
+    assert doc["head"]["vars"] == ["s", "o", "d"]
+    b = doc["results"]["bindings"]
+    assert len(b) == 2
+    # row order: ORDER BY ?o -> "5" before "Ann"
+    assert b[0]["s"]["type"] == "bnode"
+    assert b[0]["s"]["value"] != "c!b0"  # internal label hex-encoded
+    assert b[0]["o"] == {
+        "type": "literal", "value": "5",
+        "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+    }
+    assert b[1]["s"] == {"type": "uri", "value": "a"}
+    assert b[1]["o"] == {"type": "literal", "value": "Ann", "xml:lang": "en"}
+    assert b[1]["d"] == {"type": "literal", "value": "v=Ann"}
+    json.dumps(doc)  # the document is JSON-clean
+
+
+def test_select_tsv_and_csv(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select, sparql_select_typed
+    from rdf_xml_ex_ray.sources.results import select_csv, select_tsv
+
+    ds, out_vars, prov = sparql_select_typed(
+        _store(), "SELECT ?s ?o WHERE { ?s <http://e/name> ?o } ORDER BY ?o"
+    )
+    tsv = select_tsv(ds, out_vars, prov)
+    lines = tsv.splitlines()
+    assert lines[0] == "?s\t?o"
+    assert lines[1].endswith(
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ) and lines[1].startswith("_:")
+    assert lines[2] == '<a>\t"Ann"@en'
+
+    res = sparql_select(
+        _store(), "SELECT ?s ?o WHERE { ?s <http://e/name> ?o } ORDER BY ?o"
+    )
+    csv_doc = select_csv(res, ["s", "o"])
+    assert csv_doc.splitlines()[0] == "s,o"
+    assert csv_doc.splitlines()[1:] == ["c!b0,5", "a,Ann"]
+
+
+def test_typed_select_rejects_kindless_vars(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
+
+    with pytest.raises(ValueError, match="carry no term kind"):
+        sparql_select_typed(
+            _store(),
+            "SELECT ?s ?t WHERE { ?s <http://e/name> ?o . "
+            "OPTIONAL { ?s <http://e/p> ?t } }",
+        )
+    with pytest.raises(ValueError, match="DISTINCT / GROUP BY"):
+        sparql_select_typed(
+            _store(), "SELECT DISTINCT ?s WHERE { ?s <http://e/name> ?o }"
+        )
+
+
+def test_ask_json(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask
+    from rdf_xml_ex_ray.sources.results import ask_json
+
+    yes = ask_json(sparql_ask(_store(), 'ASK { ?s <http://e/name> "Ann" }'))
+    no = ask_json(sparql_ask(_store(), 'ASK { ?s <http://e/name> "Bob" }'))
+    assert yes == {"head": {}, "boolean": True}
+    assert no == {"head": {}, "boolean": False}
