@@ -113,6 +113,11 @@ def run_bench() -> dict:
     # decomposable aggregates: per-block combiner, exchange carries
     # O(groups x blocks) partial rows
     timed("kg_sparql_rollup", lambda: bgp.kg_sparql_rollup(SF_DIR))
+    # the r5 UPDATE engine: one bucketed anti-join over the store (delete
+    # side) + keys-only insert dedup probe; reuses the memoized store
+    from rdf_xml_ex_ray.pipelines import update
+
+    timed("kg_update_modify", lambda: update.kg_update_modify(SF_DIR))
 
     headline = timings["kg_triples"]
     result = {
