@@ -41,8 +41,10 @@ to xsd:string / rdf:langString; both error→drop on non-literals; facets
 need the variable bound by a required pattern in object position — or
 subject position for the kind tests),
 ``?v [NOT] IN (c1, c2, ...)`` membership, and the comparisons
-``= != < <= > >=``; ordering comparisons (``< <= > >=``) require one
-NUMERIC operand — they evaluate under SQL TRY_CAST-to-double semantics
+``= != < <= > >=`` whose operands may also be ``STRLEN(str-expr)``
+(numeric-valued; codepoint count); ordering comparisons (``< <= > >=``)
+require one NUMERIC operand — they evaluate under SQL
+TRY_CAST-to-double semantics
 (an unparseable or unbound value fails the comparison), while ``=``/``!=``
 against a string/IRI constant or another variable compare exact strings.
 String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
@@ -62,9 +64,12 @@ both engines) / ``STR`` (identity on the stored value string) over
 variables and string constants, NULL-propagating (an unbound operand →
 unbound target, SPARQL's error semantics and DuckDB's ``||``/function
 convention alike), plus ``COALESCE(e1, e2, ...)`` (first non-NULL — the
-OPTIONAL-default idiom) and ``IF(cond, then, else)`` whose condition is
-a FILTER expression under FILTER semantics (error/unbound → False →
-else; term-facet forms inside it are out of fragment). A BIND evaluates after its group's patterns join, so
+OPTIONAL-default idiom), ``IF(cond, then, else)`` whose condition is a
+FILTER expression under FILTER semantics (error/unbound → False → else;
+term-facet forms inside it are out of fragment), and the facet
+accessors ``LANG(?v)`` / ``DATATYPE(?v)`` as string VALUES ("" /
+default-datatype for literals, unbound on non-literals; ?v must be
+bound by a required pattern). A BIND evaluates after its group's patterns join, so
 the target must be fresh and every referenced variable pattern-bound (or
 an earlier BIND target). Property paths cover sequence ``p1/p2``,
 inverse ``^p``, parenthesized alternation ``(p1|p2)`` as a step
@@ -394,6 +399,15 @@ class _SelectParser:
         if k == "var":
             self._next()
             return ("var", v[1:])
+        if k == "STRLEN":
+            # STRLEN(str-expr) as a NUMERIC comparison operand (codepoint
+            # count; Arrow utf8_length = DuckDB length(); an unbound /
+            # null operand fails the comparison like any numeric read)
+            self._next()
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ")")
+            return ("slen", sub)
         if k in ("LANG", "DATATYPE"):
             # LANG(?v) / DATATYPE(?v) — facet accessors, only usable on
             # the LEFT of an =/!= against a constant (checked in
@@ -458,12 +472,16 @@ class _SelectParser:
             if op not in ("=", "!="):
                 raise ParseError(f"{fname}(?v) supports only = / != comparisons")
             return ("facet_cmp", op, lhs, rhs)
-        if op in ("<", "<=", ">", ">=") and lhs[0] != "num" and rhs[0] != "num":
+        if (
+            op in ("<", "<=", ">", ">=")
+            and lhs[0] not in ("num", "slen")
+            and rhs[0] not in ("num", "slen")
+        ):
             raise ParseError(
                 f"ordering comparison {op!r} needs one numeric operand "
                 "(string collation is engine-defined; out of fragment)"
             )
-        if lhs[0] != "var" and rhs[0] != "var":
+        if lhs[0] not in ("var", "slen") and rhs[0] not in ("var", "slen"):
             raise ParseError("FILTER comparison must reference a variable")
         return ("cmp", op, lhs, rhs)
 
@@ -497,7 +515,7 @@ class _SelectParser:
         stays in the numeric grammar, so ``BIND(?x AS ?y)`` keeps its
         established integer-lexical semantics."""
         k, _v = self._peek()
-        if k in _STR_VALUE_FNS or k == "literal":
+        if k in _STR_VALUE_FNS or k in ("LANG", "DATATYPE") or k == "literal":
             return self._str_expr()
         return self._num_expr()
 
@@ -594,6 +612,17 @@ class _SelectParser:
                 _unescape_literal(vp[1:-1]),
                 _unescape_literal(vr[1:-1]),
             )
+        if k in ("LANG", "DATATYPE"):
+            # facet ACCESSORS as string values: LANG(?v) is "" for a plain
+            # literal, the tag otherwise; DATATYPE(?v) defaults to
+            # xsd:string / rdf:langString; both are NULL (error → unbound)
+            # on non-literals. The executor reads the variable's
+            # scan-carried facet columns — ?v must be bound by a required
+            # pattern (the facet plan rejects otherwise).
+            self._expect("punct", "(")
+            var = self._expect("var")[1:]
+            self._expect("punct", ")")
+            return ("sfacet", "lang" if k == "LANG" else "dt", var)
         if k == "COALESCE":
             # first non-NULL operand (DuckDB coalesce / Arrow pc.coalesce
             # agree) — the idiomatic default for an OPTIONAL-null variable

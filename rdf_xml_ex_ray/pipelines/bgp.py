@@ -356,6 +356,48 @@ def _facet_reqs(expr, out: dict):
             need.add("dt")
 
 
+def _bind_facet_reqs(expr, out: dict):
+    """Collect {var: set of facets} a BIND value expression needs — the
+    ("sfacet", lang|dt, var) accessor reads kind+lang (+dt) columns."""
+    head = expr[0]
+    if head == "sfacet":
+        need = out.setdefault(expr[2], set())
+        need.update({"kind", "lang"})
+        if expr[1] == "dt":
+            need.add("dt")
+    elif head == "bop":
+        _bind_facet_reqs(expr[2], out)
+        _bind_facet_reqs(expr[3], out)
+    elif head == "blen":
+        _bind_facet_reqs(expr[1], out)
+    elif head == "scoal":
+        for a in expr[1]:
+            _bind_facet_reqs(a, out)
+    elif head == "sif":  # the condition can't carry facets (parse-rejected)
+        _bind_facet_reqs(expr[2], out)
+        _bind_facet_reqs(expr[3], out)
+    elif head == "sfn":
+        if expr[1] == "CONCAT":
+            for a in expr[2]:
+                _bind_facet_reqs(a, out)
+        else:
+            _bind_facet_reqs(expr[2], out)
+
+
+def _filter_slen_facet_reqs(e, out: dict):
+    """Walk a FILTER AST for ("slen", str-expr) comparison operands and
+    collect the facet needs of any nested accessors."""
+    if e[0] in ("or", "and"):
+        for sub in e[1]:
+            _filter_slen_facet_reqs(sub, out)
+    elif e[0] == "not":
+        _filter_slen_facet_reqs(e[1], out)
+    elif e[0] == "cmp":
+        for o in (e[2], e[3]):
+            if o[0] == "slen":
+                _bind_facet_reqs(("blen", o[1]), out)
+
+
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
@@ -461,11 +503,21 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
             m |= rm
         return m
     op, lhs, rhs = expr[1], expr[2], expr[3]
-    numeric = lhs[0] == "num" or rhs[0] == "num"
+    numeric = lhs[0] in ("num", "slen") or rhs[0] in ("num", "slen")
     valid = np.ones(tbl.num_rows, dtype=bool)
 
     def operand(o):
         nonlocal valid
+        if o[0] == "slen":
+            # STRLEN(str-expr): an int64 array (or scalar for constants);
+            # a null string expression fails the comparison like any
+            # numeric read — twins spell length(...)
+            val = _bind_eval(("blen", o[1]), tbl)
+            if isinstance(val, pa.Scalar):
+                return float(val.as_py())
+            v = val.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            valid &= ~np.isnan(v)
+            return v
         if o[0] == "var":
             col = tbl[o[1]]
             if numeric:
@@ -676,6 +728,8 @@ def _bind_vars(expr, out: set):
         _bind_vars(expr[3], out)
     elif head == "blen":
         _bind_vars(expr[1], out)
+    elif head == "sfacet":
+        out.add(expr[2])
     elif head == "scoal":
         for a in expr[1]:
             _bind_vars(a, out)
@@ -731,6 +785,30 @@ def _bind_eval(expr, tbl: pa.Table):
     if head == "scoal":
         # first non-NULL operand — Arrow coalesce = DuckDB coalesce
         return pc.coalesce(*(_bind_eval(a, tbl) for a in expr[1]))
+    if head == "sfacet":
+        # LANG/DATATYPE accessor over the variable's scan-carried facet
+        # columns: "" / default datatype for literals, NULL (error →
+        # unbound) for non-literals — the same semantics as facet_cmp,
+        # here producing a VALUE instead of a mask. Twin: CASE WHEN
+        # kind='literal' THEN coalesce(lang,'') END (resp. the datatype
+        # default chain).
+        facet, var = expr[1], expr[2]
+        kindv = _str_operand(tbl, _facet_col(var, "kind"))
+        langv = _str_operand(tbl, _facet_col(var, "lang"))
+        if facet == "lang":
+            eff = pc.fill_null(langv, "")
+        else:
+            dtv = _str_operand(tbl, _facet_col(var, "dt"))
+            eff = pc.coalesce(
+                dtv,
+                pc.if_else(
+                    pc.is_valid(langv),
+                    pa.scalar(_RDF_LANGSTRING, pa.string()),
+                    pa.scalar(_XSD_STRING, pa.string()),
+                ),
+            )
+        is_lit = pc.fill_null(pc.equal(kindv, "literal"), False)
+        return pc.if_else(is_lit, eff, pa.scalar(None, pa.string()))
     if head == "sif":
         # the condition is a FILTER expression under FILTER semantics
         # (error/unbound → False → else); DuckDB CASE WHEN cond THEN a
@@ -795,6 +873,8 @@ def _expr_vars(e, out: set):
         for o in (e[2], e[3]):
             if o[0] == "var":
                 out.add(o[1])
+            elif o[0] == "slen":  # STRLEN(str-expr) comparison operand
+                _bind_vars(("blen", o[1]), out)
 
 
 def _subquery_cols(subq: dict) -> list[str]:
@@ -903,6 +983,9 @@ def bgp_execute(
         ureq: dict[str, set] = dict(extra_facets) if extra_facets else {}
         for f in filters:
             _facet_reqs(f, ureq)
+            _filter_slen_facet_reqs(f, ureq)
+        for _bv, be in binds:
+            _bind_facet_reqs(be, ureq)
         if ureq:
             # a UNION var has no single required scan to read facets from
             raise ValueError(
@@ -942,6 +1025,10 @@ def bgp_execute(
         )
         for f in filters:
             _facet_reqs(f, facet_req)
+        for _bv, be in binds:
+            _bind_facet_reqs(be, facet_req)
+        for f in filters:  # STRLEN operands can nest facet accessors too
+            _filter_slen_facet_reqs(f, facet_req)
         facet_map: dict = {}
         for fvar in sorted(facet_req):
             facets = facet_req[fvar]
@@ -3085,6 +3172,40 @@ LEFT JOIN (
 ) u ON u.s = t1.subj
 WHERE t1.pred = '{_C}index'
 """
+
+
+# Facet ACCESSORS as values + STRLEN as a FILTER operand: per-turn text
+# rows pass a codepoint-length gate (Arrow utf8_length = DuckDB length)
+# and carry their LANG/DATATYPE ("" / xsd:string for the store's plain
+# literals — the accessor default chain, identical CASE/coalesce on the
+# twin side).
+KG_SPARQL_FACETVAL_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?turn ?text (LANG(?text) AS ?lg) (DATATYPE(?text) AS ?dt)
+WHERE { ?turn c:text ?text . FILTER(STRLEN(?text) >= 22) }
+"""
+
+KG_SPARQL_FACETVAL_SQL = f"""
+SELECT subj AS turn, obj_value AS text,
+       CASE WHEN obj_kind = 'literal'
+            THEN coalesce(obj_lang, '') END AS lg,
+       CASE WHEN obj_kind = 'literal'
+            THEN coalesce(
+              obj_datatype,
+              CASE WHEN obj_lang IS NOT NULL
+                THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+                ELSE 'http://www.w3.org/2001/XMLSchema#string' END
+            ) END AS dt
+FROM ( {KG_TRIPLES_SQL} ) AS base
+WHERE pred = '{_C}text' AND length(obj_value) >= 22
+"""
+
+
+def kg_sparql_facetval(sf_dir: str):
+    """SPARQL facet accessors as values (``LANG``/``DATATYPE`` in BIND /
+    projections) plus ``STRLEN`` as a numeric FILTER operand over the
+    flagship KG's turn texts."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_FACETVAL_QUERY)
 
 
 def kg_sparql_cond(sf_dir: str):

@@ -2079,3 +2079,64 @@ def test_parse_and_execute_zero_or_one_path(ray_session):
     # the unbounded forms still reach the whole chain
     got = sparql_select(ds, "SELECT ?n WHERE { <a> <http://e/p>* ?n } ORDER BY ?n")
     assert [r["n"] for r in got.take_all()] == ["a", "b", "c"]
+
+
+def test_filter_strlen_operand(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()  # tags: alpha (5), beta (4); vals incl. 'oops'
+    got = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/tag> ?t . FILTER(STRLEN(?t) > 4) }",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s1"]
+    # STRLEN over a nested string expression; equality against a number
+    got = sparql_select(
+        ds,
+        'SELECT ?s WHERE { ?s <http://e/tag> ?t . '
+        'FILTER(STRLEN(REPLACE(?t, "a", "")) = 3) }',
+    ).to_pandas()
+    assert sorted(got["s"]) == ["s1", "s3"]  # "lph" and "bet"... both 3
+    # ordering comparison without any numeric side still rejected
+    with pytest.raises(ParseError, match="numeric operand"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/tag> ?t . FILTER(?t < "x") }'
+        )
+
+
+def test_bind_facet_accessors(ray_session):
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [
+        ("a", "iri", "http://e/v", "literal", "plain", None, None),
+        ("b", "iri", "http://e/v", "literal", "tagged", "en-GB", None),
+        ("c", "iri", "http://e/v", "literal", "typed", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("d", "iri", "http://e/v", "iri", "http://x/iri-obj", None, None),
+    ]
+    cols = {n: [r[i] for r in rows] for i, n in enumerate(TRIPLE_SCHEMA.names)}
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?lg ?dt WHERE { ?s <http://e/v> ?o . "
+        "BIND(LANG(?o) AS ?lg) BIND(DATATYPE(?o) AS ?dt) } ORDER BY ?s",
+    ).to_pandas()
+    assert got["lg"].tolist()[:3] == ["", "en-GB", ""]
+    assert got["dt"].tolist()[:3] == [
+        "http://www.w3.org/2001/XMLSchema#string",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+        "http://www.w3.org/2001/XMLSchema#integer",
+    ]
+    # non-literal -> unbound (error semantics), on both accessors
+    assert got["lg"].isna().tolist() == [False, False, False, True]
+    assert got["dt"].isna().tolist() == [False, False, False, True]
+    # accessors compose with the string grammar
+    got = sparql_select(
+        ds,
+        'SELECT ?s ?c WHERE { ?s <http://e/v> ?o . '
+        'BIND(CONCAT(?o, "@", LANG(?o)) AS ?c) FILTER(BOUND(?c)) } ORDER BY ?s',
+    ).to_pandas()
+    assert got["c"].tolist() == ["plain@", "tagged@en-GB", "typed@"]
