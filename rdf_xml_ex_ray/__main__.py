@@ -269,7 +269,10 @@ def main(argv=None) -> int:
             )
             if args.store:
                 triples = rd.read_parquet(args.store).map_batches(
-                    lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+                    lambda t: t.select(
+                        [c for c in TRIPLE_COLUMNS + ["graph", "graph_kind"]
+                         if c in t.column_names]
+                    ),
                     batch_format="pyarrow",
                 )
             elif args.sf_dir:
@@ -305,7 +308,10 @@ def main(argv=None) -> int:
 
             if args.store:
                 triples = rd.read_parquet(args.store).map_batches(
-                    lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
+                    lambda t: t.select(
+                        [c for c in TRIPLE_COLUMNS + ["graph", "graph_kind"]
+                         if c in t.column_names]
+                    ),
                     batch_format="pyarrow",
                 )
             elif args.sf_dir:
@@ -376,7 +382,16 @@ def main(argv=None) -> int:
             from rdf_xml_ex_ray.pipelines.update import sparql_update
             from rdf_xml_ex_ray.stages.canonicalize import canonicalize
 
-            triples = rd.read_parquet(args.store).map_batches(
+            raw = rd.read_parquet(args.store)
+            if "graph" in raw.schema().names:
+                # silently dropping the graph column would rewrite a quad
+                # store as its default-graph projection — reject instead
+                parser.error(
+                    "update: quad stores (graph column present) are out of "
+                    "fragment — export the default graph or query it via "
+                    "'sparql' (GRAPH patterns) instead"
+                )
+            triples = raw.map_batches(
                 lambda t: t.select([c for c in TRIPLE_COLUMNS if c in t.column_names]),
                 batch_format="pyarrow",
             )

@@ -199,3 +199,86 @@ def test_cli_sparql_rejects_bad_query(kg_store):
     )
     assert proc.returncode != 0
     assert "undeclared prefix" in proc.stderr
+
+
+@pytest.fixture(scope="module")
+def quad_store(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    d = tmp_path_factory.mktemp("cli") / "quads"
+    d.mkdir()
+    rows = [
+        ("a", "iri", "http://e/p", "iri", "b", None, None, "http://g/1", "iri"),
+        ("c", "iri", "http://e/p", "iri", "d", None, None, "http://g/2", "iri"),
+    ]
+    names = TRIPLE_SCHEMA.names + ["graph", "graph_kind"]
+    pq.write_table(
+        pa.table({n: [r[i] for r in rows] for i, n in enumerate(names)}),
+        d / "part.parquet",
+    )
+    return str(d)
+
+
+def test_cli_sparql_graph_pattern_on_quad_store(quad_store):
+    """Regression: the CLI's column projection used to strip the graph
+    columns, so GRAPH patterns over a quad store found nothing."""
+    proc = run_cli(
+        "sparql",
+        "SELECT ?g ?o WHERE { GRAPH ?g { ?s <http://e/p> ?o } } ORDER BY ?g",
+        quad_store, "--num-cpus", "4",
+    )
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines() if x.startswith("{")]
+    assert lines[-1]["n_bindings"] == 2
+    assert [r["g"] for r in lines[:2]] == ["http://g/1", "http://g/2"]
+
+
+def test_cli_update_rejects_quad_store(quad_store):
+    """Silently dropping the graph column would rewrite a quad store as
+    its default-graph projection — the update CLI rejects instead."""
+    proc = run_cli(
+        "update", "DELETE WHERE { ?s <http://e/p> ?o }",
+        quad_store, "--out", quad_store + "_out", "--num-cpus", "4",
+        check=False,
+    )
+    assert proc.returncode != 0 and "quad stores" in proc.stderr
+
+
+def test_cli_update_roundtrip(kg_store, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "updated")
+    proc = run_cli(
+        "update",
+        "PREFIX c: <http://example.org/convo#> "
+        'DELETE { ?t c:role ?r } INSERT { ?t c:roleLabel ?r } '
+        "WHERE { ?t c:role ?r }",
+        os.path.join(kg_store, "triples"),
+        "--out", out, "--num-cpus", "4",
+    )
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["n_triples"] > 0
+    # the rewritten store answers through the sparql CLI
+    proc = run_cli(
+        "sparql",
+        "PREFIX c: <http://example.org/convo#> "
+        "SELECT DISTINCT ?r WHERE { ?t c:roleLabel ?r }",
+        out, "--num-cpus", "4",
+    )
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines() if x.startswith("{")]
+    assert lines[-1]["n_bindings"] >= 2  # user + assistant (+ any others)
+
+
+def test_cli_sparql_results_formats(kg_store):
+    store = os.path.join(kg_store, "triples")
+    q = ("PREFIX c: <http://example.org/convo#> "
+         "SELECT ?t ?r WHERE { ?t c:role ?r } LIMIT 3")
+    proc = run_cli("sparql", q, store, "--format", "json", "--num-cpus", "4")
+    doc = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert doc["head"]["vars"] == ["t", "r"]
+    assert len(doc["results"]["bindings"]) == 3
+    assert doc["results"]["bindings"][0]["r"]["type"] == "uri"
+    proc = run_cli("sparql", q, store, "--format", "tsv", "--num-cpus", "4")
+    assert proc.stdout.splitlines()[0] == "?t\t?r"
+    proc = run_cli("sparql", q, store, "--format", "csv", "--num-cpus", "4")
+    assert proc.stdout.splitlines()[0].rstrip("\r") == "t,r"
