@@ -23,7 +23,8 @@ executor evaluates:
     }
     [GROUP BY ?g1 ...]
     [HAVING ( expr ) ...]                   # over group keys / agg aliases
-    [ORDER BY (?v | ASC(?v) | DESC(?v)) ...]
+    [ORDER BY (?v | ASC/DESC( ?v | int-expr )) ...]   # expr keys sort
+                                                      # NUMERICALLY
     [LIMIT n] [OFFSET n]
 
 Terms: ``?var``, ``<iri>``, ``pfx:local``, ``a`` (rdf:type), plain
@@ -1112,9 +1113,23 @@ class _SelectParser:
                 elif k in ("ASC", "DESC"):
                     self._next()
                     self._expect("punct", "(")
-                    var = self._expect("var")[1:]
-                    self._expect("punct", ")")
-                    order_by.append((var, k == "DESC"))
+                    if (
+                        self._peek()[0] == "var"
+                        and self._peek(1) == ("punct", ")")
+                    ):
+                        var = self._expect("var")[1:]
+                        self._expect("punct", ")")
+                        order_by.append((var, k == "DESC"))
+                    else:
+                        # NUMERIC expression key (the int grammar incl.
+                        # STRLEN): evaluated as a hidden int64 column —
+                        # '10' sorts after '2', unlike the lexical var
+                        # form; non-integer lexicals are unbound and sort
+                        # first (ASC) per the null-safe sort. Twins spell
+                        # the same expression over guarded casts.
+                        expr = self._num_expr()
+                        self._expect("punct", ")")
+                        order_by.append((("nexpr", expr), k == "DESC"))
                 else:
                     break
             if not order_by:

@@ -1506,16 +1506,47 @@ def _select_exec(triples_ds, q: dict, num_buckets: int | None = None):
 
     order_by = list(q["order_by"])
     if order_by:
-        bad = [v for v, _ in order_by if v not in cols]
-        if bad:
-            raise ValueError(f"ORDER BY variables must be projected: {bad}")
-        keys = [v for v, _ in order_by]
-        desc = [d for _, d in order_by]
+        keys: list[str] = []
+        desc: list[bool] = []
+        nexprs: list[tuple[str, tuple]] = []
+        for item, d in order_by:
+            if isinstance(item, tuple) and item[0] == "nexpr":
+                # numeric-expression key: evaluated into a hidden int64
+                # column, dropped by the sort's final projection
+                col = f"__ob{len(nexprs)}"
+                evars: set = set()
+                _bind_vars(item[1], evars)
+                missing_e = sorted(evars - set(cols))
+                if missing_e:
+                    raise ValueError(
+                        f"ORDER BY expression references non-projected "
+                        f"variables: {missing_e}"
+                    )
+                nexprs.append((col, item[1]))
+                keys.append(col)
+            else:
+                if item not in cols:
+                    raise ValueError(
+                        f"ORDER BY variables must be projected: [{item!r}]"
+                    )
+                keys.append(item)
+            desc.append(d)
         # total order: remaining projected vars ASC break ties
         for v in cols:
             if v not in keys:
                 keys.append(v)
                 desc.append(False)
+        if nexprs:
+
+            def add_order_cols(batch: pa.Table) -> pa.Table:
+                for col, ast in nexprs:
+                    val = _bind_eval(ast, batch)
+                    if isinstance(val, pa.Scalar):
+                        val = pa.repeat(val, batch.num_rows)
+                    batch = batch.append_column(col, val)
+                return batch
+
+            res = res.map_batches(add_order_cols, batch_format="pyarrow")
         res = _null_safe_sort(res, keys, desc, cols)
     elif q["limit"] is not None:
         res = _null_safe_sort(res, cols, [False] * len(cols), cols)
@@ -1600,6 +1631,11 @@ def sparql_select_typed(triples_ds, query: str, num_buckets: int | None = None):
     )
     order_by = list(q["order_by"])
     if order_by:
+        if any(isinstance(v, tuple) for v, _ in order_by):
+            raise ValueError(
+                "expression ORDER BY keys are out of fragment for typed "
+                "serialization — sort by a projected variable"
+            )
         bad = [v for v, _ in order_by if v not in q["project"]]
         if bad:
             raise ValueError(f"ORDER BY variables must be projected: {bad}")
@@ -3105,6 +3141,51 @@ def kg_sparql_expr(sf_dir: str):
     second projection reads the first's target (declaration-order
     evaluation), both rendered as decimal strings on both engines."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_EXPR_QUERY)
+
+
+# Expression ORDER BY: ASC/DESC over the checked-int64 value-expression
+# grammar — the key is evaluated into a hidden column and compared
+# NUMERICALLY ('2' before '10'), unlike the plain-variable form's lexical
+# order (kg_sparql_order). Non-integer lexicals evaluate to unbound and
+# sort last under DESC (the null-safe sort's SPARQL ordering); the twin
+# spells the identical guarded BIGINT cast with NULLS LAST plus the
+# engine's total-order tie-breakers (?turn, then the remaining projected
+# ?idx ASC).
+KG_SPARQL_ORDER_EXPR_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?turn ?idx
+WHERE {
+  ?conv c:turn ?turn . ?turn c:index ?idx . ?turn c:role role:assistant
+}
+ORDER BY DESC(2 * ?idx) ?turn
+LIMIT 20 OFFSET 5
+"""
+
+KG_SPARQL_ORDER_EXPR_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.obj_value AS turn, t2.obj_value AS idx
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}index'
+JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}role'
+          AND t3.obj_value = 'http://example.org/role/assistant'
+WHERE t1.pred = '{_C}turn'
+ORDER BY 2 * {_int_cast_sql("t2.obj_value", "BIGINT")} DESC NULLS LAST,
+         turn, idx
+LIMIT 20 OFFSET 5
+"""
+
+
+def kg_sparql_order_expr(sf_dir: str):
+    """SPARQL numeric-expression ORDER BY key: ``ORDER BY DESC(2 * ?idx)``
+    — the same LIMIT/OFFSET window shape as kg_sparql_order but ranked by
+    the int64 VALUE of the index (lexical '10' outranks '9'), picking a
+    provably different window than the lexical form."""
+    return sparql_select(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_ORDER_EXPR_QUERY
+    )
 
 
 # String value expressions: REPLACE strips the role-IRI prefix (global RE2

@@ -223,6 +223,56 @@ def test_executor_order_by_offset(ray_session):
     assert got["s"].tolist() == ["s3", "s2"]  # s4 skipped by OFFSET 1
 
 
+def test_parse_order_by_expression_key():
+    q = parse_select(
+        "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } ORDER BY DESC(2 * ?v) ?s"
+    )
+    (key0, d0), (key1, d1) = q["order_by"]
+    assert d0 is True and key0[0] == "nexpr"
+    assert key1 == "s" and d1 is False
+
+
+def test_executor_order_by_expression(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    # numeric order 3 < 7 < 10 (lexical would put '10' first); the
+    # non-integer lexical 'oops' is unbound and sorts FIRST under ASC
+    got = sparql_select(
+        ds, "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } ORDER BY ASC(?v + 0)"
+    ).to_pandas()
+    assert got["s"].tolist() == ["s4", "s1", "s3", "s2"]
+    # DESC reverses: unbound last; LIMIT windows the numeric top-2
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } "
+        "ORDER BY DESC(?v * 2) LIMIT 2",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s2", "s3"]
+    # STRLEN bridges the string grammar into the numeric key; ?s breaks ties
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } "
+        "ORDER BY DESC(STRLEN(?v)) ?s",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s4", "s2", "s1", "s3"]
+    # expression keys must reference projected variables only
+    with pytest.raises(ValueError, match="non-projected"):
+        sparql_select(
+            ds, "SELECT ?s WHERE { ?s <http://e/val> ?v } ORDER BY ASC(?v + 0)"
+        ).to_pandas()
+
+
+def test_typed_serialization_rejects_expression_order(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
+
+    with pytest.raises(ValueError, match="out of fragment"):
+        sparql_select_typed(
+            _num_graph(),
+            "SELECT ?s ?v WHERE { ?s <http://e/val> ?v } ORDER BY ASC(?v + 0)",
+        )
+
+
 def test_parse_graph_block():
     q = parse_select(
         """
