@@ -90,10 +90,10 @@ def main(argv=None) -> int:
     sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     sparql_p.add_argument(
         "--format",
-        choices=("json", "csv", "tsv"),
+        choices=("json", "csv", "tsv", "xml"),
         help="serialize the WHOLE result as a SPARQL 1.1 results document "
-             "(json/tsv typed via term-kind facets, csv untyped per spec) — "
-             "printed, or written to --out as one file",
+             "(json/tsv/xml typed via term-kind facets, csv untyped per "
+             "spec) — printed, or written to --out as one file",
     )
     sparql_p.add_argument("--num-cpus", type=int, default=None)
 
@@ -326,17 +326,25 @@ def main(argv=None) -> int:
                     from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
                     from rdf_xml_ex_ray.sources.results import (
                         ask_json,
+                        ask_xml,
                         select_csv,
                         select_json,
                         select_tsv,
+                        select_xml,
                     )
 
-                    if form == "ask" and args.format == "json":
-                        doc = json.dumps(ask_json(sparql_ask(triples, args.query)))
+                    if form == "ask" and args.format in ("json", "xml"):
+                        res_a = sparql_ask(triples, args.query)
+                        doc = (
+                            json.dumps(ask_json(res_a))
+                            if args.format == "json"
+                            else ask_xml(res_a)
+                        )
                     elif form != "select":
                         parser.error(
                             f"sparql: --format {args.format} serializes "
-                            f"SELECT (or ASK as json) results, not {form.upper()}"
+                            f"SELECT (or ASK as json/xml) results, not "
+                            f"{form.upper()}"
                         )
                     elif args.format == "csv":
                         res_c = sparql_select(triples, args.query)
@@ -349,6 +357,8 @@ def main(argv=None) -> int:
                             json.dumps(select_json(res_t, out_vars, prov))
                             if args.format == "json"
                             else select_tsv(res_t, out_vars, prov)
+                            if args.format == "tsv"
+                            else select_xml(res_t, out_vars, prov)
                         )
                     if args.out:
                         with open(args.out, "w", encoding="utf-8") as fh:

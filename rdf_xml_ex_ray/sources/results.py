@@ -15,6 +15,11 @@ Formats (W3C SPARQL 1.1 Query Results):
 - TSV (``text/tab-separated-values``): typed — full term syntax per row
   (``<iri>``, ``"literal"@lang`` / ``^^<dt>`` with N-Triples escaping,
   ``_:label``).
+- XML (``application/sparql-results+xml``): typed — the SPARQL Query
+  Results XML Format (the native interchange doc of an RDF/XML engine):
+  ``<sparql>`` / ``<head><variable/></head>`` / ``<results><result>
+  <binding name="v"><uri|literal|bnode>``, literals carrying ``xml:lang``
+  or ``datatype`` attributes; ASK emits ``<boolean>``.
 - CSV (``text/csv``): UNTYPED by spec — raw lexical values, RFC 4180
   quoting, blank nodes as ``_:label``, unbound cells empty. Works on any
   plain ``sparql_select`` output (no kind provenance needed; bnode
@@ -34,9 +39,22 @@ from __future__ import annotations
 import csv as _csv
 import io
 
+from xml.sax.saxutils import escape as _xesc
+from xml.sax.saxutils import quoteattr as _xattr
+
 from ..core.ntriples import _escape, encode_bnode_label
 
-__all__ = ["select_json", "select_csv", "select_tsv", "ask_json"]
+__all__ = [
+    "select_json",
+    "select_csv",
+    "select_tsv",
+    "select_xml",
+    "ask_json",
+    "ask_xml",
+]
+
+_SR_NS = "http://www.w3.org/2005/sparql-results#"
+_XML_DECL = '<?xml version="1.0" encoding="UTF-8"?>\n'
 
 
 def _iter_typed_rows(ds, out_vars, prov):
@@ -123,6 +141,50 @@ def select_csv(ds, out_vars) -> str:
     for row in ds.iter_rows():
         w.writerow(["" if row.get(v) is None else row[v] for v in out_vars])
     return buf.getvalue()
+
+
+def _term_xml(kind: str, val: str, lang, dt) -> str:
+    if kind == "iri":
+        return f"<uri>{_xesc(val)}</uri>"
+    if kind == "bnode":
+        return f"<bnode>{_xesc(encode_bnode_label(val))}</bnode>"
+    if lang:
+        return f"<literal xml:lang={_xattr(lang)}>{_xesc(val)}</literal>"
+    if dt:
+        return f"<literal datatype={_xattr(dt)}>{_xesc(val)}</literal>"
+    return f"<literal>{_xesc(val)}</literal>"
+
+
+def select_xml(ds, out_vars, prov) -> str:
+    """→ the SPARQL Query Results XML Format document (typed; unbound
+    variables simply omit their <binding>, per spec)."""
+    parts = [_XML_DECL, f'<sparql xmlns="{_SR_NS}">\n', "  <head>\n"]
+    for v in out_vars:
+        parts.append(f"    <variable name={_xattr(v)}/>\n")
+    parts.append("  </head>\n  <results>\n")
+    for row in _iter_typed_rows(ds, out_vars, prov):
+        parts.append("    <result>\n")
+        for t in row:
+            if t is None:
+                continue
+            v, kind, val, lang, dt = t
+            parts.append(
+                f"      <binding name={_xattr(v)}>"
+                f"{_term_xml(kind, val, lang, dt)}</binding>\n"
+            )
+        parts.append("    </result>\n")
+    parts.append("  </results>\n</sparql>\n")
+    return "".join(parts)
+
+
+def ask_xml(ask_ds) -> str:
+    """sparql_ask's one-row {ask: bool} Dataset → the XML boolean doc."""
+    val = "true" if bool(ask_ds.take(1)[0]["ask"]) else "false"
+    return (
+        _XML_DECL
+        + f'<sparql xmlns="{_SR_NS}">\n  <head/>\n'
+        + f"  <boolean>{val}</boolean>\n</sparql>\n"
+    )
 
 
 def ask_json(ask_ds) -> dict:

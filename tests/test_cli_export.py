@@ -282,3 +282,11 @@ def test_cli_sparql_results_formats(kg_store):
     assert proc.stdout.splitlines()[0] == "?t\t?r"
     proc = run_cli("sparql", q, store, "--format", "csv", "--num-cpus", "4")
     assert proc.stdout.splitlines()[0].rstrip("\r") == "t,r"
+    proc = run_cli("sparql", q, store, "--format", "xml", "--num-cpus", "4")
+    import xml.etree.ElementTree as ET
+
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    root = ET.fromstring(proc.stdout)
+    assert [v.get("name") for v in root.findall("sr:head/sr:variable", ns)] \
+        == ["t", "r"]
+    assert len(root.findall("sr:results/sr:result", ns)) == 3

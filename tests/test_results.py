@@ -89,6 +89,55 @@ def test_typed_select_rejects_kindless_vars(ray_session):
         )
 
 
+def test_select_xml_typed(ray_session):
+    import xml.etree.ElementTree as ET
+
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
+    from rdf_xml_ex_ray.sources.results import select_xml
+
+    ds, out_vars, prov = sparql_select_typed(
+        _store(),
+        'SELECT ?s ?o (CONCAT("v=", ?o) AS ?d) '
+        "WHERE { ?s <http://e/name> ?o } ORDER BY ?o",
+    )
+    doc = select_xml(ds, out_vars, prov)
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    root = ET.fromstring(doc)  # well-formed
+    assert [v.get("name") for v in root.findall("sr:head/sr:variable", ns)] \
+        == ["s", "o", "d"]
+    results = root.findall("sr:results/sr:result", ns)
+    assert len(results) == 2
+    b0 = {b.get("name"): b[0] for b in results[0].findall("sr:binding", ns)}
+    assert b0["s"].tag.endswith("bnode") and "!" not in b0["s"].text
+    assert b0["o"].tag.endswith("literal")
+    assert b0["o"].get("datatype") \
+        == "http://www.w3.org/2001/XMLSchema#integer"
+    assert b0["o"].text == "5"
+    b1 = {b.get("name"): b[0] for b in results[1].findall("sr:binding", ns)}
+    assert b1["s"].tag.endswith("uri") and b1["s"].text == "a"
+    assert b1["o"].get(
+        "{http://www.w3.org/XML/1998/namespace}lang"
+    ) == "en" and b1["o"].text == "Ann"
+    assert b1["d"].text == "v=Ann" and not b1["d"].attrib
+
+
+def test_ask_xml(ray_session):
+    import xml.etree.ElementTree as ET
+
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_ask
+    from rdf_xml_ex_ray.sources.results import ask_xml
+
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    yes = ET.fromstring(
+        ask_xml(sparql_ask(_store(), 'ASK { ?s <http://e/name> "Ann" }'))
+    )
+    no = ET.fromstring(
+        ask_xml(sparql_ask(_store(), 'ASK { ?s <http://e/name> "Bob" }'))
+    )
+    assert yes.find("sr:boolean", ns).text == "true"
+    assert no.find("sr:boolean", ns).text == "false"
+
+
 def test_ask_json(ray_session):
     from rdf_xml_ex_ray.pipelines.bgp import sparql_ask
     from rdf_xml_ex_ray.sources.results import ask_json
