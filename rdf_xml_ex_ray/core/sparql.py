@@ -46,7 +46,9 @@ subject position for the kind tests),
 (numeric-valued; codepoint count); ordering comparisons (``< <= > >=``)
 require one NUMERIC operand — they evaluate under SQL
 TRY_CAST-to-double semantics
-(an unparseable or unbound value fails the comparison), while ``=``/``!=``
+(an unparseable or unbound value fails the comparison) — EXCEPT the
+var-vs-var form, which is numeric on BOTH sides by fragment convention
+(string collation stays out of fragment) — while ``=``/``!=``
 against a string/IRI constant or another variable compare exact strings.
 String ORDER BY and MIN/MAX use byte/codepoint order (identical on both
 engines: UTF-8 byte order = codepoint order). SUM/AVG aggregate INTEGER
@@ -54,7 +56,8 @@ lexical forms exactly (core/numeric.py semantics — non-integer forms are
 unbound/NULL; SUM is the exact integer as a string, AVG = strtod(SUM) /
 COUNT). ``BIND`` value expressions come in two typed flavors, dispatched
 on the first token (see ``_value_expr``): INTEGER arithmetic (``+ - *``,
-parentheses, ``STRLEN(str-expr)``) over bound variables and integer
+parentheses, ``ABS(int-expr)``, ``STRLEN(str-expr)``) over bound
+variables and integer
 constants — operands read under the same integer-lexical rule
 (non-integer form -> unbound/NULL, which propagates), int64 arithmetic
 with overflow a loud error on BOTH engines (Arrow checked kernels /
@@ -129,7 +132,7 @@ _KEYWORDS = (
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
     "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
     "ISIRI|ISBLANK|ISLITERAL|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|"
-    "COALESCE|IF|INSERT|DELETE|DATA"
+    "COALESCE|IF|INSERT|DELETE|DATA|ABS"
 )
 
 _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
@@ -234,6 +237,8 @@ def _tokenize(text: str):
 #   ("or",  [expr, ...])           ("and", [expr, ...])
 #   ("not", expr)                  ("bound", varname)
 #   ("cmp", op, operand, operand)  op in {=, !=, <, <=, >, >=}
+#   ("ncmp", op, operand, operand) var-vs-var ordering: BOTH sides read
+#                                  numerically (finite-decimal domain)
 # operands: ("var", name) | ("num", float) | ("str", s) — IRI/pname/literal
 # constants all become ("str", resolved-string), matching the bgp engine's
 # kind-agnostic string-identity convention. Term-facet forms:
@@ -478,6 +483,14 @@ class _SelectParser:
             and lhs[0] not in ("num", "slen")
             and rhs[0] not in ("num", "slen")
         ):
+            if lhs[0] == "var" and rhs[0] == "var":
+                # var-vs-var ordering is NUMERIC by fragment convention:
+                # both sides read under the finite-decimal domain
+                # (core/numeric.DBL_LEX_SQL_RE guarded cast — exactly the
+                # var-vs-constant numeric semantics); a non-numeric or
+                # unbound lexical on either side fails the comparison.
+                # String collation stays out of fragment.
+                return ("ncmp", op, lhs, rhs)
             raise ParseError(
                 f"ordering comparison {op!r} needs one numeric operand "
                 "(string collation is engine-defined; out of fragment)"
@@ -692,6 +705,14 @@ class _SelectParser:
             sub = self._str_expr()
             self._expect("punct", ")")
             return ("blen", sub)
+        if k == "ABS":
+            # absolute value — int64-checked on both engines (Arrow
+            # abs_checked / DuckDB abs on BIGINT both raise on the
+            # INT64_MIN edge); NULL propagates like any operand
+            self._expect("punct", "(")
+            sub = self._num_expr()
+            self._expect("punct", ")")
+            return ("babs", sub)
         if k == "var":
             return ("bvar", v[1:])
         if k == "number":

@@ -368,7 +368,7 @@ def _bind_facet_reqs(expr, out: dict):
     elif head == "bop":
         _bind_facet_reqs(expr[2], out)
         _bind_facet_reqs(expr[3], out)
-    elif head == "blen":
+    elif head in ("blen", "babs"):
         _bind_facet_reqs(expr[1], out)
     elif head == "scoal":
         for a in expr[1]:
@@ -392,7 +392,7 @@ def _filter_slen_facet_reqs(e, out: dict):
             _filter_slen_facet_reqs(sub, out)
     elif e[0] == "not":
         _filter_slen_facet_reqs(e[1], out)
-    elif e[0] == "cmp":
+    elif e[0] in ("cmp", "ncmp"):
         for o in (e[2], e[3]):
             if o[0] == "slen":
                 _bind_facet_reqs(("blen", o[1]), out)
@@ -503,7 +503,13 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
             m |= rm
         return m
     op, lhs, rhs = expr[1], expr[2], expr[3]
-    numeric = lhs[0] in ("num", "slen") or rhs[0] in ("num", "slen")
+    # ("ncmp", ...) = var-vs-var ordering: numeric on BOTH sides by
+    # fragment convention (finite-decimal guarded reads)
+    numeric = (
+        kind == "ncmp"
+        or lhs[0] in ("num", "slen")
+        or rhs[0] in ("num", "slen")
+    )
     valid = np.ones(tbl.num_rows, dtype=bool)
 
     def operand(o):
@@ -726,7 +732,7 @@ def _bind_vars(expr, out: set):
     elif head == "bop":
         _bind_vars(expr[2], out)
         _bind_vars(expr[3], out)
-    elif head == "blen":
+    elif head in ("blen", "babs"):
         _bind_vars(expr[1], out)
     elif head == "sfacet":
         out.add(expr[2])
@@ -782,6 +788,9 @@ def _bind_eval(expr, tbl: pa.Table):
     if head == "blen":
         # codepoint count: Arrow utf8_length = DuckDB length()
         return pc.cast(pc.utf8_length(_bind_eval(expr[1], tbl)), pa.int64())
+    if head == "babs":
+        # |x| under checked int64 (INT64_MIN raises on both engines)
+        return pc.abs_checked(_bind_eval(expr[1], tbl))
     if head == "scoal":
         # first non-NULL operand — Arrow coalesce = DuckDB coalesce
         return pc.coalesce(*(_bind_eval(a, tbl) for a in expr[1]))
@@ -3186,6 +3195,58 @@ def kg_sparql_order_expr(sf_dir: str):
     return sparql_select(
         _kg_triples_quarter(sf_dir), KG_SPARQL_ORDER_EXPR_QUERY
     )
+
+
+# Numeric var-vs-var FILTER ordering + ABS: within one conversation, pair
+# each assistant turn with each STRICTLY LATER tool turn — FILTER(?i1 <
+# ?i2) reads BOTH sides numerically under the finite-decimal domain
+# (lexical comparison would misorder '10' vs '9'), then ABS derives the
+# |i2 - i1 - 3| distance via checked int64. Twin: identical guarded
+# double casts in the WHERE, abs() over guarded BIGINT casts rendered to
+# VARCHAR, and the engine's total-order tie-breakers spelled out.
+KG_SPARQL_NUMCMP_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+SELECT ?t1 ?t2 ?gap
+WHERE {
+  ?conv c:turn ?t1 . ?conv c:turn ?t2 .
+  ?t1 c:index ?i1 . ?t2 c:index ?i2 .
+  ?t1 c:role role:assistant . ?t2 c:role role:tool .
+  FILTER(?i1 < ?i2)
+  BIND(ABS(?i2 - ?i1 - 3) AS ?gap)
+}
+ORDER BY ?t1 ?t2
+LIMIT 40
+"""
+
+KG_SPARQL_NUMCMP_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT a1.obj_value AS t1, a2.obj_value AS t2,
+       CAST(abs({_int_cast_sql("b2.obj_value", "BIGINT")}
+                - {_int_cast_sql("b1.obj_value", "BIGINT")}
+                - 3) AS VARCHAR) AS gap
+FROM kt a1
+JOIN kt a2 ON a2.subj = a1.subj AND a2.pred = '{_C}turn'
+JOIN kt b1 ON b1.subj = a1.obj_value AND b1.pred = '{_C}index'
+JOIN kt b2 ON b2.subj = a2.obj_value AND b2.pred = '{_C}index'
+JOIN kt r1 ON r1.subj = a1.obj_value AND r1.pred = '{_C}role'
+          AND r1.obj_value = 'http://example.org/role/assistant'
+JOIN kt r2 ON r2.subj = a2.obj_value AND r2.pred = '{_C}role'
+          AND r2.obj_value = 'http://example.org/role/tool'
+WHERE a1.pred = '{_C}turn'
+  AND {_dbl_cast_sql("b1.obj_value")} < {_dbl_cast_sql("b2.obj_value")}
+ORDER BY t1, t2, gap
+LIMIT 40
+"""
+
+
+def kg_sparql_numcmp(sf_dir: str):
+    """SPARQL numeric var-vs-var FILTER (``?i1 < ?i2`` — finite-decimal
+    reads on BOTH sides) plus the checked-int64 ``ABS`` value function,
+    over a 6-pattern conversation self-join."""
+    return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_NUMCMP_QUERY)
 
 
 # String value expressions: REPLACE strips the role-IRI prefix (global RE2

@@ -273,6 +273,73 @@ def test_typed_serialization_rejects_expression_order(ray_session):
         )
 
 
+def test_parse_var_vs_var_ordering_is_numeric():
+    q = parse_select(
+        "SELECT ?s WHERE { ?s <http://e/a> ?x . ?s <http://e/b> ?y "
+        "FILTER(?x < ?y) }"
+    )
+    assert q["filters"][0][0] == "ncmp"
+    # var-vs-CONSTANT-string ordering stays rejected (collation)
+    with pytest.raises(ParseError, match="numeric operand"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/a> ?x FILTER(?x < "b") }'
+        )
+
+
+def test_executor_var_vs_var_numeric_filter(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _pair_graph()
+    # numeric: 3<10 keep, 7>5 drop, 'oops' fails the read, -4<2 keep
+    got = sparql_select(
+        ds,
+        "SELECT ?s WHERE { ?s <http://e/a> ?x . ?s <http://e/b> ?y "
+        "FILTER(?x < ?y) } ORDER BY ?s LIMIT 10",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s1", "s4"]
+
+
+def test_executor_abs(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()
+    # BIND: |x - 5| -> 2 (3), 5 (10), 2 (7); 'oops' unbound
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?m WHERE { ?s <http://e/val> ?x . "
+        "BIND(ABS(?x - 5) AS ?m) } ORDER BY ?s LIMIT 10",
+    ).to_pandas()
+    assert got["m"].tolist() == ["2", "5", "2", None]
+    # ORDER BY expression key accepts ABS too
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?x WHERE { ?s <http://e/val> ?x } "
+        "ORDER BY ASC(ABS(?x - 5)) ?s",
+    ).to_pandas()
+    assert got["s"].tolist() == ["s4", "s1", "s3", "s2"]
+
+
+def _pair_graph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+
+    rows = [
+        ("s1", "http://e/a", "3"), ("s1", "http://e/b", "10"),
+        ("s2", "http://e/a", "7"), ("s2", "http://e/b", "5"),
+        ("s3", "http://e/a", "oops"), ("s3", "http://e/b", "1"),
+        ("s4", "http://e/a", "-4"), ("s4", "http://e/b", "2"),
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+
 def test_parse_graph_block():
     q = parse_select(
         """
