@@ -64,7 +64,9 @@ with overflow a loud error on BOTH engines (Arrow checked kernels /
 DuckDB BIGINT), result rendered as its decimal string — and STRING
 expressions ``UCASE`` / ``LCASE`` / ``CONCAT`` / ``SUBSTR`` (1-based
 codepoints, positive-constant start/len) / ``REPLACE`` (global, RE2 on
-both engines) / ``STR`` (identity on the stored value string) over
+both engines) / ``STRBEFORE`` / ``STRAFTER`` (first occurrence of a
+non-empty constant separator; absent → ``""``) / ``STR`` (identity on
+the stored value string) over
 variables and string constants, NULL-propagating (an unbound operand →
 unbound target, SPARQL's error semantics and DuckDB's ``||``/function
 convention alike), plus ``COALESCE(e1, e2, ...)`` (first non-NULL — the
@@ -131,7 +133,8 @@ _KEYWORDS = (
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
     "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
-    "ISIRI|ISBLANK|ISLITERAL|STRLEN|STR|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|"
+    "ISIRI|ISBLANK|ISLITERAL|STRBEFORE|STRAFTER|STRLEN|STR|UCASE|LCASE|"
+    "CONCAT|SUBSTR|REPLACE|"
     "COALESCE|IF|INSERT|DELETE|DATA|ABS"
 )
 
@@ -143,7 +146,8 @@ _STRING_FNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
 # expressions, which covers variables of any provenance since the binding
 # table stores lexical forms)
 _STR_VALUE_FNS = (
-    "STR", "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE", "COALESCE", "IF"
+    "STR", "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE", "COALESCE", "IF",
+    "STRBEFORE", "STRAFTER",
 )
 
 _AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
@@ -560,6 +564,11 @@ class _SelectParser:
                                              syntax on BOTH engines (Arrow
                                              replace_substring_regex /
                                              DuckDB regexp_replace 'g')
+            ("sfn", "STRBEFORE"|"STRAFTER", sub, sep)
+                                             substring before/after the
+                                             FIRST occurrence of the
+                                             non-empty constant separator;
+                                             absent -> "", NULL propagates
 
         ``STR(x)`` is the identity on the stored value string (the table
         already holds lexical forms / IRI strings) — it parses and returns
@@ -607,6 +616,27 @@ class _SelectParser:
                     raise ParseError("SUBSTR length must be >= 0")
             self._expect("punct", ")")
             return ("sfn", "SUBSTR", sub, start, length)
+        if k in ("STRBEFORE", "STRAFTER"):
+            # the substring before/after the FIRST occurrence of a
+            # constant separator; no occurrence -> "" and a NULL (unbound)
+            # input propagates — SPARQL's xpath:substring-before/after
+            # semantics on simple literals. The separator is a non-empty
+            # string constant (SPARQL's empty-separator edge returns
+            # ""/arg1 — constant-foldable but engine-divergent on the
+            # NULL path; out of fragment, rejected loudly).
+            self._expect("punct", "(")
+            sub = self._str_expr()
+            self._expect("punct", ",")
+            k2, v2 = self._next()
+            if k2 != "literal":
+                raise ParseError(f"{k} separator must be a string literal")
+            sep = _unescape_literal(v2[1:-1])
+            if not sep:
+                raise ParseError(
+                    f"{k} with an empty separator is out of fragment"
+                )
+            self._expect("punct", ")")
+            return ("sfn", k, sub, sep)
         if k == "REPLACE":
             self._expect("punct", "(")
             sub = self._str_expr()

@@ -846,6 +846,33 @@ def _bind_eval(expr, tbl: pa.Table):
             return pc.replace_substring_regex(
                 _bind_eval(sub, tbl), pattern=pat, replacement=rep
             )
+        if fn in ("STRBEFORE", "STRAFTER"):
+            # split on the FIRST occurrence of the constant separator.
+            # Rows without an occurrence are masked to NULL before the
+            # split so every surviving list has exactly 2 elements, then
+            # restored to "" (NULL inputs stay NULL through if_else's
+            # null-condition path). Twin spelling: CASE WHEN s IS NULL
+            # THEN NULL WHEN strpos(s, sep) > 0 THEN substr(...) ELSE ''
+            # END — DuckDB strpos/substr/length are all codepoint-based,
+            # multibyte-probe-verified against Arrow's split.
+            _, _, sub, sep = expr
+            arr = _bind_eval(sub, tbl)
+            if isinstance(arr, pa.Scalar):
+                s = arr.as_py()
+                if s is None:
+                    return pa.scalar(None, pa.string())
+                i = s.find(sep)
+                out = (
+                    "" if i < 0
+                    else s[:i] if fn == "STRBEFORE"
+                    else s[i + len(sep):]
+                )
+                return pa.scalar(out, pa.string())
+            found = pc.greater(pc.count_substring(arr, sep), 0)
+            masked = pc.if_else(found, arr, pa.scalar(None, pa.string()))
+            parts = pc.split_pattern(masked, pattern=sep, max_splits=1)
+            val = pc.list_element(parts, 0 if fn == "STRBEFORE" else 1)
+            return pc.if_else(found, val, pa.scalar("", pa.string()))
         raise ValueError(f"unknown string function {fn!r}")  # unreachable
     lhs = _bind_eval(expr[2], tbl)
     rhs = _bind_eval(expr[3], tbl)
@@ -3247,6 +3274,51 @@ def kg_sparql_numcmp(sf_dir: str):
     reads on BOTH sides) plus the checked-int64 ``ABS`` value function,
     over a 6-pattern conversation self-join."""
     return sparql_select(_kg_triples_quarter(sf_dir), KG_SPARQL_NUMCMP_QUERY)
+
+
+# STRBEFORE/STRAFTER: extract the conversation id out of each turn IRI
+# (".../conv/{cid}/turn/{k}") by nesting the two split accessors, then
+# GROUP BY the derived id — exercising first-occurrence split semantics,
+# NULL propagation, and a BIND target as the aggregation key. Twin: the
+# NULL-guarded strpos/substr CASE spelling (DuckDB's bare CASE ELSE ''
+# would swallow NULL inputs; strpos/substr/length are codepoint-based,
+# matching Arrow's split — multibyte probe in _bind_eval's docstring).
+KG_SPARQL_STRSPLIT_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?cid (COUNT(*) AS ?n)
+WHERE {
+  ?conv c:turn ?turn .
+  BIND(STRBEFORE(STRAFTER(?turn, "org/conv/"), "/turn/") AS ?cid)
+}
+GROUP BY ?cid
+"""
+
+KG_SPARQL_STRSPLIT_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+), b AS (
+  SELECT CASE WHEN obj_value IS NULL THEN NULL
+              WHEN strpos(obj_value, 'org/conv/') > 0
+              THEN substr(obj_value, strpos(obj_value, 'org/conv/') + 9)
+              ELSE '' END AS aft
+  FROM kt WHERE pred = '{_C}turn'
+)
+SELECT CASE WHEN aft IS NULL THEN NULL
+            WHEN strpos(aft, '/turn/') > 0
+            THEN substr(aft, 1, strpos(aft, '/turn/') - 1)
+            ELSE '' END AS cid,
+       COUNT(*) AS n
+FROM b GROUP BY cid
+"""
+
+
+def kg_sparql_strsplit(sf_dir: str):
+    """SPARQL STRBEFORE/STRAFTER nested to parse the conv id out of each
+    turn IRI, grouped — the IRI-munging idiom every real SPARQL user
+    writes within a week."""
+    return sparql_select(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_STRSPLIT_QUERY
+    )
 
 
 # String value expressions: REPLACE strips the role-IRI prefix (global RE2

@@ -319,6 +319,35 @@ def test_executor_abs(ray_session):
     assert got["s"].tolist() == ["s4", "s1", "s3", "s2"]
 
 
+def test_executor_strbefore_strafter(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    ds = _num_graph()  # vals: 3, 10, 7, oops; tags: alpha (s1), beta (s3)
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?b ?a WHERE { ?s <http://e/tag> ?t . "
+        'BIND(STRBEFORE(?t, "l") AS ?b) . BIND(STRAFTER(?t, "l") AS ?a) } '
+        "ORDER BY ?s LIMIT 10",
+    ).to_pandas()
+    # alpha -> a|pha ; beta (no 'l') -> "" / ""
+    assert got["b"].tolist() == ["a", ""]
+    assert got["a"].tolist() == ["pha", ""]
+    # unbound input propagates NULL (OPTIONAL miss), not ""
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?b WHERE { ?s <http://e/val> ?v . "
+        "OPTIONAL { ?s <http://e/tag> ?t } "
+        'BIND(STRBEFORE(?t, "l") AS ?b) } ORDER BY ?s LIMIT 10',
+    ).to_pandas()
+    assert got["b"].tolist() == ["a", None, "", None]
+    # empty separator rejected loudly
+    with pytest.raises(ParseError, match="empty separator"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/tag> ?t . '
+            'BIND(STRAFTER(?t, "") AS ?x) }'
+        )
+
+
 def _pair_graph():
     import pyarrow as pa
     import ray.data as rd
