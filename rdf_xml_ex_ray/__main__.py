@@ -90,10 +90,13 @@ def main(argv=None) -> int:
     sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     sparql_p.add_argument(
         "--format",
-        choices=("json", "csv", "tsv", "xml"),
-        help="serialize the WHOLE result as a SPARQL 1.1 results document "
-             "(json/tsv/xml typed via term-kind facets, csv untyped per "
-             "spec) — printed, or written to --out as one file",
+        choices=("json", "csv", "tsv", "xml", "nt", "ttl"),
+        help="serialize the WHOLE result as one document: SELECT as a "
+             "SPARQL 1.1 results doc (json/tsv/xml typed via term-kind "
+             "facets, csv untyped per spec), ASK as json/xml, "
+             "CONSTRUCT/DESCRIBE as an N-Triples or Turtle graph doc "
+             "(nt/ttl; CONSTRUCT uses the typed emitter — full term "
+             "kinds) — printed, or written to --out as one file",
     )
     sparql_p.add_argument("--num-cpus", type=int, default=None)
 
@@ -340,11 +343,30 @@ def main(argv=None) -> int:
                             if args.format == "json"
                             else ask_xml(res_a)
                         )
-                    elif form != "select":
+                    elif (
+                        form in ("construct", "describe")
+                        and args.format in ("nt", "ttl")
+                    ):
+                        from rdf_xml_ex_ray.pipelines.bgp import (
+                            sparql_construct_typed,
+                            sparql_describe,
+                        )
+                        from rdf_xml_ex_ray.sources.results import (
+                            graph_document,
+                        )
+
+                        res_g = (
+                            sparql_construct_typed(triples, args.query)
+                            if form == "construct"
+                            else sparql_describe(triples, args.query)
+                        )
+                        doc = graph_document(res_g, args.format)
+                    elif form != "select" or args.format in ("nt", "ttl"):
                         parser.error(
-                            f"sparql: --format {args.format} serializes "
-                            f"SELECT (or ASK as json/xml) results, not "
-                            f"{form.upper()}"
+                            f"sparql: --format {args.format} doesn't "
+                            f"serialize {form.upper()} results (SELECT: "
+                            "json/csv/tsv/xml; ASK: json/xml; "
+                            "CONSTRUCT/DESCRIBE: nt/ttl)"
                         )
                     elif args.format == "csv":
                         res_c = sparql_select(triples, args.query)

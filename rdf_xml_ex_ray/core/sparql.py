@@ -1558,24 +1558,19 @@ class _SelectParser:
         """``CONSTRUCT { template } WHERE { ... }`` → template triples
         instantiated once per solution, null-dropping, set semantics."""
         self._expect("CONSTRUCT")
-        self._expect("punct", "{")
-        template: list = []
-        if not self._triple_block(template):
-            raise ParseError("empty CONSTRUCT template")
-        self._expect("punct", "}")
-        for pat in template:
-            if len(pat) != 3:
-                raise ParseError("CONSTRUCT templates are triples (no GRAPH)")
-            for t in pat:
-                if not isinstance(t, str):
-                    raise ParseError(
-                        "path operators (alternation/closure) are not allowed "
-                        "in CONSTRUCT templates"
-                    )
-                if t.startswith("?__p"):
-                    raise ParseError(
-                        "property paths are not allowed in CONSTRUCT templates"
-                    )
+        # TAGGED template parse (kinds kept — '("var",n) | ("iri",v) |
+        # ("lit",v,lang,dt)') so sparql_construct_typed can emit full
+        # 7-column store rows; the untyped string template the plain
+        # emitter consumes is derived below. Property paths / GRAPH /
+        # bare numbers in templates stay rejected (by _tagged_triples).
+        tagged = self._tagged_triples("CONSTRUCT template", allow_vars=True)
+        template: list = [
+            tuple(
+                "?" + t[1] if t[0] == "var" else t[1]
+                for t in pat
+            )
+            for pat in tagged
+        ]
         (patterns, optionals, filters, unions, minuses, exists, binds,
          subqueries) = self._where_block()
         if subqueries:
@@ -1603,6 +1598,7 @@ class _SelectParser:
         return {
             "form": "construct",
             "template": template,
+            "template_tagged": tagged,
             "patterns": patterns,
             "optionals": optionals,
             "filters": filters,

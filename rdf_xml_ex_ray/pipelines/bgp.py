@@ -1928,6 +1928,61 @@ def sparql_construct(triples_ds, query: str, num_buckets: int | None = None):
     )
 
 
+def sparql_construct_typed(triples_ds, query: str,
+                           num_buckets: int | None = None):
+    """SPARQL CONSTRUCT returning FULL 7-column store rows (term kinds +
+    lang/datatype marks) — the serializable flavor behind the CLI's
+    ``--format nt|ttl`` CONSTRUCT path and a writable store in its own
+    right. Constant template slots carry their parsed kinds; VARIABLE
+    slots read the term-kind facet columns from the variable's required
+    binding site (the same plan as UPDATE's INSERT templates — a variable
+    bound only by OPTIONAL/UNION is rejected loudly, unlike the untyped
+    ``sparql_construct`` which skips null slots). Literal-in-subject /
+    non-IRI-predicate bindings raise. Dedup is full-row set semantics
+    (one bucketed exchange)."""
+    from ..core.sparql import parse_query
+    from .update import _distinct_rows, _emit_insert_rows, _insert_facet_plan
+
+    q = parse_query(query)
+    if q["form"] != "construct":
+        raise ValueError(
+            f"sparql_construct_typed needs a CONSTRUCT query, got "
+            f"{q['form'].upper()}"
+        )
+    if num_buckets is None:
+        try:
+            num_buckets = max(32, 2 * triples_ds.num_blocks())
+        except Exception:
+            num_buckets = 64
+    tmpl = q["template_tagged"]
+    extra = _insert_facet_plan(
+        tmpl, q["patterns"], what="typed CONSTRUCT template"
+    )
+    tvars = list(dict.fromkeys(
+        t[1] for trip in tmpl for t in trip if t[0] == "var"
+    ))
+    project = tvars + [
+        _facet_col(v, f) for v in sorted(extra) for f in sorted(extra[v])
+    ]
+    bindings = bgp_execute(
+        triples_ds,
+        q["patterns"],
+        project,
+        num_buckets=num_buckets,
+        optionals=q["optionals"],
+        filters=q["filters"],
+        unions=q["unions"],
+        minuses=q.get("minuses") or (),
+        exists=q.get("exists") or (),
+        extra_facets=extra or None,
+    )
+    rows = bindings.map_batches(
+        _emit_insert_rows(tmpl, what="typed CONSTRUCT template"),
+        batch_format="pyarrow",
+    )
+    return _distinct_rows(rows, num_buckets)
+
+
 def _aggregate_bindings(res, group_by: list[str], aggregates, pre_aggregate=None):
     """GROUP BY + {COUNT, COUNT DISTINCT, MIN, MAX, SUM, AVG} over a
     binding table.
@@ -2890,6 +2945,60 @@ def kg_sparql_construct(sf_dir: str):
     conv→tool edge graph (plus a type triple per tool) from the three-hop
     BGP — vectorized template emission, one dedup exchange."""
     return sparql_construct(_kg_triples_quarter(sf_dir), KG_SPARQL_CONSTRUCT_QUERY)
+
+
+# Typed CONSTRUCT: full 7-column rows with term kinds + lang/datatype
+# marks carried from each variable's binding site — ?u is a BNODE in the
+# subject slot, ?txt a lang-tagged literal, ?idx a datatyped literal,
+# ?conv an IRI in an object slot (kind-only facet: its site is a subject
+# position). Twin: the same 3 template emissions as a UNION ALL with the
+# facet columns selected from the matched base rows, DISTINCT over all 7
+# (DuckDB DISTINCT nulls-equal = the engine's sentinel full-row key).
+KG_SPARQL_CONSTRUCT_TYPED_QUERY = """
+PREFIX c: <http://example.org/convo#>
+CONSTRUCT { ?u c:fromConv ?conv . ?u c:note ?txt . ?u c:rank ?idx }
+WHERE {
+  ?conv c:turn ?t . ?t c:toolUse ?u . ?t c:text ?txt . ?t c:index ?idx
+}
+"""
+
+KG_SPARQL_CONSTRUCT_TYPED_SQL = f"""
+WITH kt AS ( {KG_TRIPLES_SQL} ), sol AS (
+  SELECT t2.obj_value AS u, t2.obj_kind AS uk, t1.subj AS conv,
+         t3.obj_kind AS txtk, t3.obj_value AS txt,
+         t3.obj_lang AS txtl, t3.obj_datatype AS txtd,
+         t4.obj_kind AS idxk, t4.obj_value AS idx,
+         t4.obj_lang AS idxl, t4.obj_datatype AS idxd
+  FROM kt t1
+  JOIN kt t2 ON t2.subj = t1.obj_value AND t2.pred = '{_C}toolUse'
+  JOIN kt t3 ON t3.subj = t1.obj_value AND t3.pred = '{_C}text'
+  JOIN kt t4 ON t4.subj = t1.obj_value AND t4.pred = '{_C}index'
+  WHERE t1.pred = '{_C}turn'
+)
+SELECT DISTINCT subj, subj_kind, pred, obj_kind, obj_value,
+                obj_lang, obj_datatype
+FROM (
+  SELECT u AS subj, uk AS subj_kind, '{_C}fromConv' AS pred,
+         'iri' AS obj_kind, conv AS obj_value,
+         CAST(NULL AS VARCHAR) AS obj_lang,
+         CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM sol
+  UNION ALL
+  SELECT u, uk, '{_C}note', txtk, txt, txtl, txtd FROM sol
+  UNION ALL
+  SELECT u, uk, '{_C}rank', idxk, idx, idxl, idxd FROM sol
+)
+"""
+
+
+def kg_sparql_construct_typed(sf_dir: str):
+    """Typed SPARQL CONSTRUCT: full store-schema rows (kinds + lang/dt
+    facets) instantiated from a 4-pattern BGP — the serializable /
+    re-storable CONSTRUCT flavor (bnode subjects, lang-tagged and
+    datatyped literal objects all carried exactly)."""
+    return sparql_construct_typed(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_CONSTRUCT_TYPED_QUERY
+    )
 
 
 # DESCRIBE: CBD of every turn of conversation c0 — the SPARQL front-end for

@@ -208,7 +208,7 @@ def _emit_value_triples(tmpl):
     return emit
 
 
-def _emit_insert_rows(tmpl):
+def _emit_insert_rows(tmpl, what="INSERT template"):
     """Tagged insert-template triples → full 7-column store rows per
     solution: constant slots carry their parsed kinds, variable slots
     read the term-kind facet columns; a literal binding in a subject
@@ -228,7 +228,7 @@ def _emit_insert_rows(tmpl):
                 sk = _rebased(t[_facet_col(s[1], "kind")])
                 if n and pc.any(pc.equal(sk, "literal")).as_py():
                     raise ValueError(
-                        f"INSERT template binds a literal into the subject "
+                        f"{what} binds a literal into the subject "
                         f"slot (?{s[1]}) — invalid RDF"
                     )
                 cols["subj"] = _rebased(t[s[1]])
@@ -240,7 +240,7 @@ def _emit_insert_rows(tmpl):
                 pk = _rebased(t[_facet_col(p[1], "kind")])
                 if n and not pc.all(pc.equal(pk, "iri")).as_py():
                     raise ValueError(
-                        f"INSERT template binds a non-IRI into the predicate "
+                        f"{what} binds a non-IRI into the predicate "
                         f"slot (?{p[1]}) — invalid RDF"
                     )
                 cols["pred"] = _rebased(t[p[1]])
@@ -280,10 +280,12 @@ def _emit_insert_rows(tmpl):
     return emit
 
 
-def _insert_facet_plan(ins_tmpl, where_patterns) -> dict:
-    """{var: facets} each INSERT-template variable needs: kind always;
-    lang/dt only when the variable's facet site is an object position
-    (subject-bound variables are iri/bnode — lang/dt are null)."""
+def _insert_facet_plan(ins_tmpl, where_patterns, what="INSERT template") -> dict:
+    """{var: facets} each template variable needs: kind always; lang/dt
+    only when the variable's facet site is an object position
+    (subject-bound variables are iri/bnode — lang/dt are null). Shared by
+    UPDATE's INSERT templates and typed CONSTRUCT (``what`` names the
+    construct in errors)."""
     extra: dict[str, set] = {}
     for s, p, o in ins_tmpl:
         for term in (s, p):
@@ -295,7 +297,7 @@ def _insert_facet_plan(ins_tmpl, where_patterns) -> dict:
         site, pos = _binding_site(v, where_patterns)
         if site is None:
             raise ValueError(
-                f"INSERT template variable ?{v} must be bound by a required "
+                f"{what} variable ?{v} must be bound by a required "
                 "pattern (OPTIONAL/UNION/BIND/closure-only bindings carry "
                 "no term kind)"
             )

@@ -26,6 +26,10 @@ Formats (W3C SPARQL 1.1 Query Results):
   detection is by the store's internal label shape only when kind columns
   are present — plain CSV writes the raw value).
 
+``graph_document`` serializes GRAPH results (CONSTRUCT via the typed
+flavor, DESCRIBE's CBD rows, any full-schema scan) as one N-Triples or
+Turtle document — the CLI's ``--format nt|ttl`` path for those forms.
+
 Blank-node labels: the store's internal ``{conv}!b{k}`` labels hex-encode
 to spec-valid labels on the way out (core/ntriples.encode_bnode_label —
 the repo-wide sink invariant).
@@ -51,6 +55,7 @@ __all__ = [
     "select_xml",
     "ask_json",
     "ask_xml",
+    "graph_document",
 ]
 
 _SR_NS = "http://www.w3.org/2005/sparql-results#"
@@ -191,3 +196,41 @@ def ask_json(ask_ds) -> dict:
     """sparql_ask's one-row {ask: bool} Dataset → the SPARQL JSON boolean
     document."""
     return {"head": {}, "boolean": bool(ask_ds.take(1)[0]["ask"])}
+
+
+def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
+    """A FULL-triple-schema Dataset (sparql_describe / the typed
+    CONSTRUCT flavor / any store scan) → one N-Triples or Turtle
+    interchange document, rows in deterministic (subj, pred, obj_value)
+    order, internal bnode labels hex-encoded per the sink invariant.
+    Driver-side materialization — interchange docs, not data-scale sinks
+    (write the store layout for big graphs)."""
+    from ..core.model import row_to_term
+    from ..core.ntriples import term_to_nt
+    from ..core.terms import BNode, IRI
+
+    g = ds.to_pandas().sort_values(
+        ["subj", "pred", "obj_value"], kind="mergesort"
+    )
+    if fmt == "ttl":
+        from .turtle import DEFAULT_PREFIXES, table_to_turtle
+
+        return table_to_turtle(
+            g, dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
+        )
+    if fmt != "nt":
+        raise ValueError(f"graph_document formats are nt|ttl, got {fmt!r}")
+    lines = []
+    for r in g.itertuples():
+        s = (
+            BNode(encode_bnode_label(r.subj))
+            if r.subj_kind == "bnode"
+            else IRI(r.subj)
+        )
+        o = row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype)
+        if isinstance(o, BNode):
+            o = BNode(encode_bnode_label(str(o)))
+        lines.append(
+            f"{term_to_nt(s)} {term_to_nt(IRI(r.pred))} {term_to_nt(o)} .\n"
+        )
+    return "".join(lines)

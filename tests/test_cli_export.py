@@ -290,3 +290,28 @@ def test_cli_sparql_results_formats(kg_store):
     assert [v.get("name") for v in root.findall("sr:head/sr:variable", ns)] \
         == ["t", "r"]
     assert len(root.findall("sr:results/sr:result", ns)) == 3
+
+
+def test_cli_sparql_graph_doc_formats(kg_store):
+    from rdf_xml_ex_ray.core.ntriples import parse_ntriples
+    from rdf_xml_ex_ray.core.turtle import parse_turtle
+
+    store = os.path.join(kg_store, "triples")
+    cq = ("PREFIX c: <http://example.org/convo#> "
+          "CONSTRUCT { ?conv c:usedTool ?tool } "
+          "WHERE { ?conv c:turn ?t . ?t c:toolUse ?u . ?u c:tool ?tool }")
+    proc = run_cli("sparql", cq, store, "--format", "nt", "--num-cpus", "4")
+    triples = parse_ntriples(proc.stdout)
+    assert triples and all(
+        str(p) == "http://example.org/convo#usedTool" for _s, p, _o in triples
+    )
+    dq = ("PREFIX c: <http://example.org/convo#> "
+          "DESCRIBE ?t WHERE { <http://example.org/conv/c0> c:turn ?t }")
+    proc = run_cli("sparql", dq, store, "--format", "ttl", "--num-cpus", "4")
+    assert proc.stdout.startswith("@prefix") and parse_turtle(proc.stdout)
+    # SELECT doesn't serialize as a graph doc
+    proc = run_cli(
+        "sparql", "SELECT ?t ?r WHERE { ?t <http://example.org/convo#role> ?r }",
+        store, "--format", "nt", "--num-cpus", "4", check=False,
+    )
+    assert proc.returncode != 0 and "nt" in proc.stderr

@@ -138,6 +138,55 @@ def test_ask_xml(ray_session):
     assert no.find("sr:boolean", ns).text == "false"
 
 
+def test_construct_typed_rows(ray_session):
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_construct_typed
+
+    got = sparql_construct_typed(
+        _store(),
+        "CONSTRUCT { ?s <http://e/tagged> ?o } "
+        "WHERE { ?s <http://e/name> ?o }",
+    ).to_pandas().sort_values("obj_value").reset_index(drop=True)
+    # full 7-column rows: kinds + lang/dt marks carried exactly
+    assert list(got.columns) == [
+        "subj", "subj_kind", "pred", "obj_kind", "obj_value",
+        "obj_lang", "obj_datatype",
+    ]
+    assert got.loc[0, "subj"] == "c!b0" and got.loc[0, "subj_kind"] == "bnode"
+    assert got.loc[0, "obj_datatype"] \
+        == "http://www.w3.org/2001/XMLSchema#integer"
+    assert got.loc[1, "obj_lang"] == "en" and got.loc[1, "obj_kind"] == "literal"
+    # OPTIONAL-bound template variables carry no term kind -> loud reject
+    with pytest.raises(ValueError, match="typed CONSTRUCT template"):
+        sparql_construct_typed(
+            _store(),
+            "CONSTRUCT { ?s <http://e/x> ?t } WHERE { "
+            "?s <http://e/name> ?o . OPTIONAL { ?s <http://e/p> ?t } }",
+        )
+
+
+def test_graph_document_nt_and_ttl(ray_session):
+    from rdf_xml_ex_ray.core.ntriples import parse_ntriples
+    from rdf_xml_ex_ray.core.turtle import parse_turtle
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_construct_typed
+    from rdf_xml_ex_ray.sources.results import graph_document
+
+    res = sparql_construct_typed(
+        _store(),
+        "CONSTRUCT { ?s <http://e/tagged> ?o } "
+        "WHERE { ?s <http://e/name> ?o }",
+    )
+    nt = graph_document(res, "nt")
+    triples = parse_ntriples(nt)
+    assert len(triples) == 2
+    assert "c!b0" not in nt  # internal bnode label hex-encoded
+    assert '"Ann"@en' in nt
+    assert '"5"^^<http://www.w3.org/2001/XMLSchema#integer>' in nt
+    ttl = graph_document(res, "ttl")
+    assert len(parse_turtle(ttl)) == 2 and ttl.startswith("@prefix")
+    with pytest.raises(ValueError, match="nt|ttl"):
+        graph_document(res, "rdfxml")
+
+
 def test_ask_json(ray_session):
     from rdf_xml_ex_ray.pipelines.bgp import sparql_ask
     from rdf_xml_ex_ray.sources.results import ask_json
