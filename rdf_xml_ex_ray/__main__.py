@@ -90,12 +90,12 @@ def main(argv=None) -> int:
     sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     sparql_p.add_argument(
         "--format",
-        choices=("json", "csv", "tsv", "xml", "nt", "ttl"),
+        choices=("json", "csv", "tsv", "xml", "nt", "ttl", "rdf"),
         help="serialize the WHOLE result as one document: SELECT as a "
              "SPARQL 1.1 results doc (json/tsv/xml typed via term-kind "
              "facets, csv untyped per spec), ASK as json/xml, "
-             "CONSTRUCT/DESCRIBE as an N-Triples or Turtle graph doc "
-             "(nt/ttl; CONSTRUCT uses the typed emitter — full term "
+             "CONSTRUCT/DESCRIBE as an N-Triples/Turtle/RDF-XML graph doc "
+             "(nt/ttl/rdf; CONSTRUCT uses the typed emitter — full term "
              "kinds) — printed, or written to --out as one file",
     )
     sparql_p.add_argument("--num-cpus", type=int, default=None)
@@ -345,7 +345,7 @@ def main(argv=None) -> int:
                         )
                     elif (
                         form in ("construct", "describe")
-                        and args.format in ("nt", "ttl")
+                        and args.format in ("nt", "ttl", "rdf")
                     ):
                         from rdf_xml_ex_ray.pipelines.bgp import (
                             sparql_construct_typed,
@@ -361,12 +361,12 @@ def main(argv=None) -> int:
                             else sparql_describe(triples, args.query)
                         )
                         doc = graph_document(res_g, args.format)
-                    elif form != "select" or args.format in ("nt", "ttl"):
+                    elif form != "select" or args.format in ("nt", "ttl", "rdf"):
                         parser.error(
                             f"sparql: --format {args.format} doesn't "
                             f"serialize {form.upper()} results (SELECT: "
                             "json/csv/tsv/xml; ASK: json/xml; "
-                            "CONSTRUCT/DESCRIBE: nt/ttl)"
+                            "CONSTRUCT/DESCRIBE: nt/ttl/rdf)"
                         )
                     elif args.format == "csv":
                         res_c = sparql_select(triples, args.query)

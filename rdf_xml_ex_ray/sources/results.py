@@ -27,8 +27,10 @@ Formats (W3C SPARQL 1.1 Query Results):
   are present — plain CSV writes the raw value).
 
 ``graph_document`` serializes GRAPH results (CONSTRUCT via the typed
-flavor, DESCRIBE's CBD rows, any full-schema scan) as one N-Triples or
-Turtle document — the CLI's ``--format nt|ttl`` path for those forms.
+flavor, DESCRIBE's CBD rows, any full-schema scan) as one N-Triples,
+Turtle or RDF/XML document — the CLI's ``--format nt|ttl|rdf`` path for
+those forms (rdf runs the repo's own encoder with auto-derived
+predicate-namespace prefixes).
 
 Blank-node labels: the store's internal ``{conv}!b{k}`` labels hex-encode
 to spec-valid labels on the way out (core/ntriples.encode_bnode_label —
@@ -200,8 +202,8 @@ def ask_json(ask_ds) -> dict:
 
 def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
     """A FULL-triple-schema Dataset (sparql_describe / the typed
-    CONSTRUCT flavor / any store scan) → one N-Triples or Turtle
-    interchange document, rows in deterministic (subj, pred, obj_value)
+    CONSTRUCT flavor / any store scan) → one N-Triples, Turtle or
+    RDF/XML interchange document, rows in deterministic (subj, pred, obj_value)
     order, internal bnode labels hex-encoded per the sink invariant.
     Driver-side materialization — interchange docs, not data-scale sinks
     (write the store layout for big graphs)."""
@@ -218,8 +220,44 @@ def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
         return table_to_turtle(
             g, dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
         )
+    if fmt == "rdf":
+        # RDF/XML through the repo's own encoder — prefixes auto-derived
+        # from the distinct predicate namespaces (RDF/XML property
+        # elements REQUIRE QNames; the encoder raises on any predicate
+        # the map misses, so derive rather than guess), deterministic
+        # ns1..nsK numbering over the sorted namespace list.
+        from ..core.model import Graph
+        from ..encoder.encoder import encode
+        from .turtle import DEFAULT_PREFIXES
+
+        pfx = dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
+        known = set(pfx.values())
+        derived = set()
+        for pred in g["pred"].drop_duplicates():
+            cut = max(pred.rfind("#"), pred.rfind("/")) + 1
+            ns = pred[:cut]
+            if cut and ns not in known:
+                derived.add(ns)
+        for i, ns in enumerate(sorted(derived), 1):
+            pfx[f"ns{i}"] = ns
+        triples = []
+        for r in g.itertuples():
+            s = (
+                BNode(encode_bnode_label(r.subj))
+                if r.subj_kind == "bnode"
+                else IRI(r.subj)
+            )
+            o = row_to_term(
+                r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype
+            )
+            if isinstance(o, BNode):
+                o = BNode(encode_bnode_label(str(o)))
+            triples.append((s, IRI(r.pred), o))
+        return encode(Graph(triples, prefixes=pfx), pretty=True)
     if fmt != "nt":
-        raise ValueError(f"graph_document formats are nt|ttl, got {fmt!r}")
+        raise ValueError(
+            f"graph_document formats are nt|ttl|rdf, got {fmt!r}"
+        )
     lines = []
     for r in g.itertuples():
         s = (

@@ -309,6 +309,12 @@ def test_cli_sparql_graph_doc_formats(kg_store):
           "DESCRIBE ?t WHERE { <http://example.org/conv/c0> c:turn ?t }")
     proc = run_cli("sparql", dq, store, "--format", "ttl", "--num-cpus", "4")
     assert proc.stdout.startswith("@prefix") and parse_turtle(proc.stdout)
+    # RDF/XML graph doc decodes back through the repo's own parser
+    from rdf_xml_ex_ray.decoder.parser import parse_rdfxml
+
+    proc = run_cli("sparql", cq, store, "--format", "rdf", "--num-cpus", "4")
+    g = parse_rdfxml(proc.stdout.encode())
+    assert len(g) == len(triples)  # same graph as the NT doc
     # SELECT doesn't serialize as a graph doc
     proc = run_cli(
         "sparql", "SELECT ?t ?r WHERE { ?t <http://example.org/convo#role> ?r }",

@@ -183,8 +183,30 @@ def test_graph_document_nt_and_ttl(ray_session):
     assert '"5"^^<http://www.w3.org/2001/XMLSchema#integer>' in nt
     ttl = graph_document(res, "ttl")
     assert len(parse_turtle(ttl)) == 2 and ttl.startswith("@prefix")
-    with pytest.raises(ValueError, match="nt|ttl"):
-        graph_document(res, "rdfxml")
+    # RDF/XML via the repo's own encoder, auto-derived prefixes — and the
+    # repo's own decoder reads it back to the same graph the NT doc holds
+    from rdf_xml_ex_ray.decoder.parser import parse_rdfxml
+
+    rdfxml = graph_document(res, "rdf")
+    assert "c!b0" not in rdfxml
+    # the fixture's subject IRI "a" is RELATIVE, so decode under a base
+    # and compare against base-resolved expectations
+    # ... and bnode labels are document-scoped: the decoder re-mints
+    # them, so normalize bnodes to a placeholder on both sides
+    from rdf_xml_ex_ray.core.terms import BNode as _BN
+
+    def norm(s, p, o):
+        sv = "<bnode>" if isinstance(s, _BN) else str(s)
+        return (("http://b/" + sv) if sv == "a" else sv, str(p), o)
+
+    back = {
+        norm(s, p, o)
+        for s, p, o in parse_rdfxml(rdfxml.encode(), base="http://b/")
+    }
+    want = {norm(s, p, o) for s, p, o in triples}
+    assert back == want
+    with pytest.raises(ValueError, match="nt"):
+        graph_document(res, "jsonld")
 
 
 def test_ask_json(ray_session):
