@@ -1556,8 +1556,51 @@ class _SelectParser:
 
     def _parse_construct(self):
         """``CONSTRUCT { template } WHERE { ... }`` → template triples
-        instantiated once per solution, null-dropping, set semantics."""
+        instantiated once per solution, null-dropping, set semantics.
+        ``CONSTRUCT WHERE { plain triples }`` is the §10.2.3 shorthand
+        (template = pattern; untyped output only)."""
         self._expect("CONSTRUCT")
+        if self._peek()[0] == "WHERE":
+            # CONSTRUCT WHERE { ... } shorthand: the template IS the
+            # pattern block (SPARQL 1.1 §10.2.3 — plain BGP only, so
+            # FILTER/OPTIONAL/paths/etc. inside are rejected below).
+            # Pattern constants are kind-agnostic VALUE matches, so the
+            # shorthand has no tagged template — sparql_construct_typed
+            # rejects it; spell the template out for typed output.
+            (patterns, optionals, filters, unions, minuses, exists, binds,
+             subqueries) = self._where_block()
+            extras = [optionals, filters, unions, minuses, exists, binds,
+                      subqueries]
+            if any(extras):
+                raise ParseError(
+                    "CONSTRUCT WHERE takes a plain triple block only "
+                    "(no FILTER/OPTIONAL/UNION/MINUS/EXISTS/BIND/"
+                    "subqueries) — use CONSTRUCT { template } WHERE { ... }"
+                )
+            for pat in patterns:
+                if len(pat) != 3 or any(
+                    isinstance(t, str) and t.startswith("?__p") for t in pat
+                ):
+                    raise ParseError(
+                        "CONSTRUCT WHERE takes plain triples only "
+                        "(no property paths or GRAPH blocks)"
+                    )
+            if self._peek()[0] is not None:
+                raise ParseError(
+                    f"trailing content after CONSTRUCT query: "
+                    f"{self._peek()[1]!r}"
+                )
+            return {
+                "form": "construct",
+                "template": [tuple(p) for p in patterns],
+                "template_tagged": None,
+                "patterns": patterns,
+                "optionals": [],
+                "filters": [],
+                "unions": [],
+                "minuses": [],
+                "exists": [],
+            }
         # TAGGED template parse (kinds kept — '("var",n) | ("iri",v) |
         # ("lit",v,lang,dt)') so sparql_construct_typed can emit full
         # 7-column store rows; the untyped string template the plain

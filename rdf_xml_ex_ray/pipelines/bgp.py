@@ -1955,6 +1955,12 @@ def sparql_construct_typed(triples_ds, query: str,
         except Exception:
             num_buckets = 64
     tmpl = q["template_tagged"]
+    if tmpl is None:
+        raise ValueError(
+            "CONSTRUCT WHERE shorthand carries no template term kinds — "
+            "spell the template out (CONSTRUCT { ... } WHERE { ... }) "
+            "for typed output"
+        )
     extra = _insert_facet_plan(
         tmpl, q["patterns"], what="typed CONSTRUCT template"
     )

@@ -1014,6 +1014,32 @@ def test_executor_ask(ray_session):
     assert ff.to_dict("records") == [{"ask": False}]
 
 
+def test_construct_where_shorthand(ray_session):
+    from rdf_xml_ex_ray.core.sparql import parse_query
+    from rdf_xml_ex_ray.pipelines.bgp import (
+        sparql_construct,
+        sparql_construct_typed,
+    )
+
+    q = parse_query("CONSTRUCT WHERE { ?s <http://e/tag> ?t }")
+    assert q["template"] == [("?s", "http://e/tag", "?t")]
+    assert q["template_tagged"] is None
+    got = sparql_construct(
+        _grp_graph(), "CONSTRUCT WHERE { ?s <http://e/tag> ?t }"
+    ).to_pandas().sort_values("subj").reset_index(drop=True)
+    assert got["obj_value"].tolist() == ["alpha", "beta"]
+    with pytest.raises(ParseError, match="plain triple block"):
+        parse_query(
+            "CONSTRUCT WHERE { ?s <http://e/tag> ?t FILTER(?t = \"alpha\") }"
+        )
+    with pytest.raises(ParseError, match="plain triples"):
+        parse_query("CONSTRUCT WHERE { ?s <http://e/a>/<http://e/b> ?t }")
+    with pytest.raises(ValueError, match="typed output"):
+        sparql_construct_typed(
+            _grp_graph(), "CONSTRUCT WHERE { ?s <http://e/tag> ?t }"
+        )
+
+
 def test_executor_construct(ray_session):
     from rdf_xml_ex_ray.pipelines.bgp import sparql_construct
 
