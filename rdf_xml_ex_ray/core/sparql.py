@@ -1352,24 +1352,34 @@ class _SelectParser:
                         if self._peek()[0] is None:
                             raise ParseError("unterminated VALUES block")
                         self._expect("punct", "(")
-                        row: list[str] = []
+                        row: list[str | None] = []
                         while self._peek() != ("punct", ")"):
                             kk, vv = self._peek()
                             if kk is None:
                                 raise ParseError("unterminated VALUES row")
-                            if kk == "UNDEF":
-                                raise ParseError(
-                                    "UNDEF in VALUES is out of fragment"
-                                )
                             self._next()
-                            row.append(
-                                vv if kk == "number" else self._resolve_const(kk, vv)
-                            )
+                            if kk == "UNDEF":
+                                # wildcard position: constrains nothing in
+                                # this row (the membership filter skips
+                                # the conjunct — consistent with the
+                                # null->False row semantics above)
+                                row.append(None)
+                            else:
+                                row.append(
+                                    vv
+                                    if kk == "number"
+                                    else self._resolve_const(kk, vv)
+                                )
                         self._next()  # )
                         if len(row) != len(vvars):
                             raise ParseError(
                                 f"VALUES row arity {len(row)} != {len(vvars)} "
                                 f"variables"
+                            )
+                        if all(c is None for c in row):
+                            raise ParseError(
+                                "an all-UNDEF VALUES row constrains nothing "
+                                "— drop the VALUES clause instead"
                             )
                         rows.append(tuple(row))
                     self._next()  # }

@@ -499,6 +499,8 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         for row in expr[2]:  # inline data: a handful of rows, vectorized per row
             rm = np.ones(tbl.num_rows, dtype=bool)
             for c, const in zip(cols, row):
+                if const is None:  # UNDEF: wildcard position
+                    continue
                 rm &= c == const  # null -> object != str -> False
             m |= rm
         return m

@@ -498,6 +498,27 @@ def test_parse_and_execute_values_multi(ray_session):
             "SELECT ?s WHERE { ?s <http://e/grp> ?g "
             'VALUES (?s ?s) { ("s1" "A") } }'
         )
+    # UNDEF = wildcard position: (s1 UNDEF) admits s1 under any group,
+    # (UNDEF "B") admits every member of group B
+    got = sparql_select(
+        ds,
+        "SELECT ?s ?g WHERE { ?s <http://e/grp> ?g . ?s <http://e/val> ?v "
+        'VALUES (?s ?g) { ("s1" UNDEF) (UNDEF "B") } } ORDER BY ?s',
+    ).to_pandas()
+    assert list(zip(got["s"], got["g"])) == [
+        ("s1", "A"), ("s3", "B"), ("s4", "B"),
+    ]
+    with pytest.raises(ParseError, match="all-UNDEF"):
+        parse_select(
+            "SELECT ?s WHERE { ?s <http://e/grp> ?g "
+            "VALUES (?s ?g) { (UNDEF UNDEF) } }"
+        )
+    # single-var UNDEF stays out of fragment
+    with pytest.raises(ParseError, match="out of fragment"):
+        parse_select(
+            "SELECT ?s WHERE { ?s <http://e/grp> ?g "
+            "VALUES ?s { UNDEF } }"
+        )
 
 
 def _chain_graph():
