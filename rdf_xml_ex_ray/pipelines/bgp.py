@@ -2822,6 +2822,47 @@ def kg_sparql_values_multi(sf_dir: str):
     )
 
 
+# VALUES with UNDEF wildcards: one row pins (assistant, error), the other
+# admits ANY role that used the purchase tool — the UNDEF position drops
+# its conjunct from the row's AND. Twin: the same OR-of-ANDs with the
+# wildcard conjunct omitted.
+KG_SPARQL_VALUES_UNDEF_QUERY = """
+PREFIX c: <http://example.org/convo#>
+PREFIX role: <http://example.org/role/>
+PREFIX tool: <http://example.org/tool/>
+SELECT ?t ?role ?tool
+WHERE {
+  ?t c:role ?role . ?t c:toolUse ?u . ?u c:tool ?tool .
+  VALUES (?role ?tool) {
+    (role:assistant tool:error) (UNDEF tool:purchase)
+  }
+}
+"""
+
+KG_SPARQL_VALUES_UNDEF_SQL = f"""
+WITH kt AS (
+  SELECT subj, pred, obj_value FROM ( {KG_TRIPLES_SQL} ) AS base
+)
+SELECT t1.subj AS t, t1.obj_value AS role, t3.obj_value AS tool
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}toolUse'
+JOIN kt t3 ON t3.subj = t2.obj_value AND t3.pred = '{_C}tool'
+WHERE t1.pred = '{_C}role'
+  AND ( (t1.obj_value = 'http://example.org/role/assistant'
+         AND t3.obj_value = 'http://example.org/tool/error')
+     OR t3.obj_value = 'http://example.org/tool/purchase' )
+"""
+
+
+def kg_sparql_values_undef(sf_dir: str):
+    """Multi-var VALUES with an UNDEF wildcard: (assistant, error) pinned
+    exactly, (UNDEF, purchase) admitting every role — wildcard positions
+    drop their conjunct from the row mask."""
+    return sparql_select(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_VALUES_UNDEF_QUERY
+    )
+
+
 # MINUS: tool-using turns that did NOT resolve to the error tool — an
 # anti-semi-join on the shared variable (SQL NOT EXISTS).
 KG_SPARQL_MINUS_QUERY = """
