@@ -36,7 +36,9 @@ predicates ``REGEX(?v, "pat"[, "i"])`` / ``STRSTARTS(?v, "s")`` /
 ``STRENDS`` / ``CONTAINS`` (RE2 regex syntax on BOTH engines; null →
 False; negatable with ``!`` under not-null-AND-not semantics),
 the term-facet forms ``isIRI(?v)`` / ``isBlank(?v)`` / ``isLiteral(?v)``
-(negatable) and ``LANG(?v)`` / ``DATATYPE(?v)`` compared ``=``/``!=``
+(negatable) ``langMatches(LANG(?v), "range")`` (RFC 4647 basic filtering,
+case-insensitive, ``"*"`` = any non-empty tag; negatable),
+and ``LANG(?v)`` / ``DATATYPE(?v)`` compared ``=``/``!=``
 against a constant (LANG of a plain literal is ``""``; DATATYPE defaults
 to xsd:string / rdf:langString; both error→drop on non-literals; facets
 need the variable bound by a required pattern in object position — or
@@ -132,7 +134,8 @@ _KEYWORDS = (
     "PREFIX|SELECT|DISTINCT|WHERE|LIMIT|OFFSET|FILTER|OPTIONAL|ORDER|BY|"
     "ASC|DESC|BOUND|UNION|GRAPH|COUNT|MIN|MAX|SUM|AVG|AS|GROUP|HAVING|MINUS|"
     "ASK|CONSTRUCT|DESCRIBE|VALUES|UNDEF|REGEX|STRSTARTS|STRENDS|CONTAINS|"
-    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANG|DATATYPE|"
+    "IN|NOT|EXISTS|BIND|GROUP_CONCAT|SEPARATOR|SAMPLE|LANGMATCHES|LANG|"
+    "DATATYPE|"
     "ISIRI|ISBLANK|ISLITERAL|STRBEFORE|STRAFTER|STRLEN|STR|UCASE|LCASE|"
     "CONCAT|SUBSTR|REPLACE|"
     "COALESCE|IF|INSERT|DELETE|DATA|ABS"
@@ -205,7 +208,9 @@ def _reject_facets(expr, where: str):
     DATATYPE) inside ``where`` — they read scan-carried facet columns the
     surrounding construct doesn't plan for."""
     head = expr[0]
-    if head in ("kindis", "not_kindis", "facet_cmp"):
+    if head in (
+        "kindis", "not_kindis", "facet_cmp", "langmatches", "not_langmatches"
+    ):
         raise ParseError(f"term-facet forms inside {where} are out of fragment")
     if head in ("or", "and"):
         for e in expr[1]:
@@ -337,13 +342,19 @@ class _SelectParser:
                 # !isIRI(?v) etc: bound AND kind-differs (error-on-unbound
                 # -> row dropped; SQL `kind IS NOT NULL AND kind <> k`)
                 return ("not_kindis", self._kind_fn())
+            if nxt == "LANGMATCHES":
+                # !langMatches: literal AND range-mismatch (errors on
+                # non-literals drop the row on both engines)
+                return ("not_langmatches", self._langmatches())
             raise ParseError(
                 "'!' is only supported before BOUND(...), a string function "
-                "(REGEX/STRSTARTS/STRENDS/CONTAINS) or a term-kind test "
-                "(isIRI/isBlank/isLiteral)"
+                "(REGEX/STRSTARTS/STRENDS/CONTAINS), a term-kind test "
+                "(isIRI/isBlank/isLiteral) or langMatches(...)"
             )
         if self._peek()[0] in _KIND_FNS:
             return self._kind_fn()
+        if self._peek()[0] == "LANGMATCHES":
+            return self._langmatches()
         if self._peek()[0] == "BOUND":
             self._next()
             self._expect("punct", "(")
@@ -358,6 +369,32 @@ class _SelectParser:
             self._expect("punct", ")")
             return inner
         return self._comparison()
+
+    def _langmatches(self):
+        """``langMatches(LANG(?v), "range")`` — RFC 4647 basic filtering
+        over the variable's scan-carried lang facet: case-insensitive
+        exact tag or subtag-prefix match; ``"*"`` matches any non-empty
+        tag. A plain literal's LANG is ``""`` (matches nothing, not even
+        ``"*"``); non-literals error → row dropped. The first argument
+        must be exactly ``LANG(?var)`` (the only tag source the binding
+        table carries)."""
+        self._next()
+        self._expect("punct", "(")
+        self._expect("LANG")
+        self._expect("punct", "(")
+        var = self._expect("var")[1:]
+        self._expect("punct", ")")
+        self._expect("punct", ",")
+        k2, v2 = self._next()
+        if k2 != "literal":
+            raise ParseError(
+                "langMatches range must be a string literal"
+            )
+        rng = _unescape_literal(v2[1:-1])
+        if not rng:
+            raise ParseError("empty langMatches range")
+        self._expect("punct", ")")
+        return ("langmatches", var, rng)
 
     def _kind_fn(self):
         """``isIRI(?v)`` / ``isBlank(?v)`` / ``isLiteral(?v)`` — term-kind

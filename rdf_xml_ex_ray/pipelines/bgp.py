@@ -354,6 +354,10 @@ def _facet_reqs(expr, out: dict):
         need.add("lang")
         if _fk == "dt":
             need.add("dt")
+    elif k == "langmatches":
+        out.setdefault(expr[1], set()).update({"kind", "lang"})
+    elif k == "not_langmatches":
+        _facet_reqs(expr[1], out)
 
 
 def _bind_facet_reqs(expr, out: dict):
@@ -459,6 +463,37 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         col = tbl[_facet_col(inner[1], "kind")].combine_chunks()
         valid = ~np.asarray(col.is_null())
         return valid & ~_filter_mask(inner, tbl)
+    if kind in ("langmatches", "not_langmatches"):
+        # RFC 4647 basic filtering on the lang facet: case-insensitive
+        # exact tag or range+"-" subtag prefix; "*" = any non-empty tag.
+        # Plain literals (LANG = "") match nothing; non-literals error ->
+        # row dropped on BOTH branches (the not_ flavor is literal AND
+        # mismatch). Twin spelling: kind='literal' AND lang IS NOT NULL
+        # AND (lower(lang) = lower(r) OR starts_with(lower(lang),
+        # lower(r) || '-')) — DuckDB lower() agrees with str.lower() on
+        # BCP47 tags (ASCII).
+        neg = kind == "not_langmatches"
+        inner = expr[1] if neg else expr
+        var, rng = inner[1], inner[2]
+        kindv = tbl[_facet_col(var, "kind")].to_pandas().to_numpy(dtype=object)
+        langv = tbl[_facet_col(var, "lang")].to_pandas().to_numpy(dtype=object)
+        is_lit = kindv == "literal"
+        has = np.array(
+            [isinstance(x, str) and x != "" for x in langv], dtype=bool
+        )
+        if rng == "*":
+            m = has
+        else:
+            r = rng.lower()
+            m = has & np.array(
+                [
+                    isinstance(x, str)
+                    and (x.lower() == r or x.lower().startswith(r + "-"))
+                    for x in langv
+                ],
+                dtype=bool,
+            )
+        return (is_lit & ~m) if neg else (is_lit & m)
     if kind == "facet_cmp":  # LANG(?v)/DATATYPE(?v) =/!= "const"
         op, (facet, var), (_s, const) = expr[1], expr[2], expr[3]
         kindv = tbl[_facet_col(var, "kind")].to_pandas().to_numpy(dtype=object)
@@ -905,6 +940,10 @@ def _expr_vars(e, out: set):
         out.update(e[1])
     elif e[0] == "kindis":
         out.add(e[1])
+    elif e[0] == "langmatches":
+        out.add(e[1])
+    elif e[0] == "not_langmatches":
+        _expr_vars(e[1], out)
     elif e[0] == "facet_cmp":
         out.add(e[2][1])
     else:
@@ -2860,6 +2899,42 @@ def kg_sparql_values_undef(sf_dir: str):
     drop their conjunct from the row mask."""
     return sparql_select(
         _kg_triples_quarter(sf_dir), KG_SPARQL_VALUES_UNDEF_QUERY
+    )
+
+
+# langMatches: RFC 4647 basic filtering over the lang facet — the range
+# "EN" is deliberately upper-case (the match is case-insensitive, so a
+# plain lang = 'en' equality twin would be the WRONG twin). Twin spells
+# the full literal-gate + lower() + subtag-prefix disjunction.
+KG_SPARQL_LANGMATCHES_QUERY = """
+PREFIX c: <http://example.org/convo#>
+SELECT ?role (COUNT(*) AS ?n)
+WHERE {
+  ?t c:text ?txt . ?t c:role ?role .
+  FILTER(langMatches(LANG(?txt), "EN"))
+}
+GROUP BY ?role
+"""
+
+KG_SPARQL_LANGMATCHES_SQL = f"""
+WITH kt AS ( {KG_TRIPLES_SQL} )
+SELECT t2.obj_value AS role, COUNT(*) AS n
+FROM kt t1
+JOIN kt t2 ON t2.subj = t1.subj AND t2.pred = '{_C}role'
+WHERE t1.pred = '{_C}text'
+  AND t1.obj_kind = 'literal'
+  AND t1.obj_lang IS NOT NULL AND t1.obj_lang <> ''
+  AND (lower(t1.obj_lang) = 'en'
+       OR starts_with(lower(t1.obj_lang), 'en-'))
+GROUP BY role
+"""
+
+
+def kg_sparql_langmatches(sf_dir: str):
+    """SPARQL langMatches over the lang facet (case-insensitive RFC 4647
+    basic filtering), aggregated per role."""
+    return sparql_select(
+        _kg_triples_quarter(sf_dir), KG_SPARQL_LANGMATCHES_QUERY
     )
 
 

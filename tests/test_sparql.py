@@ -273,6 +273,43 @@ def test_typed_serialization_rejects_expression_order(ray_session):
         )
 
 
+def test_langmatches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [  # (subj, lang) — obj literal "x", varying tags
+        ("s1", "en"), ("s2", "en-US"), ("s3", "EN-gb"), ("s4", "fr"),
+        ("s5", None),  # plain literal: LANG = "" matches nothing
+    ]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, lang in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append("http://e/t"); cols["obj_kind"].append("literal")
+        cols["obj_value"].append("x"); cols["obj_lang"].append(lang)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    def run(q):
+        got = sparql_select(ds, q).to_pandas()
+        return sorted(got["s"])
+
+    base = "SELECT ?s WHERE { ?s <http://e/t> ?v FILTER(%s) }"
+    # case-insensitive exact + subtag-prefix matching (RFC 4647 basic)
+    assert run(base % 'langMatches(LANG(?v), "en")') == ["s1", "s2", "s3"]
+    assert run(base % 'langMatches(LANG(?v), "en-us")') == ["s2"]
+    # "*" matches any non-empty tag; the plain literal never matches
+    assert run(base % 'langMatches(LANG(?v), "*")') == ["s1", "s2", "s3", "s4"]
+    # negation: literal AND mismatch (the plain literal qualifies)
+    assert run(base % '!langMatches(LANG(?v), "en")') == ["s4", "s5"]
+    with pytest.raises(ParseError, match="empty langMatches"):
+        parse_select(base % 'langMatches(LANG(?v), "")')
+    with pytest.raises(ParseError, match="string literal"):
+        parse_select(base % "langMatches(LANG(?v), ?r)")
+
+
 def test_parse_var_vs_var_ordering_is_numeric():
     q = parse_select(
         "SELECT ?s WHERE { ?s <http://e/a> ?x . ?s <http://e/b> ?y "
