@@ -1625,8 +1625,12 @@ class _SelectParser:
                     "subqueries) — use CONSTRUCT { template } WHERE { ... }"
                 )
             for pat in patterns:
+                # non-str terms are path operators (PathPlus / alternation
+                # tuples / negated sets); '?__p' vars are desugared path
+                # sequences — all non-template-able
                 if len(pat) != 3 or any(
-                    isinstance(t, str) and t.startswith("?__p") for t in pat
+                    not isinstance(t, str) or t.startswith("?__p")
+                    for t in pat
                 ):
                     raise ParseError(
                         "CONSTRUCT WHERE takes plain triples only "
@@ -1651,8 +1655,11 @@ class _SelectParser:
         # TAGGED template parse (kinds kept — '("var",n) | ("iri",v) |
         # ("lit",v,lang,dt)') so sparql_construct_typed can emit full
         # 7-column store rows; the untyped string template the plain
-        # emitter consumes is derived below. Property paths / GRAPH /
-        # bare numbers in templates stay rejected (by _tagged_triples).
+        # emitter consumes is derived below. Property paths / GRAPH stay
+        # rejected (by _tagged_triples); bare NUMERIC template constants,
+        # which the pre-typed parser accepted as raw strings, are now
+        # rejected too (a deliberate tightening: Turtle's implicit xsd
+        # typing would be a silent kind choice — write the typed literal).
         tagged = self._tagged_triples("CONSTRUCT template", allow_vars=True)
         template: list = [
             tuple(

@@ -475,24 +475,21 @@ def _filter_mask(expr, tbl: pa.Table) -> np.ndarray:
         neg = kind == "not_langmatches"
         inner = expr[1] if neg else expr
         var, rng = inner[1], inner[2]
-        kindv = tbl[_facet_col(var, "kind")].to_pandas().to_numpy(dtype=object)
-        langv = tbl[_facet_col(var, "lang")].to_pandas().to_numpy(dtype=object)
-        is_lit = kindv == "literal"
-        has = np.array(
-            [isinstance(x, str) and x != "" for x in langv], dtype=bool
+        kindc = _str_operand(tbl, _facet_col(var, "kind"))
+        langc = _str_operand(tbl, _facet_col(var, "lang"))
+        is_lit = pc.fill_null(pc.equal(kindc, "literal"), False).to_numpy(
+            zero_copy_only=False
+        )
+        has = pc.fill_null(pc.not_equal(langc, ""), False).to_numpy(
+            zero_copy_only=False
         )
         if rng == "*":
             m = has
         else:
             r = rng.lower()
-            m = has & np.array(
-                [
-                    isinstance(x, str)
-                    and (x.lower() == r or x.lower().startswith(r + "-"))
-                    for x in langv
-                ],
-                dtype=bool,
-            )
+            low = pc.utf8_lower(langc)
+            hit = pc.or_(pc.equal(low, r), pc.starts_with(low, r + "-"))
+            m = has & pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
         return (is_lit & ~m) if neg else (is_lit & m)
     if kind == "facet_cmp":  # LANG(?v)/DATATYPE(?v) =/!= "const"
         op, (facet, var), (_s, const) = expr[1], expr[2], expr[3]

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import csv as _csv
 import io
+import re
 
 from xml.sax.saxutils import escape as _xesc
 from xml.sax.saxutils import quoteattr as _xattr
@@ -62,6 +63,25 @@ __all__ = [
 
 _SR_NS = "http://www.w3.org/2005/sparql-results#"
 _XML_DECL = '<?xml version="1.0" encoding="UTF-8"?>\n'
+
+# C0 controls other than \t \n \r are not expressible in XML 1.0 at all
+# (not even as character references) — serializing them would produce an
+# ill-formed document every conforming parser rejects
+_XML_INVALID = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _xml_text(val: str) -> str:
+    """Escape a literal value for an XML text node: &<> entity-escaped,
+    \\r character-referenced (a raw \\r is silently normalized to \\n by
+    every conforming parser — data corruption), XML-unrepresentable C0
+    controls rejected LOUDLY (the JSON/TSV serializers carry them fine)."""
+    m = _XML_INVALID.search(val)
+    if m:
+        raise ValueError(
+            f"literal contains U+{ord(m.group()):04X}, which XML 1.0 "
+            "cannot represent — serialize as json or tsv"
+        )
+    return _xesc(val).replace("\r", "&#13;")
 
 
 def _iter_typed_rows(ds, out_vars, prov):
@@ -152,14 +172,14 @@ def select_csv(ds, out_vars) -> str:
 
 def _term_xml(kind: str, val: str, lang, dt) -> str:
     if kind == "iri":
-        return f"<uri>{_xesc(val)}</uri>"
+        return f"<uri>{_xml_text(val)}</uri>"
     if kind == "bnode":
         return f"<bnode>{_xesc(encode_bnode_label(val))}</bnode>"
     if lang:
-        return f"<literal xml:lang={_xattr(lang)}>{_xesc(val)}</literal>"
+        return f"<literal xml:lang={_xattr(lang)}>{_xml_text(val)}</literal>"
     if dt:
-        return f"<literal datatype={_xattr(dt)}>{_xesc(val)}</literal>"
-    return f"<literal>{_xesc(val)}</literal>"
+        return f"<literal datatype={_xattr(dt)}>{_xml_text(val)}</literal>"
+    return f"<literal>{_xml_text(val)}</literal>"
 
 
 def select_xml(ds, out_vars, prov) -> str:
@@ -200,19 +220,44 @@ def ask_json(ask_ds) -> dict:
     return {"head": {}, "boolean": bool(ask_ds.take(1)[0]["ask"])}
 
 
+def _row_terms(g):
+    """Sorted triple-schema frame → [(s, p, o) term triples], internal
+    bnode labels hex-encoded (the sink invariant) — the ONE place the
+    nt and rdf document branches build terms."""
+    from ..core.model import row_to_term
+    from ..core.terms import BNode, IRI
+
+    triples = []
+    for r in g.itertuples():
+        s = (
+            BNode(encode_bnode_label(r.subj))
+            if r.subj_kind == "bnode"
+            else IRI(r.subj)
+        )
+        o = row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype)
+        if isinstance(o, BNode):
+            o = BNode(encode_bnode_label(str(o)))
+        triples.append((s, IRI(r.pred), o))
+    return triples
+
+
 def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
     """A FULL-triple-schema Dataset (sparql_describe / the typed
     CONSTRUCT flavor / any store scan) → one N-Triples, Turtle or
-    RDF/XML interchange document, rows in deterministic (subj, pred, obj_value)
-    order, internal bnode labels hex-encoded per the sink invariant.
-    Driver-side materialization — interchange docs, not data-scale sinks
-    (write the store layout for big graphs)."""
-    from ..core.model import row_to_term
+    RDF/XML interchange document, rows in deterministic full-column
+    order (lang/datatype/kind break value ties — byte-identical output
+    across runs regardless of upstream block arrival order), internal
+    bnode labels hex-encoded per the sink invariant. Driver-side
+    materialization — interchange docs, not data-scale sinks (write the
+    store layout for big graphs)."""
     from ..core.ntriples import term_to_nt
-    from ..core.terms import BNode, IRI
 
     g = ds.to_pandas().sort_values(
-        ["subj", "pred", "obj_value"], kind="mergesort"
+        [
+            "subj", "pred", "obj_value",
+            "obj_lang", "obj_datatype", "obj_kind", "subj_kind",
+        ],
+        kind="mergesort",
     )
     if fmt == "ttl":
         from .turtle import DEFAULT_PREFIXES, table_to_turtle
@@ -240,35 +285,12 @@ def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
                 derived.add(ns)
         for i, ns in enumerate(sorted(derived), 1):
             pfx[f"ns{i}"] = ns
-        triples = []
-        for r in g.itertuples():
-            s = (
-                BNode(encode_bnode_label(r.subj))
-                if r.subj_kind == "bnode"
-                else IRI(r.subj)
-            )
-            o = row_to_term(
-                r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype
-            )
-            if isinstance(o, BNode):
-                o = BNode(encode_bnode_label(str(o)))
-            triples.append((s, IRI(r.pred), o))
-        return encode(Graph(triples, prefixes=pfx), pretty=True)
+        return encode(Graph(_row_terms(g), prefixes=pfx), pretty=True)
     if fmt != "nt":
         raise ValueError(
             f"graph_document formats are nt|ttl|rdf, got {fmt!r}"
         )
-    lines = []
-    for r in g.itertuples():
-        s = (
-            BNode(encode_bnode_label(r.subj))
-            if r.subj_kind == "bnode"
-            else IRI(r.subj)
-        )
-        o = row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype)
-        if isinstance(o, BNode):
-            o = BNode(encode_bnode_label(str(o)))
-        lines.append(
-            f"{term_to_nt(s)} {term_to_nt(IRI(r.pred))} {term_to_nt(o)} .\n"
-        )
-    return "".join(lines)
+    return "".join(
+        f"{term_to_nt(s)} {term_to_nt(p)} {term_to_nt(o)} .\n"
+        for s, p, o in _row_terms(g)
+    )

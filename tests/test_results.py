@@ -121,6 +121,56 @@ def test_select_xml_typed(ray_session):
     assert b1["d"].text == "v=Ann" and not b1["d"].attrib
 
 
+def test_select_xml_control_chars(ray_session):
+    import xml.etree.ElementTree as ET
+
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
+    from rdf_xml_ex_ray.sources.results import select_xml
+
+    def store_with(val):
+        cols = {n: [] for n in TRIPLE_SCHEMA.names}
+        cols["subj"].append("s"); cols["subj_kind"].append("iri")
+        cols["pred"].append("http://e/p"); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(val); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+        return rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+
+    q = "SELECT ?o WHERE { ?s <http://e/p> ?o }"
+    # \r must survive a conforming parse (raw \r normalizes to \n)
+    doc = select_xml(*sparql_select_typed(store_with("a\rb"), q))
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    lit = ET.fromstring(doc).find(".//sr:binding/sr:literal", ns)
+    assert lit.text == "a\rb"
+    # XML-unrepresentable C0 controls are rejected loudly, not emitted
+    with pytest.raises(ValueError, match="XML 1.0"):
+        select_xml(*sparql_select_typed(store_with("a\fb"), q))
+
+
+def test_graph_document_tie_break_determinism(ray_session):
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.sources.results import graph_document
+
+    # two triples equal on (subj, pred, obj_value), differing only in lang
+    # — the full-column sort orders them identically however blocks arrive
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for lang in ("fr", "en"):
+        cols["subj"].append("http://e/s"); cols["subj_kind"].append("iri")
+        cols["pred"].append("http://e/p"); cols["obj_kind"].append("literal")
+        cols["obj_value"].append("x"); cols["obj_lang"].append(lang)
+        cols["obj_datatype"].append(None)
+    fwd = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    rev = rd.from_arrow(
+        pa.table({k: v[::-1] for k, v in cols.items()}, schema=TRIPLE_SCHEMA)
+    )
+    assert graph_document(fwd, "nt") == graph_document(rev, "nt")
+    assert '"x"@en' in graph_document(fwd, "nt").splitlines()[0]
+
+
 def test_ask_xml(ray_session):
     import xml.etree.ElementTree as ET
 

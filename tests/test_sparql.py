@@ -1092,6 +1092,11 @@ def test_construct_where_shorthand(ray_session):
         )
     with pytest.raises(ParseError, match="plain triples"):
         parse_query("CONSTRUCT WHERE { ?s <http://e/a>/<http://e/b> ?t }")
+    # closure / alternation / negated-set paths are non-str pattern terms
+    for path in ("<http://e/a>+", "(<http://e/a>|<http://e/b>)",
+                 "!<http://e/a>"):
+        with pytest.raises(ParseError, match="plain triples"):
+            parse_query("CONSTRUCT WHERE { ?s %s ?t }" % path)
     with pytest.raises(ValueError, match="typed output"):
         sparql_construct_typed(
             _grp_graph(), "CONSTRUCT WHERE { ?s <http://e/tag> ?t }"
