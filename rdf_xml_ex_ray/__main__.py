@@ -46,8 +46,10 @@ def main(argv=None) -> int:
     export.add_argument("store", help="triple-store parquet dir (e.g. <kg-out>/triples)")
     export.add_argument("--out", required=True)
     export.add_argument(
-        "--format", choices=["nt", "ttl", "nq", "trig"], default="nt",
-        help="nq/trig use the store's graph column, else the per-conversation graph",
+        "--format", choices=["nt", "ttl", "rdf", "nq", "trig"], default="nt",
+        help="nq/trig use the store's graph column, else the per-conversation "
+             "graph; rdf = RDF/XML via the repo's own encoder (predicate "
+             "prefixes auto-derived, extendable with --prefix)",
     )
     export.add_argument(
         "--prefix", action="append", default=[], metavar="PFX=NS",
@@ -186,7 +188,7 @@ def main(argv=None) -> int:
                         }
                     )
                 )
-            elif args.format == "ttl":
+            elif args.format in ("ttl", "rdf"):
                 from rdf_xml_ex_ray.sources.turtle import DEFAULT_PREFIXES, write_turtle
 
                 import re as _re
@@ -203,9 +205,39 @@ def main(argv=None) -> int:
                             "[A-Za-z][A-Za-z0-9_-]* and a non-empty namespace"
                         )
                     prefixes[pfx] = ns
-                stats = write_turtle(
-                    store, args.out, prefixes=prefixes, num_buckets=args.buckets
-                ).to_pandas()
+                if args.format == "rdf":
+                    from rdf_xml_ex_ray.sources.rdfxml import (
+                        derive_pred_prefixes,
+                        write_rdfxml,
+                    )
+
+                    # predicate namespaces MUST be prefixed in RDF/XML;
+                    # derive the ones --prefix didn't name (pred
+                    # cardinality is tiny — a schema, not the data)
+                    prefixes = derive_pred_prefixes(
+                        store.unique("pred"), prefixes
+                    )
+                    stats = write_rdfxml(
+                        store, args.out, prefixes=prefixes,
+                        num_buckets=args.buckets,
+                    ).to_pandas()
+                    print(
+                        json.dumps(
+                            {
+                                "n_descriptions": int(
+                                    stats["n_descriptions"].sum()
+                                ),
+                                "files": len(stats),
+                                "format": "rdf",
+                                "out": args.out,
+                            }
+                        )
+                    )
+                else:
+                    stats = write_turtle(
+                        store, args.out, prefixes=prefixes,
+                        num_buckets=args.buckets,
+                    ).to_pandas()
             else:
                 from rdf_xml_ex_ray.sources.ntriples import write_ntriples
 

@@ -226,6 +226,26 @@ def read_rdfxml_streamed(
     return items.map_batches(decode_paths, batch_format="pyarrow", batch_size=1)
 
 
+def derive_pred_prefixes(preds, base_prefixes):
+    """Auto-derive ``ns1..nsK`` prefixes for predicate namespaces the
+    base map misses — RDF/XML property elements REQUIRE QNames and the
+    encoder raises on any unprefixed predicate, so derive (split at the
+    last '#'/'/') rather than guess. Deterministic numbering over the
+    sorted namespace list. Shared by the export CLI and
+    sources/results.graph_document's rdf branch."""
+    pfx = dict(base_prefixes)
+    known = set(pfx.values())
+    derived = set()
+    for pred in preds:
+        cut = max(pred.rfind("#"), pred.rfind("/")) + 1
+        ns = pred[:cut]
+        if cut and ns not in known:
+            derived.add(ns)
+    for i, ns in enumerate(sorted(derived), 1):
+        pfx[f"ns{i}"] = ns
+    return pfx
+
+
 def write_rdfxml(
     triples_ds,
     out_dir: str,
@@ -242,6 +262,7 @@ def write_rdfxml(
     import pandas as pd
 
     from ..core.model import row_to_term
+    from ..core.ntriples import encode_bnode_label
     from ..core.terms import BNode, IRI
     from ..core.terms import escape_attr
     from ..encoder.encoder import XML_DECL, encode_description, ns_declaration_attrs
@@ -261,11 +282,23 @@ def write_rdfxml(
         lines = [header]
         for subj_val, g in group.sort_values("subj").groupby("subj", sort=True):
             kind = g["subj_kind"].iloc[0]
-            subj = BNode(subj_val) if kind == "bnode" else IRI(subj_val)
-            triples = [
-                (subj, IRI(r.pred), row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype))
-                for r in g.itertuples()
-            ]
+            # internal '{conv}!b{k}' labels hex-encode to NCName-valid
+            # rdf:nodeID values (the repo-wide sink invariant — '!' is
+            # outside NCName and a conformant parser, including this
+            # repo's own decoder, rejects the raw form)
+            subj = (
+                BNode(encode_bnode_label(subj_val))
+                if kind == "bnode"
+                else IRI(subj_val)
+            )
+            triples = []
+            for r in g.itertuples():
+                o = row_to_term(
+                    r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype
+                )
+                if isinstance(o, BNode):
+                    o = BNode(encode_bnode_label(str(o)))
+                triples.append((subj, IRI(r.pred), o))
             lines.append(encode_description(subj, triples, base=base, prefixes=pfx) + "\n")
         lines.append("</rdf:RDF>\n")
         tmp = os.path.join(out_dir, f".part-{bucket:05d}.rdf.tmp")

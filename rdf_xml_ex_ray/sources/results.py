@@ -273,18 +273,13 @@ def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
         # ns1..nsK numbering over the sorted namespace list.
         from ..core.model import Graph
         from ..encoder.encoder import encode
+        from .rdfxml import derive_pred_prefixes
         from .turtle import DEFAULT_PREFIXES
 
-        pfx = dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
-        known = set(pfx.values())
-        derived = set()
-        for pred in g["pred"].drop_duplicates():
-            cut = max(pred.rfind("#"), pred.rfind("/")) + 1
-            ns = pred[:cut]
-            if cut and ns not in known:
-                derived.add(ns)
-        for i, ns in enumerate(sorted(derived), 1):
-            pfx[f"ns{i}"] = ns
+        pfx = derive_pred_prefixes(
+            g["pred"].drop_duplicates(),
+            DEFAULT_PREFIXES if prefixes is None else prefixes,
+        )
         return encode(Graph(_row_terms(g), prefixes=pfx), pretty=True)
     if fmt != "nt":
         raise ValueError(

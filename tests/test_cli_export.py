@@ -58,6 +58,31 @@ def test_export_nt_spec_valid(kg_store, tmp_path):
         assert re.fullmatch(r"[A-Za-z0-9_]+", lbl), lbl
 
 
+def test_export_rdfxml_roundtrips(kg_store, tmp_path):
+    """export --format rdf writes bucketed RDF/XML the repo's own decoder
+    reads back in full (spec-valid nodeIDs, auto-derived prefixes)."""
+    from rdf_xml_ex_ray.decoder.parser import parse_rdfxml
+
+    out = str(tmp_path / "rdf")
+    proc = run_cli(
+        "export", f"{kg_store}/triples", "--out", out,
+        "--format", "rdf", "--num-cpus", "4",
+    )
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    files = sorted(glob.glob(f"{out}/part-*.rdf"))
+    assert files and len(files) == info["files"]
+    n = 0
+    for f in files:
+        n += len(parse_rdfxml(open(f, "rb").read(), base="http://b/"))
+    # every store triple decodes back (set semantics both sides)
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{kg_store}/triples/**/*.parquet'"
+    ).fetchone()[0]
+    assert n == total
+
+
 def test_export_ttl_with_prefix_roundtrips(kg_store, tmp_path):
     out = str(tmp_path / "ttl")
     proc = run_cli(

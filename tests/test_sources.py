@@ -59,6 +59,36 @@ def test_write_read_roundtrip(ray_session, tmp_path):
     assert got == want
 
 
+def test_write_rdfxml_encodes_bnode_labels(ray_session, tmp_path):
+    """Internal '{conv}!b{k}' labels must hex-encode to NCName-valid
+    rdf:nodeID values (the repo-wide sink invariant — the raw '!' form is
+    rejected by conformant parsers, including this repo's own decoder)."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.decoder.parser import parse_rdfxml
+    from rdf_xml_ex_ray.sources.rdfxml import write_rdfxml
+
+    rows = [
+        {
+            "subj": "c0!b1", "subj_kind": "bnode",
+            "pred": "http://e/p", "obj_kind": "bnode",
+            "obj_value": "c0!b2", "obj_lang": None, "obj_datatype": None,
+        }
+    ]
+    out = str(tmp_path / "bn")
+    write_rdfxml(
+        rd.from_items(rows), out,
+        prefixes={"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+                  "e": "http://e/"},
+        num_buckets=2,
+    ).to_pandas()
+    docs = [open(os.path.join(out, f)).read() for f in sorted(os.listdir(out))]
+    body = next(d for d in docs if "nodeID" in d)
+    assert "c0!b1" not in body and 'rdf:nodeID="c0_21b1"' in body
+    # the repo's own decoder accepts the emitted document
+    assert len(parse_rdfxml(body.encode(), base="http://b/")) == 1
+
+
 def test_ntriples_sink_source_roundtrip(ray_session, tmp_path):
     """Flagship triples → .nt sink → .nt source → identical rows."""
     import os
