@@ -336,6 +336,35 @@ def test_executor_var_vs_var_numeric_filter(ray_session):
     assert got["s"].tolist() == ["s1", "s4"]
 
 
+def test_having_agg_vs_agg(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.model import TRIPLE_SCHEMA
+    from rdf_xml_ex_ray.pipelines.bgp import sparql_select
+
+    rows = [("s1", "http://e/t", "1"), ("s1", "http://e/t", "2"),
+            ("s2", "http://e/t", "3"),
+            ("s1", "http://e/u", "9"), ("s2", "http://e/u", "1")]
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in rows:
+        cols["subj"].append(s); cols["subj_kind"].append("iri")
+        cols["pred"].append(p); cols["obj_kind"].append("literal")
+        cols["obj_value"].append(o); cols["obj_lang"].append(None)
+        cols["obj_datatype"].append(None)
+    ds = rd.from_arrow(pa.table(cols, schema=TRIPLE_SCHEMA))
+    # var-vs-var ordering over TYPED aggregate aliases (the ncmp path's
+    # typed-column read): s1 sa=3 < sb=18 (join multiplicity doubles ?b)
+    # keeps; s2 sa=3 > sb=1 drops
+    got = sparql_select(
+        ds,
+        "SELECT ?s (SUM(?a) AS ?sa) (SUM(?b) AS ?sb) WHERE "
+        "{ ?s <http://e/t> ?a . ?s <http://e/u> ?b } "
+        "GROUP BY ?s HAVING(?sa < ?sb)",
+    ).to_pandas()
+    assert got.values.tolist() == [["s1", "3", "18"]]
+
+
 def test_executor_abs(ray_session):
     from rdf_xml_ex_ray.pipelines.bgp import sparql_select
 
