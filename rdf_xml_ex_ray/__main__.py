@@ -88,7 +88,13 @@ def main(argv=None) -> int:
     sparql_p.add_argument("query", help="SELECT | ASK | CONSTRUCT query text (restricted fragment)")
     sparql_p.add_argument("store", nargs="?", help="parquet triple-store dir")
     sparql_p.add_argument("--sf-dir", help="build the flagship triples from this sf dir instead")
-    sparql_p.add_argument("--out", help="write the binding table as parquet instead of printing")
+    sparql_p.add_argument(
+        "--out",
+        help="write the result as parquet instead of printing — SELECT: the "
+             "binding table; CONSTRUCT/DESCRIBE: a canonical triple STORE "
+             "(full schema, subj_bucket-partitioned) re-queryable by every "
+             "other subcommand",
+    )
     sparql_p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     sparql_p.add_argument(
         "--format",
@@ -420,6 +426,42 @@ def main(argv=None) -> int:
                         print(json.dumps({"out": args.out, "format": args.format}))
                     else:
                         print(doc)
+                    return 0
+                if args.out and form in ("construct", "describe"):
+                    # graph-valued results persist as a CANONICAL store
+                    # (full 7-column schema, subj_bucket-partitioned) so
+                    # the output is immediately queryable/exportable by
+                    # every other subcommand. CONSTRUCT uses the typed
+                    # emitter; the CONSTRUCT WHERE shorthand carries no
+                    # template kinds and falls back to the flat untyped
+                    # parquet (flagged in the output JSON).
+                    from rdf_xml_ex_ray.core.sparql import parse_query as _pq
+                    from rdf_xml_ex_ray.pipelines.bgp import (
+                        sparql_construct_typed,
+                    )
+                    from rdf_xml_ex_ray.stages.canonicalize import canonicalize
+
+                    if form == "describe":
+                        rows_g = sparql_describe(triples, args.query)
+                    elif _pq(args.query)["template_tagged"] is not None:
+                        rows_g = sparql_construct_typed(triples, args.query)
+                    else:
+                        res_u = sparql_construct(triples, args.query)
+                        res_u.write_parquet(args.out)
+                        print(json.dumps({
+                            "n_triples": res_u.count(), "out": args.out,
+                            "store": False, "untyped": True,
+                        }))
+                        return 0
+                    canonicalize(rows_g).write_parquet(
+                        args.out, partition_cols=["subj_bucket"]
+                    )
+                    import ray.data as _rd
+
+                    n = _rd.read_parquet(args.out).count()
+                    print(json.dumps(
+                        {"n_triples": n, "out": args.out, "store": True}
+                    ))
                     return 0
                 run = {
                     "select": sparql_select,

@@ -216,6 +216,28 @@ def test_cli_sparql_describe(kg_store):
     assert {"subj", "pred", "obj_value"} <= set(lines[0])
 
 
+def test_cli_construct_out_is_requeryable_store(kg_store, tmp_path_factory):
+    """CONSTRUCT --out writes a canonical full-schema store the sparql
+    subcommand can immediately query again."""
+    store = os.path.join(kg_store, "triples")
+    out = str(tmp_path_factory.mktemp("cstore") / "derived")
+    cq = ("PREFIX c: <http://example.org/convo#> "
+          "CONSTRUCT { ?conv c:usedTool ?tool } "
+          "WHERE { ?conv c:turn ?t . ?t c:toolUse ?u . ?u c:tool ?tool }")
+    proc = run_cli("sparql", cq, store, "--out", out, "--num-cpus", "4")
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["store"] is True and info["n_triples"] > 0
+    proc = run_cli(
+        "sparql",
+        "PREFIX c: <http://example.org/convo#> SELECT DISTINCT ?tool "
+        "WHERE { ?conv c:usedTool ?tool }",
+        out, "--num-cpus", "4",
+    )
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    assert lines[-1]["n_bindings"] > 0
+    assert all("tool/" in r["tool"] for r in lines[:-1])
+
+
 def test_cli_sparql_rejects_bad_query(kg_store):
     proc = run_cli(
         "sparql", "SELECT ?x WHERE { ?x ex:p ?y }",
