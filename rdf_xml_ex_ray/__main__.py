@@ -362,7 +362,8 @@ def main(argv=None) -> int:
             else:
                 parser.error("sparql: need a store dir or --sf-dir")
             try:
-                form = parse_query(args.query)["form"]
+                q_parsed = parse_query(args.query)
+                form = q_parsed["form"]
                 if args.format:
                     from rdf_xml_ex_ray.pipelines.bgp import sparql_select_typed
                     from rdf_xml_ex_ray.sources.results import (
@@ -435,7 +436,6 @@ def main(argv=None) -> int:
                     # emitter; the CONSTRUCT WHERE shorthand carries no
                     # template kinds and falls back to the flat untyped
                     # parquet (flagged in the output JSON).
-                    from rdf_xml_ex_ray.core.sparql import parse_query as _pq
                     from rdf_xml_ex_ray.pipelines.bgp import (
                         sparql_construct_typed,
                     )
@@ -443,22 +443,23 @@ def main(argv=None) -> int:
 
                     if form == "describe":
                         rows_g = sparql_describe(triples, args.query)
-                    elif _pq(args.query)["template_tagged"] is not None:
+                    elif q_parsed["template_tagged"] is not None:
                         rows_g = sparql_construct_typed(triples, args.query)
                     else:
                         res_u = sparql_construct(triples, args.query)
                         res_u.write_parquet(args.out)
+                        # count from the WRITTEN files — res_u.count()
+                        # would re-execute the whole lazy pipeline
+                        n_u = rd.read_parquet(args.out).count()
                         print(json.dumps({
-                            "n_triples": res_u.count(), "out": args.out,
+                            "n_triples": n_u, "out": args.out,
                             "store": False, "untyped": True,
                         }))
                         return 0
                     canonicalize(rows_g).write_parquet(
                         args.out, partition_cols=["subj_bucket"]
                     )
-                    import ray.data as _rd
-
-                    n = _rd.read_parquet(args.out).count()
+                    n = rd.read_parquet(args.out).count()
                     print(json.dumps(
                         {"n_triples": n, "out": args.out, "store": True}
                     ))

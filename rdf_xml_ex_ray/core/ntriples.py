@@ -141,6 +141,19 @@ def encode_bnode_label(label: str) -> str:
     return "".join(out)
 
 
+def ncname_bnode_label(label: str) -> str:
+    """Internal bnode label → NCName-valid ``rdf:nodeID`` value for the
+    RDF/XML sinks. BLANK_NODE_LABEL allows a leading digit; NCName does
+    not, so prefix EVERY encoded label with 'n' (unconditional — a
+    prefix-if-needed scheme loses injectivity: encode('n2024!b0') and
+    'n' + encode('2024!b0') would collide). The encoded alphabet is
+    [A-Za-z0-9_], so 'n' + encoding is always a valid NCName. Identity is
+    per-document on the RDF/XML read side (conformant parsers re-mint
+    nodeID labels), so this is deliberately not part of the reversible
+    encode/decode pair."""
+    return "n" + encode_bnode_label(label)
+
+
 def decode_bnode_label(label: str) -> str:
     """Inverse of encode_bnode_label (no-op on labels without '_')."""
     if "_" not in label:

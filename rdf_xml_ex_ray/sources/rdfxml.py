@@ -241,8 +241,12 @@ def derive_pred_prefixes(preds, base_prefixes):
         ns = pred[:cut]
         if cut and ns not in known:
             derived.add(ns)
-    for i, ns in enumerate(sorted(derived), 1):
+    i = 1
+    for ns in sorted(derived):
+        while f"ns{i}" in pfx:  # never clobber a caller-supplied name
+            i += 1
         pfx[f"ns{i}"] = ns
+        i += 1
     return pfx
 
 
@@ -258,48 +262,82 @@ def write_rdfxml(
     Streams via the per-description encoder (encoder.ex:94-123 shape): each
     bucket's descriptions are encoded independently, one file per bucket —
     the resumable, partitioned layout of the store, in RDF/XML form.
+
+    Bucketing routes by BNODE SCOPE, not plain subject hash: rdf:nodeID
+    identity is document-scoped (a conformant reader, including this
+    repo's own decoder, re-mints labels per file), so a bnode's
+    description and every triple referencing it MUST share a file. The
+    engine's labels are '{scope}!b{k}' with bnode links never crossing a
+    scope (parser-minted per conversation/document), so any triple
+    touching a bnode routes by the label's scope prefix — co-locating
+    whole bnode clusters — and pure-IRI triples route by subject (IRIs
+    are global; their descriptions may span files freely). Labels with no
+    '!' (external imports) route by the whole label: bnode-to-bnode
+    links between DIFFERENT such labels could still split — out of
+    contract for this sink, use the .nt export (label-preserving reader)
+    for those stores. nodeID values are NCName-encoded
+    (core/ntriples.ncname_bnode_label — BLANK_NODE_LABEL allows a
+    leading digit, NCName does not).
     """
     import pandas as pd
 
-    from ..core.model import row_to_term
-    from ..core.ntriples import encode_bnode_label
-    from ..core.terms import BNode, IRI
+    from ..core.ntriples import ncname_bnode_label
     from ..core.terms import escape_attr
     from ..encoder.encoder import XML_DECL, encode_description, ns_declaration_attrs
-    from ..stages.canonicalize import add_subj_bucket
+    from ..stages.canonicalize import add_crc32_bucket
 
     pfx = dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
     os.makedirs(out_dir, exist_ok=True)
     decls = "".join(f' {n}="{escape_attr(v)}"' for n, v in ns_declaration_attrs(pfx, base, False))
     header = f"{XML_DECL}\n<rdf:RDF{decls}>\n"
 
-    bucketed = triples_ds.map_batches(
-        lambda t: add_subj_bucket(t, num_buckets), batch_format="pyarrow"
-    )
+    def _rebased(col):
+        if col.num_chunks > 0:
+            return pa.concat_arrays([c.cast(pa.string()) for c in col.chunks])
+        return pa.array([], pa.string())
+
+    def add_route_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        subj = _rebased(batch["subj"])
+        objv = _rebased(batch["obj_value"])
+        subj_scope = pc.list_element(
+            pc.split_pattern(subj, pattern="!", max_splits=1), 0
+        )
+        obj_scope = pc.list_element(
+            pc.split_pattern(objv, pattern="!", max_splits=1), 0
+        )
+        obj_bn = pc.equal(_rebased(batch["obj_kind"]), "bnode")
+        subj_bn = pc.equal(_rebased(batch["subj_kind"]), "bnode")
+        route = pc.if_else(
+            obj_bn, obj_scope, pc.if_else(subj_bn, subj_scope, subj)
+        )
+        batch = batch.append_column("__route", route)
+        batch = add_crc32_bucket(batch, "__route", num_buckets, "subj_bucket")
+        return batch.drop_columns(["__route"])
+
+    bucketed = triples_ds.map_batches(add_route_bucket, batch_format="pyarrow")
 
     def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        from .results import _row_terms
+
         bucket = int(group["subj_bucket"].iloc[0])
         lines = [header]
-        for subj_val, g in group.sort_values("subj").groupby("subj", sort=True):
-            kind = g["subj_kind"].iloc[0]
-            # internal '{conv}!b{k}' labels hex-encode to NCName-valid
-            # rdf:nodeID values (the repo-wide sink invariant — '!' is
-            # outside NCName and a conformant parser, including this
-            # repo's own decoder, rejects the raw form)
-            subj = (
-                BNode(encode_bnode_label(subj_val))
-                if kind == "bnode"
-                else IRI(subj_val)
-            )
-            triples = []
-            for r in g.itertuples():
-                o = row_to_term(
-                    r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype
+        ordered = group.sort_values(
+            [
+                "subj", "pred", "obj_value",
+                "obj_lang", "obj_datatype", "obj_kind", "subj_kind",
+            ],
+            kind="mergesort",
+        )
+        for _subj_val, g in ordered.groupby("subj", sort=True):
+            triples = _row_terms(g, bnode_encode=ncname_bnode_label)
+            lines.append(
+                encode_description(
+                    triples[0][0], triples, base=base, prefixes=pfx
                 )
-                if isinstance(o, BNode):
-                    o = BNode(encode_bnode_label(str(o)))
-                triples.append((subj, IRI(r.pred), o))
-            lines.append(encode_description(subj, triples, base=base, prefixes=pfx) + "\n")
+                + "\n"
+            )
         lines.append("</rdf:RDF>\n")
         tmp = os.path.join(out_dir, f".part-{bucket:05d}.rdf.tmp")
         final = os.path.join(out_dir, f"part-{bucket:05d}.rdf")

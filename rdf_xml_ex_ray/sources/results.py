@@ -220,23 +220,26 @@ def ask_json(ask_ds) -> dict:
     return {"head": {}, "boolean": bool(ask_ds.take(1)[0]["ask"])}
 
 
-def _row_terms(g):
-    """Sorted triple-schema frame → [(s, p, o) term triples], internal
-    bnode labels hex-encoded (the sink invariant) — the ONE place the
-    nt and rdf document branches build terms."""
+def _row_terms(g, bnode_encode=encode_bnode_label):
+    """Triple-schema frame → [(s, p, o) term triples], internal bnode
+    labels encoded per the sink invariant — the ONE place the document
+    sinks build terms. ``bnode_encode`` is the label encoder:
+    BLANK_NODE_LABEL form (default) for nt/ttl, NCName form
+    (core/ntriples.ncname_bnode_label) for the RDF/XML paths whose
+    rdf:nodeID forbids a leading digit."""
     from ..core.model import row_to_term
     from ..core.terms import BNode, IRI
 
     triples = []
     for r in g.itertuples():
         s = (
-            BNode(encode_bnode_label(r.subj))
+            BNode(bnode_encode(r.subj))
             if r.subj_kind == "bnode"
             else IRI(r.subj)
         )
         o = row_to_term(r.obj_kind, r.obj_value, r.obj_lang, r.obj_datatype)
         if isinstance(o, BNode):
-            o = BNode(encode_bnode_label(str(o)))
+            o = BNode(bnode_encode(str(o)))
         triples.append((s, IRI(r.pred), o))
     return triples
 
@@ -272,6 +275,7 @@ def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
         # the map misses, so derive rather than guess), deterministic
         # ns1..nsK numbering over the sorted namespace list.
         from ..core.model import Graph
+        from ..core.ntriples import ncname_bnode_label
         from ..encoder.encoder import encode
         from .rdfxml import derive_pred_prefixes
         from .turtle import DEFAULT_PREFIXES
@@ -280,7 +284,12 @@ def graph_document(ds, fmt: str = "nt", prefixes=None) -> str:
             g["pred"].drop_duplicates(),
             DEFAULT_PREFIXES if prefixes is None else prefixes,
         )
-        return encode(Graph(_row_terms(g), prefixes=pfx), pretty=True)
+        return encode(
+            Graph(
+                _row_terms(g, bnode_encode=ncname_bnode_label), prefixes=pfx
+            ),
+            pretty=True,
+        )
     if fmt != "nt":
         raise ValueError(
             f"graph_document formats are nt|ttl|rdf, got {fmt!r}"

@@ -84,9 +84,71 @@ def test_write_rdfxml_encodes_bnode_labels(ray_session, tmp_path):
     ).to_pandas()
     docs = [open(os.path.join(out, f)).read() for f in sorted(os.listdir(out))]
     body = next(d for d in docs if "nodeID" in d)
-    assert "c0!b1" not in body and 'rdf:nodeID="c0_21b1"' in body
+    assert "c0!b1" not in body and 'rdf:nodeID="nc0_21b1"' in body
     # the repo's own decoder accepts the emitted document
     assert len(parse_rdfxml(body.encode(), base="http://b/")) == 1
+
+
+def test_write_rdfxml_colocates_bnode_clusters(ray_session, tmp_path):
+    """rdf:nodeID identity is per-FILE: a bnode's description and its
+    references must share a part file or the decoded graph silently
+    dangles. The sink routes every bnode-touching triple by the label's
+    '{scope}!' prefix, so whole clusters land together and the decoded
+    graph keeps its structure — verified by walking the chain back."""
+    import ray.data as rd
+
+    from rdf_xml_ex_ray.core.terms import BNode
+    from rdf_xml_ex_ray.decoder.parser import parse_rdfxml
+    from rdf_xml_ex_ray.sources.rdfxml import write_rdfxml
+
+    rows = []
+    for scope in ("c0", "c1", "c2", "c3"):
+        # IRI -> bnode -> bnode -> literal chain, one per scope; a plain
+        # subj-hash bucketing splits these across files for some scope
+        rows += [
+            {"subj": f"http://e/{scope}", "subj_kind": "iri",
+             "pred": "http://e/use", "obj_kind": "bnode",
+             "obj_value": f"{scope}!b0", "obj_lang": None,
+             "obj_datatype": None},
+            {"subj": f"{scope}!b0", "subj_kind": "bnode",
+             "pred": "http://e/next", "obj_kind": "bnode",
+             "obj_value": f"{scope}!b1", "obj_lang": None,
+             "obj_datatype": None},
+            {"subj": f"{scope}!b1", "subj_kind": "bnode",
+             "pred": "http://e/val", "obj_kind": "literal",
+             "obj_value": scope.upper(), "obj_lang": None,
+             "obj_datatype": None},
+        ]
+    out = str(tmp_path / "cl")
+    write_rdfxml(
+        rd.from_items(rows), out,
+        prefixes={"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+                  "e": "http://e/"},
+        num_buckets=8,
+    ).to_pandas()
+    # decode every part independently (per-file bnode identity, as any
+    # conformant consumer would) and walk IRI -> b -> b' -> literal
+    reached = {}
+    for f in sorted(os.listdir(out)):
+        g = parse_rdfxml(open(os.path.join(out, f), "rb").read(),
+                         base="http://b/")
+        nxt = {}
+        use = {}
+        val = {}
+        for s, p, o in g:
+            if str(p) == "http://e/use":
+                use[str(s)] = o
+            elif str(p) == "http://e/next":
+                nxt[s] = o
+            else:
+                val[s] = o
+        for iri, b in use.items():
+            assert isinstance(b, BNode) and b in nxt, f"dangling chain in {f}"
+            b2 = nxt[b]
+            assert b2 in val, f"dangling tail in {f}"
+            reached[iri] = val[b2].lexical
+    assert reached == {f"http://e/{s}": s.upper()
+                       for s in ("c0", "c1", "c2", "c3")}
 
 
 def test_ntriples_sink_source_roundtrip(ray_session, tmp_path):
